@@ -1,0 +1,67 @@
+"""JAX-native distribution layer for pyfilter-tpu.
+
+Replaces the pyro-ppl / torch.distributions dependency of the reference
+(SURVEY.md §2.9). Distributions are immutable pytrees safe under jit/vmap/scan.
+"""
+
+from . import bijectors, constraints
+from .base import Distribution
+from .bijectors import (
+    Affine,
+    Bijector,
+    Chain,
+    Exp,
+    Identity,
+    Log,
+    Power,
+    Sigmoid,
+    SinhArcsinh,
+    Softplus,
+    Tanh,
+    biject_to,
+)
+from .core import (
+    Beta,
+    Categorical,
+    Delta,
+    Exponential,
+    Gamma,
+    LogNormal,
+    Normal,
+    StudentT,
+    Uniform,
+)
+from .independent import Independent
+from .mvn import MultivariateNormal, robust_cholesky
+from .transformed import TransformedDistribution
+
+__all__ = [
+    "Distribution",
+    "Normal",
+    "LogNormal",
+    "Uniform",
+    "Exponential",
+    "Gamma",
+    "Beta",
+    "StudentT",
+    "Categorical",
+    "Delta",
+    "MultivariateNormal",
+    "Independent",
+    "TransformedDistribution",
+    "robust_cholesky",
+    "Bijector",
+    "Identity",
+    "Exp",
+    "Log",
+    "Affine",
+    "Power",
+    "Sigmoid",
+    "Softplus",
+    "Tanh",
+    "SinhArcsinh",
+    "Chain",
+    "biject_to",
+    "bijectors",
+    "constraints",
+]

@@ -1,0 +1,394 @@
+"""Concrete univariate distributions + Categorical + Delta.
+
+JAX-native equivalents of the pyro/torch distributions the reference and its
+examples use (SURVEY.md §2.9): Normal, LogNormal, Uniform, Exponential, Gamma,
+Beta, StudentT, Categorical, plus a Delta (point-mass) convenience.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import betaln, gammainc, gammaln, ndtr, ndtri
+
+from . import constraints
+from .base import Distribution
+
+_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+def _bshape(*args):
+    return jnp.broadcast_shapes(*(jnp.shape(a) for a in args))
+
+
+class Normal(Distribution):
+    arg_names = ("loc", "scale")
+    has_icdf = True
+    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
+
+    def __init__(self, loc, scale):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.loc, self.scale, 0.0)
+        eps = jax.random.normal(key, shape, dtype=dtype)
+        return self.loc + self.scale * eps
+
+    def log_prob(self, value):
+        z = (value - self.loc) / self.scale
+        return -0.5 * jnp.square(z) - jnp.log(self.scale) - _LOG_SQRT_2PI
+
+    def cdf(self, value):
+        return ndtr((value - self.loc) / self.scale)
+
+    def icdf(self, q):
+        return self.loc + self.scale * ndtri(q)
+
+    def entropy(self):
+        return 0.5 + _LOG_SQRT_2PI + jnp.log(self.scale) + jnp.zeros(self.batch_shape)
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
+    @property
+    def variance(self):
+        return jnp.broadcast_to(jnp.square(self.scale), self.batch_shape)
+
+
+class LogNormal(Distribution):
+    arg_names = ("loc", "scale")
+    has_icdf = True
+    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
+
+    def __init__(self, loc, scale):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    @property
+    def support(self):
+        return constraints.positive
+
+    def sample(self, key, sample_shape=()):
+        return jnp.exp(Normal(self.loc, self.scale).sample(key, sample_shape))
+
+    def log_prob(self, value):
+        log_v = jnp.log(value)
+        return Normal(self.loc, self.scale).log_prob(log_v) - log_v
+
+    def cdf(self, value):
+        return ndtr((jnp.log(value) - self.loc) / self.scale)
+
+    def icdf(self, q):
+        return jnp.exp(self.loc + self.scale * ndtri(q))
+
+    @property
+    def mean(self):
+        return jnp.exp(self.loc + 0.5 * jnp.square(self.scale)) + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        s2 = jnp.square(self.scale)
+        return (jnp.exp(s2) - 1.0) * jnp.exp(2.0 * self.loc + s2) + jnp.zeros(self.batch_shape)
+
+
+class Uniform(Distribution):
+    arg_names = ("low", "high")
+    has_icdf = True
+    arg_constraints = {"low": constraints.real, "high": constraints.real}
+
+    def __init__(self, low=0.0, high=1.0):
+        self.low = low
+        self.high = high
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.low, self.high)
+
+    @property
+    def support(self):
+        import numpy as np
+
+        return constraints.Interval(float(np.min(np.asarray(self.low))), float(np.max(np.asarray(self.high))))
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.low, self.high, 0.0)
+        u = jax.random.uniform(key, shape, dtype=dtype)
+        return self.low + (self.high - self.low) * u
+
+    def log_prob(self, value):
+        inside = (value >= self.low) & (value <= self.high)
+        lp = -jnp.log(self.high - self.low) + jnp.zeros(jnp.shape(value))
+        return jnp.where(inside, lp, -jnp.inf)
+
+    def cdf(self, value):
+        return jnp.clip((value - self.low) / (self.high - self.low), 0.0, 1.0)
+
+    def icdf(self, q):
+        return self.low + (self.high - self.low) * q
+
+    @property
+    def mean(self):
+        return (self.low + self.high) / 2.0 + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        return jnp.square(self.high - self.low) / 12.0 + jnp.zeros(self.batch_shape)
+
+
+class Exponential(Distribution):
+    arg_names = ("rate",)
+    has_icdf = True
+    arg_constraints = {"rate": constraints.positive}
+
+    def __init__(self, rate):
+        self.rate = rate
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.rate)
+
+    @property
+    def support(self):
+        return constraints.positive
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.rate, 0.0)
+        return jax.random.exponential(key, shape, dtype=dtype) / self.rate
+
+    def log_prob(self, value):
+        return jnp.log(self.rate) - self.rate * value
+
+    def cdf(self, value):
+        return -jnp.expm1(-self.rate * value)
+
+    def icdf(self, q):
+        return -jnp.log1p(-q) / self.rate
+
+    @property
+    def mean(self):
+        return 1.0 / self.rate + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        return 1.0 / jnp.square(self.rate) + jnp.zeros(self.batch_shape)
+
+
+class Gamma(Distribution):
+    arg_names = ("concentration", "rate")
+    arg_constraints = {"concentration": constraints.positive, "rate": constraints.positive}
+
+    def __init__(self, concentration, rate):
+        self.concentration = concentration
+        self.rate = rate
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.concentration, self.rate)
+
+    @property
+    def support(self):
+        return constraints.positive
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.concentration, self.rate, 0.0)
+        g = jax.random.gamma(key, jnp.broadcast_to(jnp.asarray(self.concentration, dtype), shape), dtype=dtype)
+        return g / self.rate
+
+    def log_prob(self, value):
+        a, b = self.concentration, self.rate
+        return a * jnp.log(b) + (a - 1.0) * jnp.log(value) - b * value - gammaln(a)
+
+    def cdf(self, value):
+        return gammainc(self.concentration, self.rate * value)
+
+    @property
+    def mean(self):
+        return self.concentration / self.rate + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        return self.concentration / jnp.square(self.rate) + jnp.zeros(self.batch_shape)
+
+
+class Beta(Distribution):
+    arg_names = ("concentration1", "concentration0")
+    arg_constraints = {
+        "concentration1": constraints.positive,
+        "concentration0": constraints.positive,
+    }
+
+    def __init__(self, concentration1, concentration0):
+        self.concentration1 = concentration1
+        self.concentration0 = concentration0
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.concentration1, self.concentration0)
+
+    @property
+    def support(self):
+        return constraints.unit_interval
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.concentration1, self.concentration0, 0.0)
+        return jax.random.beta(key, self.concentration1, self.concentration0, shape, dtype=dtype)
+
+    def log_prob(self, value):
+        a, b = self.concentration1, self.concentration0
+        return (a - 1.0) * jnp.log(value) + (b - 1.0) * jnp.log1p(-value) - betaln(a, b)
+
+    @property
+    def mean(self):
+        a, b = self.concentration1, self.concentration0
+        return a / (a + b) + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        a, b = self.concentration1, self.concentration0
+        tot = a + b
+        return a * b / (jnp.square(tot) * (tot + 1.0)) + jnp.zeros(self.batch_shape)
+
+
+class StudentT(Distribution):
+    arg_names = ("df", "loc", "scale")
+    arg_constraints = {
+        "df": constraints.positive,
+        "loc": constraints.real,
+        "scale": constraints.positive,
+    }
+
+    def __init__(self, df, loc=0.0, scale=1.0):
+        self.df = df
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.df, self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.df, self.loc, self.scale, 0.0)
+        t = jax.random.t(key, jnp.asarray(self.df, dtype), shape=shape, dtype=dtype)
+        return self.loc + self.scale * t
+
+    def log_prob(self, value):
+        df = self.df
+        z = (value - self.loc) / self.scale
+        return (
+            gammaln((df + 1.0) / 2.0)
+            - gammaln(df / 2.0)
+            - 0.5 * jnp.log(df * math.pi)
+            - jnp.log(self.scale)
+            - (df + 1.0) / 2.0 * jnp.log1p(jnp.square(z) / df)
+        )
+
+    @property
+    def mean(self):
+        return jnp.where(self.df > 1, self.loc, jnp.nan) + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        v = jnp.square(self.scale) * self.df / (self.df - 2.0)
+        return jnp.where(self.df > 2, v, jnp.nan) + jnp.zeros(self.batch_shape)
+
+
+class Categorical(Distribution):
+    """Categorical over the last axis of ``logits``/``probs``."""
+
+    arg_names = ("logits",)
+
+    def __init__(self, logits=None, probs=None):
+        if (logits is None) == (probs is None):
+            raise ValueError("exactly one of logits or probs must be given")
+        if probs is not None:
+            logits = jnp.log(probs)
+        self.logits = logits
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.logits)[:-1]
+
+    @property
+    def num_categories(self):
+        return jnp.shape(self.logits)[-1]
+
+    @property
+    def probs(self):
+        return jax.nn.softmax(self.logits, axis=-1)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.categorical(key, self.logits, axis=-1, shape=shape)
+
+    def log_prob(self, value):
+        logp = jax.nn.log_softmax(self.logits, axis=-1)
+        value = jnp.asarray(value, jnp.int32)
+        logp = jnp.broadcast_to(logp, jnp.broadcast_shapes(jnp.shape(value), self.batch_shape) + logp.shape[-1:])
+        return jnp.take_along_axis(logp, value[..., None], axis=-1)[..., 0]
+
+    @property
+    def mean(self):
+        k = jnp.arange(self.num_categories, dtype=self.probs.dtype)
+        return jnp.sum(self.probs * k, axis=-1)
+
+    @property
+    def variance(self):
+        k = jnp.arange(self.num_categories, dtype=self.probs.dtype)
+        m = self.mean[..., None]
+        return jnp.sum(self.probs * jnp.square(k - m), axis=-1)
+
+
+class Delta(Distribution):
+    """Point mass at ``value`` (with optional event rank)."""
+
+    arg_names = ("value",)
+    aux_names = ("event_ndim",)
+
+    def __init__(self, value, event_ndim: int = 0):
+        self.value = value
+        self.event_ndim = event_ndim
+
+    @property
+    def batch_shape(self):
+        s = jnp.shape(self.value)
+        return s[: len(s) - self.event_ndim]
+
+    @property
+    def event_shape(self):
+        s = jnp.shape(self.value)
+        return s[len(s) - self.event_ndim:]
+
+    def sample(self, key, sample_shape=()):
+        return jnp.broadcast_to(self.value, tuple(sample_shape) + jnp.shape(self.value))
+
+    def log_prob(self, value):
+        eq = value == self.value
+        if self.event_ndim:
+            eq = jnp.all(eq, axis=tuple(range(-self.event_ndim, 0)))
+        return jnp.where(eq, 0.0, -jnp.inf)
+
+    @property
+    def mean(self):
+        return jnp.asarray(self.value)
+
+    @property
+    def variance(self):
+        return jnp.zeros(jnp.shape(self.value))

@@ -1,0 +1,178 @@
+"""Distribution layer tests — log-probs vs scipy.stats, sampling moments, shapes,
+bijector round-trips, transformed densities, and pytree/jit/vmap safety."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+import pyfilter_tpu.distributions as dist
+from pyfilter_tpu.distributions import bijectors, constraints
+
+
+CASES = [
+    (lambda: dist.Normal(0.5, 2.0), lambda: st.norm(0.5, 2.0)),
+    (lambda: dist.LogNormal(0.2, 0.7), lambda: st.lognorm(s=0.7, scale=np.exp(0.2))),
+    (lambda: dist.Uniform(-1.0, 3.0), lambda: st.uniform(-1.0, 4.0)),
+    (lambda: dist.Exponential(1.7), lambda: st.expon(scale=1 / 1.7)),
+    (lambda: dist.Gamma(2.5, 1.3), lambda: st.gamma(2.5, scale=1 / 1.3)),
+    (lambda: dist.Beta(2.0, 3.0), lambda: st.beta(2.0, 3.0)),
+    (lambda: dist.StudentT(4.0, 0.3, 1.5), lambda: st.t(4.0, loc=0.3, scale=1.5)),
+]
+
+
+@pytest.mark.parametrize("make_d,make_ref", CASES, ids=lambda c: "case")
+def test_log_prob_matches_scipy(make_d, make_ref):
+    d, ref = make_d(), make_ref()
+    x = np.asarray(ref.rvs(size=50, random_state=1), dtype=np.float32)
+    lp = np.asarray(d.log_prob(jnp.asarray(x)))
+    np.testing.assert_allclose(lp, ref.logpdf(x), rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("make_d,make_ref", CASES, ids=lambda c: "case")
+def test_sampling_moments(key, make_d, make_ref):
+    d, ref = make_d(), make_ref()
+    x = np.asarray(d.sample(key, (200_000,)), dtype=np.float64)
+    np.testing.assert_allclose(x.mean(), ref.mean(), atol=4 * ref.std() / np.sqrt(len(x)) + 1e-3)
+    np.testing.assert_allclose(np.asarray(d.mean), ref.mean(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d.variance), ref.var(), rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "make_d",
+    [lambda: dist.Normal(0.5, 2.0), lambda: dist.Uniform(-1.0, 3.0), lambda: dist.Exponential(1.7)],
+)
+def test_icdf_inverts_cdf(make_d):
+    d = make_d()
+    q = jnp.asarray([0.01, 0.25, 0.5, 0.75, 0.99])
+    x = d.icdf(q)
+    np.testing.assert_allclose(np.asarray(d.cdf(x)), np.asarray(q), rtol=1e-4, atol=1e-5)
+
+
+def test_batch_shapes(key):
+    d = dist.Normal(jnp.zeros((3, 4)), jnp.ones(4))
+    assert d.batch_shape == (3, 4)
+    assert d.sample(key, (7,)).shape == (7, 3, 4)
+    assert d.log_prob(jnp.zeros((3, 4))).shape == (3, 4)
+
+
+def test_expand():
+    d = dist.Normal(0.0, 1.0).expand((5, 2))
+    assert d.batch_shape == (5, 2)
+    d2 = dist.MultivariateNormal(jnp.zeros(3), scale_tril=jnp.eye(3)).expand((4,))
+    assert d2.batch_shape == (4,) and d2.event_shape == (3,)
+
+
+def test_to_event(key):
+    d = dist.Normal(jnp.zeros(4), jnp.ones(4)).to_event(1)
+    assert d.batch_shape == () and d.event_shape == (4,)
+    assert d.log_prob(jnp.zeros(4)).shape == ()
+    np.testing.assert_allclose(
+        np.asarray(d.log_prob(jnp.zeros(4))), 4 * st.norm.logpdf(0.0), rtol=1e-5
+    )
+
+
+def test_mvn_log_prob_matches_scipy(key):
+    cov = np.array([[2.0, 0.6], [0.6, 1.0]])
+    loc = np.array([1.0, -0.5])
+    d = dist.MultivariateNormal(jnp.asarray(loc), covariance_matrix=jnp.asarray(cov))
+    x = st.multivariate_normal(loc, cov).rvs(size=20, random_state=2).astype(np.float32)
+    lp = np.asarray(d.log_prob(jnp.asarray(x)))
+    np.testing.assert_allclose(lp, st.multivariate_normal(loc, cov).logpdf(x), rtol=1e-4)
+    samples = np.asarray(d.sample(key, (100_000,)), np.float64)
+    np.testing.assert_allclose(samples.mean(0), loc, atol=0.02)
+    np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.03)
+
+
+def test_mvn_precision_parameterization():
+    cov = np.array([[2.0, 0.6], [0.6, 1.0]])
+    prec = np.linalg.inv(cov)
+    d = dist.MultivariateNormal(jnp.zeros(2), precision_matrix=jnp.asarray(prec))
+    np.testing.assert_allclose(np.asarray(d.covariance_matrix), cov, rtol=1e-4, atol=1e-5)
+
+
+def test_robust_cholesky_fallback():
+    good = jnp.asarray(np.array([[2.0, 0.5], [0.5, 1.0]]))
+    np.testing.assert_allclose(
+        np.asarray(dist.robust_cholesky(good)), np.linalg.cholesky(np.asarray(good)), rtol=1e-4, atol=1e-5
+    )
+    bad = jnp.asarray(np.array([[1.0, 2.0], [2.0, 1.0]]))  # indefinite
+    chol = np.asarray(dist.robust_cholesky(bad))
+    assert np.isfinite(chol).all()
+    np.testing.assert_allclose(np.diag(chol), [1.0, 1.0], rtol=1e-3)
+
+
+def test_categorical(key):
+    probs = jnp.asarray([0.2, 0.3, 0.5])
+    d = dist.Categorical(probs=probs)
+    x = np.asarray(d.sample(key, (100_000,)))
+    counts = np.bincount(x, minlength=3) / len(x)
+    np.testing.assert_allclose(counts, np.asarray(probs), atol=0.01)
+    np.testing.assert_allclose(np.asarray(d.log_prob(jnp.asarray([0, 1, 2]))), np.log(np.asarray(probs)), rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "bij,low,high",
+    [
+        (bijectors.Exp(), -2.0, 2.0),
+        (bijectors.Softplus(), -2.0, 3.0),
+        (bijectors.Sigmoid(), -3.0, 3.0),
+        (bijectors.Tanh(), -2.0, 2.0),
+        (bijectors.Affine(1.5, -2.0), -2.0, 2.0),
+        (bijectors.SinhArcsinh(0.5, 1.3), -2.0, 2.0),
+        (bijectors.Chain([bijectors.Affine(0.0, 2.0), bijectors.Sigmoid()]), -2.0, 2.0),
+    ],
+)
+def test_bijector_roundtrip_and_jacobian(bij, low, high):
+    x = jnp.linspace(low, high, 23)
+    y = bij.forward(x)
+    np.testing.assert_allclose(np.asarray(bij.inverse(y)), np.asarray(x), rtol=1e-4, atol=1e-5)
+    # numerical jacobian check
+    ladj = np.asarray(bij.log_abs_det_jacobian(x, y))
+    num = np.asarray(jax.vmap(jax.grad(lambda v: bij.forward(v)))(x))
+    np.testing.assert_allclose(ladj, np.log(np.abs(num)), rtol=1e-3, atol=1e-4)
+
+
+def test_biject_to():
+    assert isinstance(dist.biject_to(constraints.real), bijectors.Identity)
+    assert isinstance(dist.biject_to(constraints.positive), bijectors.Exp)
+    b = dist.biject_to(constraints.Interval(-1.0, 2.0))
+    x = jnp.linspace(-5, 5, 11)
+    y = np.asarray(b.forward(x))
+    assert (y > -1.0).all() and (y < 2.0).all()
+
+
+def test_transformed_distribution_log_prob(key):
+    # LogNormal as exp-transformed Normal must match the analytic LogNormal
+    base = dist.Normal(0.3, 0.8)
+    d = dist.TransformedDistribution(base, bijectors.Exp())
+    x = jnp.asarray([0.5, 1.0, 2.5])
+    np.testing.assert_allclose(
+        np.asarray(d.log_prob(x)), np.asarray(dist.LogNormal(0.3, 0.8).log_prob(x)), rtol=1e-5
+    )
+    s = np.asarray(d.sample(key, (100_000,)), np.float64)
+    np.testing.assert_allclose(s.mean(), np.exp(0.3 + 0.5 * 0.64), rtol=0.03)
+
+
+def test_distributions_are_pytrees(key):
+    d = dist.Normal(jnp.zeros(3), jnp.ones(3))
+    leaves = jax.tree_util.tree_leaves(d)
+    assert len(leaves) == 2
+
+    @jax.jit
+    def sample_it(d, key):
+        return d.sample(key)
+
+    assert sample_it(d, key).shape == (3,)
+
+    # vmap over a batch of distributions
+    locs = jnp.arange(4.0)
+    out = jax.vmap(lambda loc: dist.Normal(loc, 1.0).log_prob(0.0))(locs)
+    np.testing.assert_allclose(np.asarray(out), st.norm(np.arange(4.0), 1.0).logpdf(0.0), rtol=1e-5)
+
+
+def test_equivalent_to():
+    assert dist.Normal(0.0, 1.0).equivalent_to(dist.Normal(0.0, 1.0))
+    assert not dist.Normal(0.0, 1.0).equivalent_to(dist.Normal(0.0, 2.0))
+    assert not dist.Normal(0.0, 1.0).equivalent_to(dist.Exponential(1.0))

@@ -1,0 +1,131 @@
+"""Resampling tests.
+
+Mirrors the reference's strategy (tests/test_resampling.py:8-47): inject explicit
+uniforms into ``systematic`` and compare index-for-index against an independent
+straight-line numpy implementation of the textbook algorithm.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyfilter_tpu import resampling
+from pyfilter_tpu.utils import normalize
+
+
+def numpy_systematic(weights: np.ndarray, u: float) -> np.ndarray:
+    """Textbook O(N) systematic resampling loop (the filterpy algorithm)."""
+    n = len(weights)
+    positions = (np.arange(n) + u) / n
+    indexes = np.zeros(n, dtype=np.int64)
+    cumsum = np.cumsum(weights)
+    cumsum[-1] = 1.0
+    i, j = 0, 0
+    while i < n:
+        if positions[i] < cumsum[j]:
+            indexes[i] = j
+            i += 1
+        else:
+            j += 1
+    return indexes
+
+
+@pytest.mark.parametrize("n", [10, 100, 1000])
+@pytest.mark.parametrize("u", [0.0, 0.12345, 0.9999])
+def test_systematic_matches_reference_loop(n, u):
+    rng = np.random.default_rng(42)
+    w = rng.random(n)
+    w = w / w.sum()
+    expected = numpy_systematic(w, u)
+    got = np.asarray(resampling.systematic(None, jnp.asarray(w), normalized=True, u=jnp.asarray(u)))
+    _assert_indices_close(got, expected)
+
+
+def _assert_indices_close(got, expected):
+    """Index-for-index match, tolerating the rare off-by-one from float32 cumsum
+    rounding at stratum boundaries (the numpy oracle accumulates in float64)."""
+    diff = got != expected
+    assert np.abs(got - expected).max(initial=0) <= 1
+    assert diff.mean() <= 0.005, f"{diff.sum()} / {diff.size} indices differ"
+
+
+def test_systematic_batched_matches_per_lane(key):
+    rng = np.random.default_rng(0)
+    n, b = 64, 5
+    w = rng.random((n, b))
+    w = w / w.sum(0)
+    u = rng.random(b)
+    got = resampling.systematic(None, jnp.asarray(w), normalized=True, u=jnp.asarray(u))
+    for lane in range(b):
+        expected = numpy_systematic(w[:, lane], u[lane])
+        _assert_indices_close(np.asarray(got[:, lane]), expected)
+
+
+def test_systematic_accepts_log_weights(key):
+    n = 128
+    log_w = jax.random.normal(key, (n,))
+    idx1 = resampling.systematic(None, log_w, u=jnp.asarray(0.5))
+    idx2 = resampling.systematic(None, normalize(log_w), normalized=True, u=jnp.asarray(0.5))
+    np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+
+
+@pytest.mark.parametrize("scheme", ["systematic", "stratified", "multinomial", "residual"])
+@pytest.mark.parametrize("batch_shape", [(), (3,)])
+def test_schemes_are_unbiased_and_in_range(key, scheme, batch_shape):
+    fn = getattr(resampling, scheme)
+    n = 2000
+    rng = np.random.default_rng(7)
+    w = rng.random((n, *batch_shape))
+    w = w / w.sum(0)
+    idx = fn(key, jnp.asarray(w), normalized=True)
+    idx = np.asarray(idx)
+    assert idx.shape == (n, *batch_shape)
+    assert idx.min() >= 0 and idx.max() < n
+    # resampled counts should approximate n * w
+    flatw = w.reshape(n, -1)
+    flati = idx.reshape(n, -1)
+    for lane in range(flatw.shape[1]):
+        counts = np.bincount(flati[:, lane], minlength=n)
+        err = np.abs(counts / n - flatw[:, lane]).max()
+        assert err < 0.05 if scheme == "multinomial" else err < 0.02
+
+
+def test_degenerate_weights_resample_uniformly(key):
+    # all -inf log-weights -> normalize backfills uniform (reference utils.py:62)
+    n = 100
+    log_w = jnp.full((n,), -jnp.inf)
+    idx = resampling.systematic(key, log_w)
+    counts = np.bincount(np.asarray(idx), minlength=n)
+    assert counts.max() == 1  # uniform weights + systematic = exact permutation
+
+
+def test_point_mass_resamples_to_single_index(key):
+    n = 50
+    w = jnp.zeros((n,)).at[17].set(1.0)
+    for scheme in (resampling.systematic, resampling.stratified, resampling.multinomial):
+        idx = scheme(key, w, normalized=True)
+        assert np.all(np.asarray(idx) == 17)
+
+
+def test_residual_deterministic_part():
+    # a weight of exactly k/n must appear at least k times
+    n = 10
+    w = np.array([0.5, 0.2, 0.1] + [0.2 / 7] * 7)
+    w = w / w.sum()
+    idx = np.asarray(resampling.residual(jax.random.PRNGKey(3), jnp.asarray(w), normalized=True))
+    counts = np.bincount(idx, minlength=n)
+    assert counts[0] >= 5
+    assert counts[1] >= 2
+    assert counts[2] >= 1
+
+
+def test_jit_and_vmap_safe(key):
+    n = 256
+    w = jax.random.uniform(key, (n, 4))
+    jitted = jax.jit(lambda k, lw: resampling.systematic(k, lw))
+    idx = jitted(key, jnp.log(w))
+    assert idx.shape == (n, 4)
+    vm = jax.vmap(lambda k, lw: resampling.systematic(k, lw), in_axes=(0, 1), out_axes=1)
+    idx2 = vm(jax.random.split(key, 4), jnp.log(w))
+    assert idx2.shape == (n, 4)
