@@ -49,7 +49,10 @@ class TransformedDistribution(Distribution):
     def log_prob(self, value):
         x = self.bijector.inverse(value)
         ladj = self.bijector.log_abs_det_jacobian(x, value)
-        lp = self.base_dist.log_prob(x) - _sum_rightmost(ladj, self.bijector.event_dim)
+        # An elementwise bijector (event_dim 0) applied to a base with event rank k
+        # produces a per-element ladj that must be summed over all k event dims.
+        n_sum = len(self.event_shape) - self.bijector.event_dim
+        lp = self.base_dist.log_prob(x) - _sum_rightmost(ladj, n_sum)
         return lp
 
     def cdf(self, value):

@@ -1,0 +1,224 @@
+"""Model layer tests: processes, SSMs, joint processes, simulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyfilter_tpu.distributions as dist
+from pyfilter_tpu import timeseries as ts
+from pyfilter_tpu.timeseries import models
+
+
+def test_ar_process_sampling_and_density(key):
+    ar = models.AR(0.0, 0.99, 0.05)
+    x0 = ar.initial_sample(key, (1000,))
+    assert x0.value.shape == (1000,)
+    assert float(x0.time_index) == 0.0
+
+    d = ar.build_density(x0)
+    assert isinstance(d, dist.Normal)
+    np.testing.assert_allclose(np.asarray(d.mean), 0.99 * np.asarray(x0.value), rtol=1e-5)
+
+    x1 = ar.propagate(jax.random.split(key)[0], x0)
+    assert x1.value.shape == (1000,)
+    assert float(x1.time_index) == 1.0
+
+
+def test_ar_stationary_moments(key):
+    alpha, beta, sigma = 0.5, 0.9, 0.1
+    ar = models.AR(alpha, beta, sigma)
+    path = ar.sample_states(key, 5000)
+    x = np.asarray(path.x, np.float64)
+    # stationary mean alpha / (1 - beta), var sigma^2 / (1 - beta^2)
+    np.testing.assert_allclose(x[1000:].mean(), alpha / (1 - beta), atol=0.15)
+    np.testing.assert_allclose(x[1000:].var(), sigma**2 / (1 - beta**2), rtol=0.25)
+
+
+def test_ou_exact_discretization(key):
+    kappa, gamma, sigma = 0.5, 1.0, 0.2
+    ou = models.OrnsteinUhlenbeck(kappa, gamma, sigma)
+    x = ts.TimeseriesState(jnp.asarray(0.0), jnp.asarray(2.0))
+    d = ou.build_density(x)
+    decay = np.exp(-0.5)
+    np.testing.assert_allclose(np.asarray(d.mean), gamma + (2.0 - gamma) * decay, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(d.stddev), sigma * np.sqrt((1 - decay**2) / (2 * kappa)), rtol=1e-5
+    )
+    init = ou.initial_distribution()
+    np.testing.assert_allclose(np.asarray(init.stddev), sigma / np.sqrt(2 * kappa), rtol=1e-5)
+
+
+def test_random_walk(key):
+    rw = models.RandomWalk(0.3)
+    path = rw.sample_states(key, 1000)
+    increments = np.diff(np.asarray(path.x, np.float64))
+    np.testing.assert_allclose(increments.std(), 0.3, rtol=0.1)
+
+
+def test_affine_euler_maruyama_sine_diffusion(key):
+    # the README example (README.md:35-82)
+    from math import sqrt
+
+    dt = 0.1
+
+    def f(x, gamma, sigma):
+        return jnp.sin(x.value - gamma), sigma
+
+    def initial_kernel(gamma, sigma):
+        return dist.Normal(jnp.zeros_like(jnp.asarray(gamma)), jnp.ones_like(jnp.asarray(sigma)))
+
+    inc_dist = dist.Normal(0.0, sqrt(dt))
+    proc = ts.AffineEulerMaruyama(f, (0.0, 1.0), inc_dist, initial_kernel=initial_kernel, dt=dt)
+
+    x = ts.TimeseriesState(jnp.asarray(0.0), jnp.asarray(1.0))
+    d = proc.build_density(x)
+    np.testing.assert_allclose(np.asarray(d.mean), 1.0 + np.sin(1.0) * dt, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d.stddev), sqrt(dt), rtol=1e-5)
+
+    path = proc.sample_states(key, 250)
+    assert path.x.shape == (250,)
+    assert np.isfinite(np.asarray(path.x)).all()
+
+
+def test_linear_model_vector(key):
+    a = jnp.eye(2)
+    sigma = jnp.asarray([0.05, 0.1])
+    inc = dist.Normal(jnp.zeros(2), jnp.ones(2)).to_event(1)
+    rw = ts.LinearModel(
+        (a, sigma), inc, lambda a_, b_, s_: dist.Normal(jnp.zeros(2), s_).to_event(1)
+    )
+    assert rw.event_ndim == 1
+    x0 = rw.initial_sample(key, (100,))
+    assert x0.value.shape == (100, 2)
+    d = rw.build_density(x0)
+    assert d.event_shape == (2,)
+    lp = d.log_prob(x0.value)
+    assert lp.shape == (100,)
+
+
+def test_state_space_model_sampling(key):
+    ar = models.AR(0.0, 0.99, 0.05)
+    ssm = ts.LinearStateSpaceModel(ar, (1.0, 0.15), ())
+    a, b, s = ssm.parameters
+    assert float(b) == 0.0
+    path = ssm.sample_states(key, 200)
+    x, y = path.get_paths()
+    assert x.shape == (200,) and y.shape == (200,)
+    assert np.isfinite(np.asarray(y)).all()
+    resid = np.asarray(y, np.float64) - np.asarray(x, np.float64)
+    np.testing.assert_allclose(resid.std(), 0.15, rtol=0.15)
+
+
+def test_observe_every_step_nan_masking(key):
+    ar = models.AR(0.0, 0.9, 0.1)
+    ssm = ts.LinearStateSpaceModel(ar, (1.0, 0.1), (), observe_every_step=10)
+    path = ssm.sample_states(key, 100)
+    y = np.asarray(path.y)
+    observed = ~np.isnan(y)
+    assert observed.sum() == 10
+    # time indexes of observations are multiples of 10
+    tidx = np.asarray(path.time_indexes)[observed]
+    assert np.all(tidx % 10 == 0)
+
+
+def test_nonlinear_ssm_obs_builder(key):
+    ar = models.AR(0.0, 0.99, 0.05)
+
+    def build_obs(x, a, s):
+        return dist.Normal(a * jnp.square(x.value), s)
+
+    ssm = ts.StateSpaceModel(ar, build_obs, (2.0, 0.1))
+    assert ssm.event_shape == ()
+    assert ssm.n_dim == 0
+    x = ar.initial_sample(key, (50,))
+    d = ssm.build_density(x)
+    np.testing.assert_allclose(np.asarray(d.mean), 2.0 * np.square(np.asarray(x.value)), rtol=1e-5)
+
+
+def test_lorenz_style_multivariate_ssm(key):
+    # 3-D latent, 2-D partial observation (lorenz.ipynb)
+    import math
+
+    def f(x, s, r, b, sigma):
+        x1 = -s * (x.value[..., 0] - x.value[..., 1])
+        x2 = r * x.value[..., 0] - x.value[..., 1] - x.value[..., 0] * x.value[..., 2]
+        x3 = x.value[..., 0] * x.value[..., 1] - b * x.value[..., 2]
+        return jnp.stack((x1, x2, x3), axis=-1), sigma
+
+    def initial_kernel(x0, s0):
+        return dist.Normal(x0, s0).to_event(1)
+
+    dt = 1e-2
+    mean = jnp.asarray([-5.91652, -5.52332, 24.5723])
+    scale = math.sqrt(10) * jnp.ones(3)
+    inc = dist.Normal(jnp.zeros(3), math.sqrt(dt) * jnp.ones(3)).to_event(1)
+    hidden = ts.AffineEulerMaruyama(
+        f, (10.0, 28.0, 8.0 / 3.0, 1.0), inc, initial_kernel=initial_kernel, dt=dt,
+        initial_parameters=(mean, scale),
+    )
+    mat = jnp.asarray([[0.8, 0.0, 0.0], [0.0, 0.0, 0.8]])
+    ssm = ts.LinearStateSpaceModel(hidden, (mat, jnp.zeros(1), jnp.sqrt(jnp.asarray(0.1)) * jnp.ones(1)), (2,), observe_every_step=10)
+
+    path = ssm.sample_states(key, 500)
+    x, y = path.get_paths()
+    assert x.shape == (500, 3) and y.shape == (500, 2)
+    assert np.isfinite(np.asarray(x)).all()
+    obs_rows = ~np.isnan(np.asarray(y)).all(axis=1)
+    assert obs_rows.sum() == 50
+
+
+def test_joint_process(key):
+    p1 = models.RandomWalk(0.05)
+    p2 = models.RandomWalk(0.1)
+    joint = ts.joint_process(proc_1=p1, proc_2=p2)
+    assert joint.event_shape == (2,)
+    x0 = joint.initial_sample(key, (500,))
+    assert x0.value.shape == (500, 2)
+    d = joint.build_density(x0)
+    lp = d.log_prob(x0.value)
+    assert lp.shape == (500,)
+    # joint density equals sum of marginals
+    n1 = dist.Normal(x0.value[..., 0], 0.05).log_prob(x0.value[..., 0])
+    n2 = dist.Normal(x0.value[..., 1], 0.1).log_prob(x0.value[..., 1])
+    np.testing.assert_allclose(np.asarray(d.log_prob(x0.value)), np.asarray(n1 + n2), rtol=1e-4)
+
+    m, s = joint.mean_scale(x0)
+    assert m.shape == (500, 2) and s.shape == (500, 2)
+    np.testing.assert_allclose(np.asarray(s[..., 0]), 0.05, rtol=1e-6)
+
+
+def test_processes_are_pytrees_and_jit_safe(key):
+    ar = models.AR(0.1, 0.9, 0.2)
+
+    @jax.jit
+    def run(proc, key):
+        x0 = proc.initial_sample(key, (64,))
+        return proc.propagate(key, x0).value
+
+    out = run(ar, key)
+    assert out.shape == (64,)
+
+    # vmap over batched parameters (the parameter-particle pattern)
+    betas = jnp.linspace(0.5, 0.9, 8)
+
+    def make_and_step(beta, key):
+        proc = models.AR(0.0, beta, 0.1)
+        x0 = proc.initial_sample(key, (16,))
+        return proc.propagate(key, x0).value
+
+    out = jax.vmap(make_and_step, in_axes=(0, None))(betas, key)
+    assert out.shape == (8, 16)
+
+
+def test_batched_parameters_broadcast(key):
+    # parameters with a lane axis (K,) broadcast against particles (N, K)
+    K, N = 4, 32
+    betas = jnp.linspace(0.5, 0.9, K)
+    ar = models.AR(jnp.zeros(K), betas, 0.1 * jnp.ones(K))
+    x0 = ar.initial_sample(key, (N,))
+    assert x0.value.shape == (N, K)
+    x1 = ar.propagate(key, x0)
+    assert x1.value.shape == (N, K)
+    d = ar.build_density(x0)
+    assert d.log_prob(x1.value).shape == (N, K)
