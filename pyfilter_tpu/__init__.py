@@ -10,7 +10,22 @@ randomness is explicit ``jax.random`` keys.
 
 __version__ = "0.1.0"
 
-from . import distributions, resampling, utils
+from . import distributions, filters, resampling, timeseries, utils
+from .filters import APF, GPF, SISR, FilterResult, ParticleFilter
 from .utils import get_ess, log_likelihood, normalize
 
-__all__ = ["distributions", "resampling", "utils", "normalize", "get_ess", "log_likelihood"]
+__all__ = [
+    "distributions",
+    "filters",
+    "timeseries",
+    "resampling",
+    "utils",
+    "normalize",
+    "get_ess",
+    "log_likelihood",
+    "ParticleFilter",
+    "SISR",
+    "APF",
+    "GPF",
+    "FilterResult",
+]

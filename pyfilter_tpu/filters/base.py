@@ -1,0 +1,222 @@
+"""Abstract filter: one-step ``filter`` and the ``lax.scan`` ``batch_filter``.
+
+JAX re-design of the reference's ``pyfilter/filters/base.py``: the Python
+``for y_t in tqdm(y)`` hot loop (base.py:140-158) becomes one ``lax.scan``; the
+``observe_every_step`` sub-step ``while`` (base.py:204-210) becomes a static
+unrolled loop (the count is a model constant); the all-NaN skip
+(base.py:212-216) becomes a ``lax.cond``.
+
+Filters are pytrees: the model is the only child (so parameters flow through
+``jit``/``vmap``/``grad``); every config knob is static aux data. A filter is
+therefore hashable-by-config and can be passed straight through ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node
+
+from .result import FilterHistory, FilterResult
+from .state import ParticleFilterCorrection, ParticleFilterPrediction
+
+
+class BaseFilter:
+    """Abstract filter over a :class:`~pyfilter_tpu.timeseries.StateSpaceModel`.
+
+    ``batch_shape`` vectorizes K independent filters through one set of tensor
+    ops (the reference's vectorized-parallel-filters feature,
+    filters/base.py:93-119) — unlike the reference, arbitrary lane shapes are
+    supported, not just one dim.
+
+    ``nan_strategy``: "skip" drops all-NaN observations (propagate only);
+    "impute" additionally fills partially-NaN components with the predicted
+    observation mean before correcting (the reference accepts but never
+    implemented "impute", base.py:65-68 — conscious fix, SURVEY.md §8).
+    """
+
+    #: config attribute names that form the static aux data, in order.
+    _config_fields: tuple = ("record_states", "nan_strategy", "batch_shape")
+
+    def __init__(self, model, record_states: bool = False, nan_strategy: str = "skip", batch_shape=()):
+        if nan_strategy not in ("skip", "impute"):
+            raise ValueError("nan_strategy must be 'skip' or 'impute'")
+        self.model = model
+        self.record_states = record_states
+        self.nan_strategy = nan_strategy
+        self.batch_shape = tuple(batch_shape)
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+
+        def flatten(f):
+            return (f.model,), tuple(getattr(f, n) for n in cls._config_fields)
+
+        def unflatten(aux, children):
+            obj = object.__new__(cls)
+            obj.model = children[0]
+            for n, v in zip(cls._config_fields, aux):
+                setattr(obj, n, v)
+            return obj
+
+        register_pytree_node(cls, flatten, unflatten)
+
+    # -- functional config update -------------------------------------------
+    def replace(self, **kwargs) -> "BaseFilter":
+        """New filter with the given attributes replaced."""
+        obj = object.__new__(type(self))
+        obj.model = kwargs.pop("model", self.model)
+        for n in self._config_fields:
+            setattr(obj, n, kwargs.pop(n, getattr(self, n)))
+        if kwargs:
+            raise TypeError(f"unknown fields: {sorted(kwargs)}")
+        return obj
+
+    def set_batch_shape(self, batch_shape) -> "BaseFilter":
+        """Vectorize over ``batch_shape`` parallel lanes (pure version of
+        reference filters/base.py:93-119)."""
+        return self.replace(batch_shape=tuple(batch_shape))
+
+    # -- abstract ------------------------------------------------------------
+    def initialize(self, key) -> ParticleFilterCorrection:
+        raise NotImplementedError
+
+    def predict(self, key, state) -> ParticleFilterPrediction:
+        raise NotImplementedError
+
+    def correct(self, key, y, prediction) -> ParticleFilterCorrection:
+        raise NotImplementedError
+
+    # -- single observation step ---------------------------------------------
+    def filter(self, key, y, state, first_step: bool = False) -> ParticleFilterCorrection:
+        """One filter move (reference filters/base.py:188-221): predict,
+        ``observe_every_step - 1`` uncorrected sub-steps (0 on the very first
+        observation, whose initial time is already aligned), then correct — or
+        propagate-only when the observation is entirely NaN."""
+        oes = self.model.observe_every_step
+        n_sub = 0 if first_step else oes - 1
+
+        keys = jax.random.split(key, 2 * n_sub + 2)
+        prediction = self.predict(keys[0], state)
+        for i in range(n_sub):
+            sub_state = prediction.create_state_from_prediction(keys[1 + 2 * i], self.model)
+            prediction = self.predict(keys[2 + 2 * i], sub_state)
+
+        k_correct = keys[-1]
+        y = jnp.asarray(y)
+
+        if self.nan_strategy == "impute":
+            y = self._impute(k_correct, y, prediction)
+
+        all_nan = jnp.isnan(y).all()
+        correction = jax.lax.cond(
+            all_nan,
+            lambda k: prediction.create_state_from_prediction(k, self.model),
+            lambda k: self.correct(k, y, prediction),
+            k_correct,
+        )
+        return correction
+
+    def _impute(self, key, y, prediction) -> jax.Array:
+        """Fill NaN observation components with the weighted predicted
+        observation mean (leaves fully-observed steps untouched)."""
+        k_prop, _ = jax.random.split(key)
+        x_new = self.model.hidden.propagate(k_prop, prediction.get_timeseries_state())
+        obs_mean = self.model.build_density(x_new).mean  # (N, *batch, *event_y)
+        w = prediction.normalized_weights
+        w = w.reshape(w.shape + (1,) * (obs_mean.ndim - w.ndim))
+        pooled = jnp.sum(w * obs_mean, axis=0)  # (*batch, *event_y)
+        return jnp.where(jnp.isnan(y), pooled, y)
+
+    # -- full pass ------------------------------------------------------------
+    def batch_filter(
+        self,
+        key,
+        y,
+        initial_state: Optional[ParticleFilterCorrection] = None,
+        use_jit: bool = True,
+    ) -> FilterResult:
+        """Filter a whole observation sequence ``y`` (time axis leading) in one
+        compiled ``lax.scan`` (replaces reference base.py:140-158)."""
+        if use_jit:
+            if initial_state is None:
+                return _jitted_batch_filter_noinit(self, key, jnp.asarray(y))
+            return _jitted_batch_filter(self, key, jnp.asarray(y), initial_state)
+        return _batch_filter_impl(self, key, jnp.asarray(y), initial_state)
+
+
+def _step_outputs(filt: BaseFilter, c: ParticleFilterCorrection):
+    out = (c.log_likelihood, c.mean, c.variance)
+    if filt.record_states:
+        out += _history_leaves(c)
+    return out
+
+
+def _history_leaves(c: ParticleFilterCorrection):
+    return (c.x.time_index, c.x.value, c.log_weights, c.prev_indices)
+
+
+def _batch_filter_impl(filt: BaseFilter, key, y, initial_state) -> FilterResult:
+    k_init, k_first, k_scan = jax.random.split(key, 3)
+    state0 = filt.initialize(k_init) if initial_state is None else initial_state
+
+    n_steps = y.shape[0]
+    if n_steps == 0:
+        raise ValueError("empty observation sequence")
+
+    # first observation outside the scan: its sub-step count differs when
+    # observe_every_step > 1 (the initial time index is already aligned).
+    state1 = filt.filter(k_first, y[0], state0, first_step=True)
+    first_out = _step_outputs(filt, state1)
+
+    def step(state, inp):
+        k, y_t = inp
+        new = filt.filter(k, y_t, state)
+        return new, _step_outputs(filt, new)
+
+    if n_steps > 1:
+        keys = jax.random.split(k_scan, n_steps - 1)
+        last_state, rest_out = jax.lax.scan(step, state1, (keys, y[1:]))
+        outs = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), first_out, rest_out
+        )
+    else:
+        last_state = state1
+        outs = jax.tree_util.tree_map(lambda a: a[None], first_out)
+
+    step_lls, means, variances = outs[:3]
+    history = None
+    if filt.record_states:
+        # prepend the initial (t=0) state: the recorded history spans t=0..T
+        # (reference result.py:40 appends init_state), while filter_means spans
+        # the T observations only (the reference's extra t=0 row is skipped by
+        # its own tests, test_particle.py:105).
+        history = FilterHistory(
+            *jax.tree_util.tree_map(
+                lambda h0, hs: jnp.concatenate([jnp.asarray(h0)[None], hs], axis=0),
+                _history_leaves(state0),
+                tuple(outs[3:]),
+            )
+        )
+
+    return FilterResult(
+        log_likelihood=jnp.sum(step_lls, axis=0),
+        step_log_likelihoods=step_lls,
+        filter_means=means,
+        filter_variances=variances,
+        latest_state=last_state,
+        states=history,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _jitted_batch_filter(filt, key, y, initial_state):
+    return _batch_filter_impl(filt, key, y, initial_state)
+
+
+@jax.jit
+def _jitted_batch_filter_noinit(filt, key, y):
+    return _batch_filter_impl(filt, key, y, None)

@@ -1,0 +1,61 @@
+"""APF — auxiliary particle filter of Pitt & Shephard.
+
+Reference: pyfilter/filters/particle/apf.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...utils import batched_gather, log_likelihood, normalize
+from ..state import ParticleFilterCorrection, ParticleFilterPrediction
+from .base import ParticleFilter
+
+
+class APF(ParticleFilter):
+    def predict(self, key, state) -> ParticleFilterPrediction:
+        """Pass-through: the APF resamples inside :meth:`correct`
+        (reference apf.py:16-23)."""
+        identity = jnp.broadcast_to(
+            jnp.arange(self.n_particles, dtype=jnp.int32).reshape(
+                (self.n_particles,) + (1,) * len(self.batch_shape)
+            ),
+            self.particles,
+        )
+        return ParticleFilterPrediction(
+            state.x, state.log_weights, state.normalized_weights(), identity
+        )
+
+    def correct(self, key, y, prediction) -> ParticleFilterCorrection:
+        """Pre-weight with :math:`p(y_t | E[x_t])`, resample on the combined
+        weights, propose from resampled particles, subtract the gathered
+        pre-weights; per-step loglik adds the auxiliary normalizer
+        (reference apf.py:25-46)."""
+        k_resample, k_prop = jax.random.split(key)
+        ts_state = prediction.get_timeseries_state()
+
+        pre_weights = self.proposal.pre_weight(self.model, y, ts_state)
+        resample_weights = pre_weights + prediction.log_weights
+
+        indices = self.resampler(k_resample, resample_weights)
+        resampled_x = ts_state.copy(
+            values=batched_gather(ts_state.value, indices, ts_state.event_ndim)
+        )
+
+        zeros = jnp.zeros_like(resample_weights)
+        resampled_prediction = ParticleFilterPrediction(
+            resampled_x, zeros, zeros + 1.0 / self.n_particles, indices
+        )
+
+        x, inc_weights = self.proposal.sample_and_weight(
+            k_prop, self.model, y, resampled_prediction
+        )
+        weights = inc_weights - batched_gather(pre_weights, indices, 0)
+
+        aux_norm = jnp.log(
+            jnp.sum(prediction.normalized_weights * jnp.exp(pre_weights), axis=0)
+        )
+        ll = log_likelihood(weights) + aux_norm
+
+        return ParticleFilterCorrection.from_weighted_particles(x, weights, ll, indices)

@@ -1,0 +1,232 @@
+"""Particle filter base: initialization, particle shapes, smoothing.
+
+JAX re-design of the reference's ``pyfilter/filters/particle/base.py``. The
+smoothers run as reverse ``lax.scan`` over the recorded history arrays instead
+of Python loops over state objects.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from ... import resampling
+from ...timeseries import TimeseriesState
+from ...utils import batched_gather, normalize
+from ..base import BaseFilter
+from ..result import FilterHistory, FilterResult
+from ..state import ParticleFilterCorrection, ParticleFilterPrediction
+from .proposals import Bootstrap, Proposal
+
+
+class ParticleFilter(BaseFilter):
+    """Abstract base class for particle filters (reference particle/base.py).
+
+    Particle shape is ``(N, *batch_shape)`` — particle axis 0, lane axes after
+    (reference particle/base.py:50-62). ``ess_threshold`` is the relative ESS
+    below which lanes resample (default 0.9, reference particle/base.py:26,36).
+    """
+
+    _config_fields = (
+        "record_states",
+        "nan_strategy",
+        "batch_shape",
+        "n_particles",
+        "proposal",
+        "resampler",
+        "ess_threshold",
+    )
+
+    def __init__(
+        self,
+        model,
+        particles: int,
+        resampling_method: Union[str, callable] = resampling.systematic,
+        proposal: Proposal = None,
+        ess_threshold: float = 0.9,
+        record_states: bool = False,
+        nan_strategy: str = "skip",
+        batch_shape=(),
+    ):
+        super().__init__(
+            model,
+            record_states=record_states,
+            nan_strategy=nan_strategy,
+            batch_shape=batch_shape,
+        )
+        self.n_particles = int(particles)
+        self.resampler = (
+            getattr(resampling, resampling_method)
+            if isinstance(resampling_method, str)
+            else resampling_method
+        )
+        self.proposal = proposal if proposal is not None else Bootstrap()
+        self.ess_threshold = float(ess_threshold)
+
+    # -- shapes --------------------------------------------------------------
+    @property
+    def particles(self) -> tuple:
+        """Full particle shape ``(N, *batch)`` (reference particle/base.py:50-62)."""
+        return (self.n_particles, *self.batch_shape)
+
+    @property
+    def resample_threshold(self) -> float:
+        return self.ess_threshold * self.n_particles
+
+    def increase_particles(self, factor: int) -> "ParticleFilter":
+        """New filter with ``factor``× the particles (pure version of reference
+        particle/base.py:72-80; a genuine shape change → recompile boundary)."""
+        return self.replace(n_particles=int(factor * self.n_particles))
+
+    # -- initialization -------------------------------------------------------
+    def initialize(self, key) -> ParticleFilterCorrection:
+        """Sample the initial cloud with zero log-weights and identity ancestry
+        (reference particle/base.py:87-103)."""
+        x = self.model.hidden.initial_sample(key, self.particles)
+        dtype = jnp.result_type(x.value, jnp.float32)
+        weights = jnp.zeros(self.particles, dtype=dtype)
+        prev_inds = jnp.broadcast_to(
+            jnp.arange(self.n_particles, dtype=jnp.int32).reshape(
+                (self.n_particles,) + (1,) * len(self.batch_shape)
+            ),
+            self.particles,
+        )
+        ll = jnp.zeros(self.batch_shape, dtype=dtype)
+        return ParticleFilterCorrection.from_weighted_particles(x, weights, ll, prev_inds)
+
+    # -- smoothing ------------------------------------------------------------
+    def smooth(self, key, states: Union[FilterResult, FilterHistory], method: str = "ffbs") -> jax.Array:
+        """Sample smoothed trajectories from the recorded filter history
+        (reference particle/base.py:105-157). Returns ``(T, N, *batch, *event)``.
+
+        ``method``: "ffbs" (forward-filter backward-sampling) or "fl"
+        (fixed-lag genealogy tracing).
+        """
+        history = states.states if isinstance(states, FilterResult) else states
+        if history is None:
+            raise ValueError("smoothing requires record_states=True on the filter")
+        method = method.lower()
+        if method == "ffbs":
+            return self._smooth_ffbs(key, history)
+        if method == "fl":
+            return self._smooth_fl(history)
+        raise NotImplementedError(f"unsupported smoothing method '{method}'")
+
+    def _smooth_ffbs(self, key, history: FilterHistory) -> jax.Array:
+        """Backward-sampling pass (reference particle/base.py:105-128): draw N
+        trajectories; at each step reweight particles by
+        ``w_t + log p(x_{t+1}^{(j)} | x_t^{(i)})`` and categorically re-select."""
+        ev = self.model.hidden.event_ndim
+        values = history.values          # (T, N, *batch, *event)
+        log_w = history.log_weights      # (T, N, *batch)
+        times = history.time_indexes     # (T, ...)
+
+        k_last, k_scan = jax.random.split(key)
+        idx_last = self.resampler(k_last, log_w[-1])
+        traj_last = batched_gather(values[-1], idx_last, ev)
+
+        def backward(carry, inp):
+            traj_next = carry  # (N, *batch, *event) — smoothed x_{t+1}
+            vals_t, lw_t, t_t, k = inp
+            state_t = TimeseriesState(t_t, vals_t, ev)
+            density = self.model.hidden.build_density(state_t)  # batch (N, *batch)
+
+            # log p(traj_next^(j) | x_t^(i)) for every trajectory j, particle i
+            w_state = density.log_prob(
+                jnp.expand_dims(traj_next, 1)
+            )  # (N_traj, N, *batch)
+            weights = lw_t[None] + w_state
+            logits = jnp.moveaxis(weights, 1, -1)  # (N_traj, *batch, N)
+            idx = jax.random.categorical(k, logits, axis=-1)  # (N_traj, *batch)
+            traj_t = batched_gather(vals_t, idx, ev)
+            return traj_t, traj_t
+
+        T = values.shape[0]
+        if T == 1:
+            return traj_last[None]
+
+        keys = jax.random.split(k_scan, T - 1)
+        # scan backwards over t = T-2 .. 0
+        _, traj_rest = jax.lax.scan(
+            backward,
+            traj_last,
+            (values[:-1], log_w[:-1], times[:-1], keys),
+            reverse=True,
+        )
+        return jnp.concatenate([traj_rest, traj_last[None]], axis=0)
+
+    def _smooth_fl(self, history: FilterHistory) -> jax.Array:
+        """Fixed-lag smoothing via genealogy tracing over stored ancestor
+        indices (reference particle/base.py:130-146)."""
+        ev = self.model.hidden.event_ndim
+        values = history.values
+        prev_inds = history.prev_indices
+
+        init = jnp.broadcast_to(
+            jnp.arange(self.n_particles, dtype=prev_inds.dtype).reshape(
+                (self.n_particles,) + (1,) * len(self.batch_shape)
+            ),
+            self.particles,
+        )
+
+        def backward(carry, inp):
+            inds = carry
+            vals_t, anc_tp1 = inp
+            inds = batched_gather(anc_tp1, inds, 0)
+            out = batched_gather(vals_t, inds, ev)
+            return inds, out
+
+        T = values.shape[0]
+        if T == 1:
+            return values
+        _, rest = jax.lax.scan(
+            backward, init, (values[:-1], prev_inds[1:]), reverse=True
+        )
+        return jnp.concatenate([rest, values[-1][None]], axis=0)
+
+    # -- VI bridge -------------------------------------------------------------
+    def smoothed_log_likelihood(self, key, y: jax.Array, model=None) -> jax.Array:
+        """Differentiable joint log-likelihood factor from FFBS-smoothed
+        trajectories — the reference's pyro VI bridge
+        (particle/base.py:176-229) without pyro: run a stop-gradient filter +
+        FFBS pass, then re-evaluate the joint density of the smoothed paths
+        under (differentiable) model parameters and average over trajectories.
+
+        Use inside an ELBO: gradients flow through the density evaluations only
+        (matching the reference's ``no_grad`` boundary, base.py:184-195).
+        """
+        model = self.model if model is None else model
+        filt = self.replace(model=model, record_states=True)
+
+        k_filter, k_smooth = jax.random.split(key)
+        result = jax.lax.stop_gradient(filt.batch_filter(k_filter, y))
+        smoothed = jax.lax.stop_gradient(filt.smooth(k_smooth, result, method="ffbs"))
+        times = result.states.time_indexes
+
+        ev = model.hidden.event_ndim
+        oes = model.observe_every_step
+
+        # history spans t = 0..T: transitions from all-but-last, observations
+        # at every oes-th recorded state (reference particle/base.py:196-202)
+        x_tm1 = TimeseriesState(times[:-1], smoothed[:-1], ev)
+        x_t_obs = TimeseriesState(times[1::oes], smoothed[1::oes], ev)
+
+        hidden_density = model.hidden.build_density(x_tm1)
+        obs_density = model.build_density(x_t_obs)
+
+        y_event_ndim = len(model.event_shape)
+        # reshape y to broadcast over the trajectory axis (reference base.py:211-213)
+        obs_batch_extra = smoothed.ndim - 1 - ev  # trajectory + lane axes
+        y_shaped = y.reshape(
+            y.shape[:1] + (1,) * obs_batch_extra + y.shape[1 : 1 + y_event_ndim]
+        )
+
+        init_density = model.hidden.initial_distribution()
+        ll = (
+            jnp.sum(hidden_density.log_prob(smoothed[1:]), axis=0)
+            + jnp.sum(obs_density.log_prob(y_shaped), axis=0)
+            + init_density.log_prob(smoothed[0])
+        )
+        return jnp.mean(ll, axis=0)

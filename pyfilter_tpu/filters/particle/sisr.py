@@ -1,0 +1,68 @@
+"""SISR — sequential importance sampling with adaptive resampling.
+
+Reference: pyfilter/filters/particle/sisr.py (Gordon et al.). The reference's
+data-dependent per-lane ``masked_scatter`` resampling (sisr.py:19-43) becomes a
+branchless always-compute + per-lane ``where`` — the XLA-native formulation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...utils import batched_gather, get_ess, log_likelihood, normalize
+from ..state import ParticleFilterCorrection, ParticleFilterPrediction
+from .base import ParticleFilter
+
+
+class SISR(ParticleFilter):
+    def predict(self, key, state) -> ParticleFilterPrediction:
+        """ESS-gated per-lane resampling (reference sisr.py:14-48): lanes whose
+        ESS is below ``ess_threshold * N`` resample and reset their weights;
+        the rest pass through untouched.
+
+        Lanes that do NOT resample keep identity ancestor indices (the
+        reference carries the stale previous step's indices there,
+        sisr.py:26 — conscious fix for correct genealogy tracing, SURVEY.md §8).
+        """
+        normalized = state.normalized_weights()
+        ess = get_ess(normalized, normalized=True)  # (*batch,)
+        mask = ess < self.resample_threshold
+
+        ts_state = state.x
+        weights = state.log_weights
+
+        fresh_idx = self.resampler(key, normalized, normalized=True)
+        identity = jnp.broadcast_to(
+            jnp.arange(self.n_particles, dtype=fresh_idx.dtype).reshape(
+                (self.n_particles,) + (1,) * len(self.batch_shape)
+            ),
+            fresh_idx.shape,
+        )
+
+        mask_p = mask[None]  # broadcast over particle axis
+        indices = jnp.where(mask_p, fresh_idx, identity)
+
+        new_weights = jnp.where(mask_p, 0.0, weights)
+        new_normalized = jnp.where(mask_p, 1.0 / self.n_particles, normalized)
+
+        resampled_vals = batched_gather(ts_state.value, indices, ts_state.event_ndim)
+        new_vals = jnp.where(
+            mask.reshape((1,) + mask.shape + (1,) * ts_state.event_ndim),
+            resampled_vals,
+            ts_state.value,
+        )
+
+        return ParticleFilterPrediction(
+            ts_state.copy(values=new_vals), new_weights, new_normalized, indices
+        )
+
+    def correct(self, key, y, prediction) -> ParticleFilterCorrection:
+        """Propose, accumulate weights, estimate the per-step log-likelihood
+        (reference sisr.py:50-56)."""
+        x, inc_weights = self.proposal.sample_and_weight(key, self.model, y, prediction)
+        new_weights = inc_weights + prediction.log_weights
+        ll = log_likelihood(inc_weights, prediction.normalized_weights)
+        return ParticleFilterCorrection.from_weighted_particles(
+            x, new_weights, ll, prediction.indices
+        )

@@ -71,6 +71,20 @@ class KalmanFilter:
             covs[t] = P
         return means, covs, ll
 
+    def sample(self, n, rng=None):
+        """Simulate ``(x, y)`` of length ``n`` from the model (plays the role of
+        pykalman's ``sample`` in the reference tests, tests/filters/models.py)."""
+        rng = np.random.default_rng(0) if rng is None else rng
+        d_x, d_y = self.F.shape[0], self.H.shape[0]
+        x = np.zeros((n, d_x))
+        y = np.zeros((n, d_y))
+        xc = rng.multivariate_normal(self.m0, self.P0)
+        for t in range(n):
+            xc = self.F @ xc + self.b + rng.multivariate_normal(np.zeros(d_x), self.Q)
+            x[t] = xc
+            y[t] = self.H @ xc + self.d + rng.multivariate_normal(np.zeros(d_y), self.R)
+        return x, y
+
     def smooth(self, y):
         """RTS smoother. Returns (smoothed_means, smoothed_covs)."""
         y = np.asarray(y, dtype=np.float64)
