@@ -10,8 +10,9 @@ randomness is explicit ``jax.random`` keys.
 
 __version__ = "0.1.0"
 
-from . import distributions, filters, resampling, timeseries, utils
+from . import distributions, filters, inference, resampling, timeseries, utils
 from .filters import APF, GPF, SISR, FilterResult, ParticleFilter
+from .inference import NESS, NESSMC2, PMMH, SMC2, SMC2FW, make_context
 from .utils import get_ess, log_likelihood, normalize
 
 __all__ = [
@@ -28,4 +29,11 @@ __all__ = [
     "APF",
     "GPF",
     "FilterResult",
+    "inference",
+    "make_context",
+    "SMC2",
+    "NESS",
+    "NESSMC2",
+    "SMC2FW",
+    "PMMH",
 ]

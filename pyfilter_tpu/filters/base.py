@@ -39,15 +39,37 @@ class BaseFilter:
     """
 
     #: config attribute names that form the static aux data, in order.
-    _config_fields: tuple = ("record_states", "nan_strategy", "batch_shape")
+    _config_fields: tuple = ("record_states", "nan_strategy", "batch_shape", "model_builder")
 
     def __init__(self, model, record_states: bool = False, nan_strategy: str = "skip", batch_shape=()):
         if nan_strategy not in ("skip", "impute"):
             raise ValueError("nan_strategy must be 'skip' or 'impute'")
-        self.model = model
+        # the reference accepts a model OR a model-builder
+        # ``Callable[[InferenceContext], StateSpaceModel]`` (filters/base.py:47-58)
+        if callable(model) and not hasattr(model, "hidden"):
+            self.model = None
+            self.model_builder = model
+        else:
+            self.model = model
+            self.model_builder = None
         self.record_states = record_states
         self.nan_strategy = nan_strategy
         self.batch_shape = tuple(batch_shape)
+
+    def initialize_model(self, context) -> "BaseFilter":
+        """Build (or rebuild) the model from the inference context via the
+        model builder; returns a new filter (pure version of reference
+        filters/base.py:120-138)."""
+        if self.model_builder is None:
+            raise ValueError("filter was not constructed with a model builder")
+        with context.no_prior_verification():
+            model = self.model_builder(context)
+        return self.replace(model=model)
+
+    def step(self, key, y, state, first_step: bool = False):
+        """One jit-compiled filter move (the per-observation hot path of the
+        sequential inference algorithms)."""
+        return _jitted_single_step(self, key, jnp.asarray(y), state, first_step)
 
     def __init_subclass__(cls, **kwargs):
         super().__init_subclass__(**kwargs)
@@ -220,3 +242,8 @@ def _jitted_batch_filter(filt, key, y, initial_state):
 @jax.jit
 def _jitted_batch_filter_noinit(filt, key, y):
     return _batch_filter_impl(filt, key, y, None)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _jitted_single_step(filt, key, y, state, first_step):
+    return filt.filter(key, y, state, first_step=first_step)

@@ -33,6 +33,7 @@ class ParticleFilter(BaseFilter):
         "record_states",
         "nan_strategy",
         "batch_shape",
+        "model_builder",
         "n_particles",
         "proposal",
         "resampler",

@@ -1,0 +1,55 @@
+"""Joint state/parameter inference (reference pyfilter/inference/)."""
+
+from . import batch, prior, sequential
+from .base import BaseAlgorithm
+from .batch.mcmc import PMMH, GradientBasedProposal, RandomWalk, SymmetricMH, run_pmmh
+from .context import (
+    InferenceContext,
+    NotSamePriorError,
+    ParameterDoesNotExist,
+    QuasiInferenceContext,
+    make_context,
+)
+from .parameter import PriorBoundParameter
+from .qmc import EngineContainer
+from .sequential import NESS, NESSMC2, SMC2, SMC2FW, FixedWidthNESS
+from .state import (
+    AlgorithmState,
+    FilterAlgorithmState,
+    RunningFilterResult,
+    SequentialAlgorithmState,
+    SMC2State,
+)
+from .utils import QuasiMultivariateNormal, calc_mean_chol, construct_mvn
+
+__all__ = [
+    "InferenceContext",
+    "QuasiInferenceContext",
+    "make_context",
+    "NotSamePriorError",
+    "ParameterDoesNotExist",
+    "PriorBoundParameter",
+    "EngineContainer",
+    "BaseAlgorithm",
+    "SMC2",
+    "NESS",
+    "FixedWidthNESS",
+    "NESSMC2",
+    "SMC2FW",
+    "PMMH",
+    "run_pmmh",
+    "RandomWalk",
+    "SymmetricMH",
+    "GradientBasedProposal",
+    "AlgorithmState",
+    "FilterAlgorithmState",
+    "SequentialAlgorithmState",
+    "SMC2State",
+    "RunningFilterResult",
+    "construct_mvn",
+    "calc_mean_chol",
+    "QuasiMultivariateNormal",
+    "prior",
+    "sequential",
+    "batch",
+]

@@ -1,0 +1,124 @@
+"""MCMC proposal builders for PMMH-type updates.
+
+Re-design of the reference's ``pyfilter/inference/batch/mcmc/proposals/``:
+``RandomWalk`` (random_walk.py), ``SymmetricMH`` (symmetric_mh.py) and
+``GradientBasedProposal`` (gradient.py — MALA-style, here with ``jax.grad``
+through the rebuilt model instead of torch autograd on in-place parameters).
+Proposal kernels are built on the *unconstrained* parameter space.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ....distributions import Normal
+from ....timeseries import TimeseriesState
+from ...context import QuasiInferenceContext
+from ...utils import construct_mvn
+
+
+class BaseProposal:
+    """Builds candidate kernels :math:`q(\\theta^* | \\theta)`
+    (reference proposals/base.py)."""
+
+    def build(self, context, state, filter_, y, key=None):
+        raise NotImplementedError
+
+    def exchange(self, latest, candidate, mask):
+        """Return a kernel whose lanes where ``mask`` take ``candidate``'s
+        parameters (pure version of reference random_walk.py:34-36)."""
+        raise NotImplementedError
+
+
+class RandomWalk(BaseProposal):
+    r"""Independent-Normal random walk on the unconstrained parameters,
+    ``scale`` defaults to 1e-2 (reference random_walk.py)."""
+
+    def __init__(self, scale: float = 1e-2):
+        self._scale = scale
+
+    @property
+    def scale(self):
+        return self._scale
+
+    def build(self, context, state, filter_, y, key=None):
+        return Normal(context.stack_parameters(constrained=False), self._scale).to_event(1)
+
+    def exchange(self, latest, candidate, mask):
+        m = mask[..., None]
+        loc = jnp.where(m, candidate.base_dist.loc, latest.base_dist.loc)
+        scale = jnp.where(m, candidate.base_dist.scale, latest.base_dist.scale)
+        return Normal(loc, scale).to_event(1)
+
+
+class SymmetricMH(BaseProposal):
+    """Weighted-particle MVN scaled by 1.1, QMC-aware — the SMC2 rejuvenation
+    proposal (reference symmetric_mh.py)."""
+
+    def build(self, context, state, filter_, y, key=None):
+        values = context.stack_parameters(constrained=False)
+        weights = state.normalized_weights()
+        return construct_mvn(
+            values,
+            weights,
+            scale=1.1,
+            quasi_engine=context.quasi_engine
+            if isinstance(context, QuasiInferenceContext)
+            else None,
+        )
+
+    def exchange(self, latest, candidate, mask):
+        return latest
+
+
+class GradientBasedProposal(RandomWalk):
+    r"""MALA-style proposal: :math:`\theta^* \sim N(\theta + \epsilon \nabla S(\theta), \sigma)`
+    with :math:`S` the FFBS-smoothed joint log-likelihood plus log-prior
+    (reference gradient.py). Requires the filter to record states."""
+
+    def __init__(self, scale: float = 1e-2, use_second_order: bool = False):
+        if use_second_order:
+            raise NotImplementedError("second-order information is not implemented")
+        super().__init__(scale=scale)
+        self._eps = scale**2.0 / 2.0
+
+    def build(self, context, state, filter_, y, key=None):
+        result = state.filter_state
+        if getattr(result, "states", None) is None:
+            raise ValueError(
+                "GradientBasedProposal requires record_states=True on the filter"
+            )
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        smoothed = filter_.smooth(key, result, method="ffbs")
+        times = result.states.time_indexes
+        ev = filter_.model.hidden.event_ndim
+
+        y = jnp.asarray(y)
+        y_event_ndim = len(filter_.model.event_shape)
+        obs_batch_extra = smoothed.ndim - 1 - ev
+        y_shaped = y.reshape(
+            y.shape[:1] + (1,) * obs_batch_extra + y.shape[1 : 1 + y_event_ndim]
+        )
+
+        def joint(vec):
+            ctx2 = context.unstack_parameters(vec, constrained=False)
+            filt2 = filter_.initialize_model(ctx2)
+            model = filt2.model
+
+            x_tm1 = TimeseriesState(times[:-1], smoothed[:-1], ev)
+            x_t = TimeseriesState(times[1:], smoothed[1:], ev)
+
+            hidden_ll = jnp.sum(model.hidden.build_density(x_tm1).log_prob(smoothed[1:]), axis=0)
+            obs_ll = jnp.sum(model.build_density(x_t).log_prob(y_shaped), axis=0)
+            init_ll = model.hidden.initial_distribution().log_prob(smoothed[0])
+
+            per_lane = jnp.mean(hidden_ll + obs_ll + init_ll, axis=0)  # over trajectories
+            return jnp.sum(per_lane + ctx2.eval_priors(constrained=False))
+
+        vec = context.stack_parameters(constrained=False)
+        grad = jax.grad(joint)(vec)
+        loc = vec + self._eps * grad
+        return Normal(loc, self._scale).to_event(1)

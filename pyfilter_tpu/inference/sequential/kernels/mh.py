@@ -1,0 +1,139 @@
+"""Particle Metropolis-Hastings rejuvenation kernel for SMC2.
+
+Re-design of the reference's ``pyfilter/inference/sequential/kernels/mh.py``:
+resample parameter lanes, fit the proposal MVN, run up to ``num_steps`` PMMH
+transitions over the full parsed history, and — when the acceptance rate falls
+below 20% — double the state-particle count and re-filter the entire history
+(a genuine shape change and hence a deliberate recompile boundary).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ....resampling import systematic
+from ...batch.mcmc.proposals import BaseProposal, SymmetricMH
+from ...batch.mcmc.utils import run_pmmh
+from ...state import RunningFilterResult, SMC2State
+
+
+class TooManyIncreases(Exception):
+    pass
+
+
+class MHUpdate(NamedTuple):
+    context: object
+    filter_: object
+    state: SMC2State
+
+
+class ParticleMetropolisHastings:
+    """Reference mh.py:15-140."""
+
+    def __init__(
+        self,
+        num_steps: int = 1,
+        proposal: BaseProposal = None,
+        distance_threshold: float = None,
+        acceptance_threshold: float = 0.2,
+        max_increases: int = 5,
+        resampler=systematic,
+    ):
+        self._n_steps = int(num_steps)
+        self._proposal = proposal or SymmetricMH()
+        self._dist_thresh = distance_threshold
+        self._is_adaptive = distance_threshold is not None
+        self._acceptance_threshold = acceptance_threshold
+        self._max_increases = int(max_increases)
+        self._increases = 0
+        self._resampler = resampler
+
+    @property
+    def proposal(self) -> BaseProposal:
+        return self._proposal
+
+    def update(self, key, context, filter_, state: SMC2State) -> MHUpdate:
+        k_resample, key = jax.random.split(key)
+
+        y = state.parsed_data_array
+
+        indices = self._resampler(k_resample, state.normalized_weights(), normalized=True)
+        k_build, key = jax.random.split(key)
+        dist = self._proposal.build(context, state, filter_, y, key=k_build)
+
+        context = context.resample(indices)
+        state.filter_state = state.filter_state.resample(indices)
+
+        size = () if tuple(dist.batch_shape) else (filter_.batch_shape[0],)
+
+        # NB: the adaptive early stop is inspired by nchopin/particles
+        # (reference mh.py:66)
+        old_params = context.stack_parameters(constrained=False)
+
+        previous_distance = 0.0
+        acceptance_rate = 0.0
+        for i in range(self._n_steps):
+            k_step, key = jax.random.split(key)
+            step = run_pmmh(
+                k_step,
+                context,
+                state,
+                self._proposal,
+                dist,
+                filter_,
+                y,
+                size=size,
+                mutate_kernel=False,
+            )
+            context = step.context
+            state.filter_state = step.filter_state
+
+            rate = float(jnp.mean(step.accepted.astype(jnp.float32)))
+            acceptance_rate = (rate + i * acceptance_rate) / (i + 1)
+
+            # abort early to avoid wasting compute (reference mh.py:90-91)
+            if acceptance_rate < self._acceptance_threshold:
+                return self._increase_states(key, context, filter_, state)
+
+            if not self._is_adaptive:
+                continue
+
+            new_params = context.stack_parameters(constrained=False)
+            distance = float(
+                jnp.mean(jnp.max(jnp.abs(new_params - old_params), axis=0))
+            )
+            if abs(distance - previous_distance) <= self._dist_thresh * previous_distance:
+                break
+            previous_distance = distance
+
+        new_filter = filter_.initialize_model(context)
+        state.w = jnp.zeros_like(state.w)
+        return MHUpdate(context, new_filter, state)
+
+    def _increase_states(self, key, context, filter_, state: SMC2State) -> MHUpdate:
+        """Double the state-particle count and re-filter the whole history
+        (reference mh.py:110-140)."""
+        self._increases += 1
+        if self._increases > self._max_increases:
+            raise TooManyIncreases(f"Configuration only allows {self._max_increases}!")
+
+        new_filter = filter_.initialize_model(context).increase_particles(2)
+
+        y = state.parsed_data_array
+        new_res = new_filter.batch_filter(key, y)
+        weight = new_res.log_likelihood - state.filter_state.log_likelihood
+
+        new_state = SMC2State(
+            weight,
+            RunningFilterResult.from_filter_result(
+                new_res, record_moments=state.filter_state.record_moments
+            ),
+            parsed_data=state.parsed_data,
+        )
+        new_state.ess = state.ess
+        new_state.current_iteration = state.current_iteration
+        return MHUpdate(context, new_filter, new_state)

@@ -49,8 +49,21 @@ class StructuralStochasticProcess:
         raise NotImplementedError
 
     def initial_sample(self, key, shape: Sequence[int] = ()) -> TimeseriesState:
-        """Sample the initial state with the given sample (particle) shape."""
-        value = self.initial_distribution().sample(key, tuple(shape))
+        """Sample the initial state with the given sample (particle) shape.
+
+        When parameters carry lane batch dims (vectorized parallel filters),
+        the initial distribution's batch shape already covers the trailing dims
+        of ``shape`` — only the remaining leading dims are drawn as the sample
+        shape (matching stochproc's expand semantics for ``(N, K)`` particles
+        over ``(K,)``-batched parameters)."""
+        d = self.initial_distribution()
+        shape = tuple(shape)
+        bs = tuple(d.batch_shape)
+        if bs and shape[len(shape) - len(bs):] == bs:
+            sample_shape = shape[: len(shape) - len(bs)]
+        else:
+            sample_shape = shape
+        value = d.sample(key, sample_shape)
         return TimeseriesState(jnp.asarray(0.0), value, self.event_ndim)
 
     def build_density(self, x: TimeseriesState) -> Distribution:

@@ -20,6 +20,10 @@ jax.config.update("jax_threefry_partitionable", True)
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running statistical tests")
+
+
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(123)

@@ -1,0 +1,441 @@
+"""Inference layer tests: context semantics, kernels, and full algorithms.
+
+Mirrors the reference's test strategy (tests/inference/) and upgrades the
+smoke-only algorithm tests to statistical assertions (SURVEY.md §4: posterior
+coverage of true parameters).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyfilter_tpu as pf
+import pyfilter_tpu.distributions as dist
+from pyfilter_tpu import inference as inf
+from pyfilter_tpu import timeseries as ts
+from pyfilter_tpu.filters.particle import proposals
+from pyfilter_tpu.inference.sequential import kernels as seq_kernels
+from pyfilter_tpu.timeseries import models
+
+TRUE_KAPPA, TRUE_GAMMA, TRUE_SIGMA = 0.5, 1.0, 0.1
+
+
+def true_model():
+    return ts.LinearStateSpaceModel(
+        models.OrnsteinUhlenbeck(TRUE_KAPPA, TRUE_GAMMA, TRUE_SIGMA), (1.0, 0.05)
+    )
+
+
+def build_model(ctx):
+    k = ctx.named_parameter("kappa", dist.Exponential(1.0))
+    g = ctx.named_parameter("gamma", dist.Normal(0.0, 1.0))
+    s = ctx.named_parameter("sigma", dist.LogNormal(-2.0, 1.0))
+    return ts.LinearStateSpaceModel(models.OrnsteinUhlenbeck(k, g, s), (1.0, 0.05))
+
+
+def simulate(n, seed=5):
+    _, y = true_model().sample_states(jax.random.PRNGKey(seed), n).get_paths()
+    return y
+
+
+# ---------------------------------------------------------------------------
+# context (mirrors reference tests/inference/test_context.py)
+# ---------------------------------------------------------------------------
+
+
+class TestContext:
+    def test_stack_requires_batch_shape(self):
+        ctx = inf.make_context()
+        with pytest.raises(inf.context.BatchShapeNotSet):
+            ctx.named_parameter("a", dist.Normal(0.0, 1.0))
+
+    def test_register_and_sample_shapes(self):
+        ctx = inf.make_context(key=jax.random.PRNGKey(0))
+        ctx.set_batch_shape((50,))
+        v = ctx.named_parameter("a", dist.Normal(0.0, 1.0))
+        assert v.shape == (50,)
+        # re-registration with equivalent prior returns the same value
+        v2 = ctx.named_parameter("a", dist.Normal(0.0, 1.0))
+        assert (np.asarray(v) == np.asarray(v2)).all()
+
+    def test_duplicate_prior_rejected(self):
+        ctx = inf.make_context(key=jax.random.PRNGKey(0))
+        ctx.set_batch_shape((10,))
+        ctx.named_parameter("a", dist.Normal(0.0, 1.0))
+        with pytest.raises(inf.NotSamePriorError):
+            ctx.named_parameter("a", dist.Normal(1.0, 1.0))
+        with ctx.no_prior_verification():
+            ctx.named_parameter("a", dist.Normal(1.0, 1.0))  # allowed
+
+    def test_batch_shape_once_only(self):
+        ctx = inf.make_context()
+        ctx.set_batch_shape((10,))
+        ctx.set_batch_shape((10,))  # same ok
+        with pytest.raises(inf.context.BatchShapeAlreadySet):
+            ctx.set_batch_shape((20,))
+
+    def test_stack_unstack_roundtrip(self):
+        ctx = inf.make_context(key=jax.random.PRNGKey(1))
+        ctx.set_batch_shape((20,))
+        ctx.named_parameter("a", dist.Normal(0.0, 1.0))
+        ctx.named_parameter("b", dist.LogNormal(0.0, 1.0))
+        ctx.named_parameter("c", dist.Normal(0.0, 1.0).expand((3,)).to_event(1))
+
+        for constrained in (True, False):
+            stacked = ctx.stack_parameters(constrained=constrained)
+            assert stacked.shape == (20, 5)
+            new = ctx.unstack_parameters(stacked, constrained=constrained)
+            for name in ("a", "b", "c"):
+                np.testing.assert_allclose(
+                    np.asarray(new.get_parameter(name)),
+                    np.asarray(ctx.get_parameter(name)),
+                    rtol=1e-5,
+                    atol=1e-6,
+                )
+
+    def test_unconstrained_positive_prior(self):
+        ctx = inf.make_context(key=jax.random.PRNGKey(1))
+        ctx.set_batch_shape((100,))
+        ctx.named_parameter("s", dist.Exponential(5.0))
+        u = ctx.stack_parameters(constrained=False)
+        # unconstrained space must be unbounded: mapping back must be positive
+        new = ctx.unstack_parameters(u - 10.0, constrained=False)
+        assert (np.asarray(new.get_parameter("s")) > 0).all()
+
+    def test_resample_exchange(self):
+        ctx = inf.make_context(key=jax.random.PRNGKey(2))
+        ctx.set_batch_shape((4,))
+        ctx.named_parameter("a", dist.Normal(0.0, 1.0))
+        a = np.asarray(ctx.get_parameter("a"))
+
+        perm = jnp.asarray([3, 2, 1, 0])
+        res = ctx.resample(perm)
+        np.testing.assert_allclose(np.asarray(res.get_parameter("a")), a[::-1])
+
+        mask = jnp.asarray([True, False, False, True])
+        ex = ctx.exchange(res, mask)
+        expected = np.where(np.asarray(mask), a[::-1], a)
+        np.testing.assert_allclose(np.asarray(ex.get_parameter("a")), expected)
+
+    def test_eval_priors(self):
+        ctx = inf.make_context(key=jax.random.PRNGKey(3))
+        ctx.set_batch_shape((10,))
+        ctx.named_parameter("a", dist.Normal(0.0, 1.0))
+        lp = ctx.eval_priors(constrained=True)
+        assert lp.shape == (10,)
+        expected = dist.Normal(0.0, 1.0).log_prob(ctx.get_parameter("a"))
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(expected), rtol=1e-5)
+
+    def test_state_dict_roundtrip(self):
+        ctx = inf.make_context(key=jax.random.PRNGKey(4))
+        ctx.set_batch_shape((7,))
+        ctx.named_parameter("a", dist.Normal(0.0, 1.0))
+        sd = ctx.state_dict()
+
+        ctx2 = inf.make_context(key=jax.random.PRNGKey(5))
+        ctx2.set_batch_shape((7,))
+        ctx2.named_parameter("a", dist.Normal(0.0, 1.0))
+        ctx2.load_state_dict(sd)
+        np.testing.assert_allclose(
+            np.asarray(ctx2.get_parameter("a")), np.asarray(ctx.get_parameter("a"))
+        )
+
+        ctx3 = inf.make_context(key=jax.random.PRNGKey(6))
+        ctx3.set_batch_shape((7,))
+        ctx3.named_parameter("a", dist.Normal(1.0, 2.0))  # different prior
+        with pytest.raises(ValueError):
+            ctx3.load_state_dict(sd)
+
+    def test_apply_fun_and_copy(self):
+        ctx = inf.make_context(key=jax.random.PRNGKey(5))
+        ctx.set_batch_shape((6,))
+        ctx.named_parameter("a", dist.Normal(0.0, 1.0))
+        doubled = ctx.apply_fun(lambda v: 2.0 * v)
+        np.testing.assert_allclose(
+            np.asarray(doubled.get_parameter("a")),
+            2.0 * np.asarray(ctx.get_parameter("a")),
+        )
+        cp = ctx.copy()
+        assert cp is not ctx
+        np.testing.assert_allclose(
+            np.asarray(cp.get_parameter("a")), np.asarray(ctx.get_parameter("a"))
+        )
+
+    def test_thread_local_stack(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def worker(_):
+            with inf.make_context() as ctx:
+                assert inf.InferenceContext.get_context() is ctx
+                return True
+
+        with ThreadPoolExecutor(4) as pool:
+            assert all(pool.map(worker, range(8)))
+
+    def test_quasi_context_init(self):
+        ctx = inf.make_context(use_quasi=True, key=jax.random.PRNGKey(6))
+        ctx.set_batch_shape((64,))
+        ctx.named_parameter("a", dist.Normal(0.0, 1.0))
+        ctx.named_parameter("s", dist.Exponential(2.0))
+        ctx.initialize_parameters()
+        a = np.asarray(ctx.get_parameter("a"))
+        s = np.asarray(ctx.get_parameter("s"))
+        assert a.shape == (64,) and s.shape == (64,)
+        assert (s > 0).all()
+        # QMC stratification: empirical mean much closer than MC std error
+        assert abs(a.mean()) < 0.15
+
+
+# ---------------------------------------------------------------------------
+# jitter kernels
+# ---------------------------------------------------------------------------
+
+
+class TestKernels:
+    def test_robust_var_matches_var_for_gaussian(self, key):
+        x = jax.random.normal(key, (4000, 2)) * jnp.asarray([1.0, 3.0])
+        w = jnp.full((4000,), 1.0 / 4000)
+        rv = np.asarray(seq_kernels.robust_var(x, w))
+        np.testing.assert_allclose(rv, [1.0, 9.0], rtol=0.2)
+
+    def test_robust_var_downweights_outliers(self, key):
+        x = jax.random.normal(key, (1000, 1))
+        x = x.at[0, 0].set(1e3)  # one huge outlier
+        w = jnp.full((1000,), 1.0 / 1000)
+        rv = float(seq_kernels.robust_var(x, w)[0])
+        assert rv < 2.0  # plain variance would be ~1e3
+
+    @pytest.mark.parametrize(
+        "kernel",
+        [
+            seq_kernels.ShrinkingKernel(),
+            seq_kernels.NonShrinkingKernel(),
+            seq_kernels.LiuWestShrinkage(),
+            seq_kernels.ConstantKernel(1e-2),
+        ],
+    )
+    def test_jitter_preserves_moments(self, kernel, key):
+        k1, k2 = jax.random.split(key)
+        x = 2.0 + jax.random.normal(k1, (2000, 3))
+        w = jnp.full((2000,), 1.0 / 2000)
+        idx = jnp.arange(2000)
+        out = kernel.jitter(k2, x, w, idx)
+        assert out.shape == x.shape
+        np.testing.assert_allclose(np.asarray(out).mean(0), 2.0, atol=0.2)
+
+    def test_thresholders(self):
+        from pyfilter_tpu.inference.sequential import threshold as th
+
+        assert th.ConstantThreshold(0.2).get_threshold(1000) == 0.2
+        dec = th.DecayingThreshold(0.1, 0.8, half_life=10)
+        assert abs(dec.get_threshold(10) - 0.4) < 1e-9
+        assert dec.get_threshold(10_000) == 0.1
+        iv = th.IntervalThreshold({100: 0.5}, 0.1)
+        assert iv.get_threshold(50) == 0.5 and iv.get_threshold(200) == 0.1
+
+
+# ---------------------------------------------------------------------------
+# mvn fitting / qmc
+# ---------------------------------------------------------------------------
+
+
+def test_construct_mvn(key):
+    x = jax.random.normal(key, (5000, 2)) @ jnp.asarray([[1.0, 0.5], [0.0, 1.0]])
+    w = jnp.full((5000,), 1.0 / 5000)
+    mvn = inf.construct_mvn(x, w)
+    np.testing.assert_allclose(np.asarray(mvn.mean), [0.0, 0.0], atol=0.1)
+    samples = mvn.sample(jax.random.PRNGKey(1), (2000,))
+    assert samples.shape == (2000, 2)
+
+
+def test_quasi_mvn_sampling(key):
+    engine = inf.EngineContainer(2, randomize=True, seed=0)
+    mvn = inf.QuasiMultivariateNormal(engine, jnp.zeros(2), scale_tril=jnp.eye(2))
+    s = mvn.sample(key, (256,))
+    assert s.shape == (256, 2)
+    assert abs(float(s.mean())) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# full algorithms — statistical assertions
+# ---------------------------------------------------------------------------
+
+
+def run_sequential(algorithm_factory, n_obs=300, particles=400, state_particles=150, seed=5):
+    y = simulate(n_obs, seed)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(
+            build_model, state_particles, proposal=proposals.LinearGaussianObservations()
+        )
+        alg = algorithm_factory(filt, particles, ctx)
+        state = alg.fit(y, logging=inf.logging.DefaultLogger())
+        w = np.asarray(state.normalized_weights())
+        stacked = np.asarray(ctx.stack_parameters(True))
+        return w @ stacked, state, ctx, alg
+
+
+@pytest.mark.slow
+def test_smc2_recovers_parameters():
+    post, state, ctx, _ = run_sequential(
+        lambda f, p, c: inf.SMC2(f, p, num_steps=3, context=c, key=jax.random.PRNGKey(2))
+    )
+    kappa, gamma, sigma = post
+    assert abs(gamma - TRUE_GAMMA) < 0.15
+    assert abs(sigma - TRUE_SIGMA) < 0.05
+    assert abs(kappa - TRUE_KAPPA) < 0.4
+
+
+@pytest.mark.slow
+def test_ness_recovers_parameters():
+    post, state, ctx, _ = run_sequential(
+        lambda f, p, c: inf.NESS(f, p, context=c, key=jax.random.PRNGKey(3))
+    )
+    kappa, gamma, sigma = post
+    assert abs(gamma - TRUE_GAMMA) < 0.2
+    assert abs(sigma - TRUE_SIGMA) < 0.1
+
+
+@pytest.mark.slow
+def test_nessmc2_and_smc2fw_run():
+    for cls in (inf.NESSMC2, inf.SMC2FW):
+        post, state, ctx, _ = run_sequential(
+            lambda f, p, c: cls(f, p, switch=30, context=c, key=jax.random.PRNGKey(4)),
+            n_obs=80,
+        )
+        assert np.isfinite(post).all()
+
+
+def test_smc2_particle_increase():
+    """Few state particles + a forcing acceptance threshold must trigger the
+    particle-doubling path (reference test_sequential.py:46-50, mh.py:110-140)."""
+    y = simulate(60)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 5, proposal=proposals.LinearGaussianObservations())
+        alg = inf.SMC2(filt, 200, context=ctx, key=jax.random.PRNGKey(2))
+        # force the doubling branch: no acceptance rate can reach 1.01
+        alg.kernel._acceptance_threshold = 1.01
+        alg.kernel._max_increases = 2
+        with pytest.raises(inf.sequential.kernels.TooManyIncreases):
+            alg.fit(y, logging=inf.logging.DefaultLogger())
+    assert alg.filter.n_particles == 20  # doubled twice before raising
+
+    # and the sane configuration completes with finite weights
+    with inf.make_context(key=jax.random.PRNGKey(3)) as ctx2:
+        filt2 = pf.APF(build_model, 5, proposal=proposals.LinearGaussianObservations())
+        alg2 = inf.SMC2(filt2, 200, context=ctx2, key=jax.random.PRNGKey(4))
+        state = alg2.fit(y, logging=inf.logging.DefaultLogger())
+    assert np.isfinite(np.asarray(state.w)).all()
+
+
+def test_sequential_with_collectors():
+    y = simulate(40)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 100, proposal=proposals.LinearGaussianObservations())
+        alg = inf.SMC2(filt, 150, context=ctx, key=jax.random.PRNGKey(2))
+        alg.register_callback(inf.sequential.MeanCollector())
+        alg.register_callback(inf.sequential.ParameterPosterior())
+        state = alg.fit(y, logging=inf.logging.DefaultLogger())
+    assert len(state.collected["filter_means"]) == 40
+    assert len(state.collected["parameter_means"]) == 40
+    assert np.isfinite(np.asarray(state.collected["parameter_means"])).all()
+
+
+def test_sequential_serialize_resume():
+    """Train-half -> serialize -> fresh context/algorithm -> load -> resume
+    (reference test_sequential.py:52-93)."""
+    y = simulate(60)
+    split = 30
+
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 100, proposal=proposals.LinearGaussianObservations())
+        alg = inf.SMC2(filt, 150, context=ctx, key=jax.random.PRNGKey(2))
+        state = alg.fit(y[:split], logging=inf.logging.DefaultLogger())
+        alg_sd = state.state_dict()
+        ctx_sd = ctx.state_dict()
+
+    with inf.make_context(key=jax.random.PRNGKey(9)) as ctx2:
+        filt2 = pf.APF(build_model, 100, proposal=proposals.LinearGaussianObservations())
+        alg2 = inf.SMC2(filt2, 150, context=ctx2, key=jax.random.PRNGKey(10))
+        new_state = alg2.initialize()
+        ctx2.load_state_dict(ctx_sd)
+        new_state.load_state_dict(alg_sd)
+        alg2.filter = alg2.filter.initialize_model(ctx2)
+
+        np.testing.assert_allclose(np.asarray(new_state.w), np.asarray(state.w))
+        assert new_state.current_iteration == state.current_iteration
+
+        for yt in np.asarray(y[split:]):
+            new_state = alg2.step(yt, new_state)
+
+    assert len(new_state.ess) == 61
+    assert float(new_state.filter_state.latest_state.x.time_index) == 60.0
+
+
+@pytest.mark.slow
+def test_pmmh_moves_toward_posterior():
+    y = simulate(150)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 150, proposal=proposals.LinearGaussianObservations())
+        alg = inf.PMMH(
+            filt,
+            num_samples=200,
+            num_chains=4,
+            proposal=inf.RandomWalk(scale=5e-2),
+            context=ctx,
+            key=jax.random.PRNGKey(2),
+        )
+        res = alg.fit(y, logging=inf.logging.DefaultLogger())
+    chains = res.as_arrays()
+    # gamma chain must move from its prior-mean start (0.0) toward 1.0
+    gamma_late = chains["gamma"][150:].mean()
+    assert gamma_late > 0.5
+    sigma_late = chains["sigma"][150:].mean()
+    assert sigma_late < 0.2
+
+
+def test_pmmh_gradient_proposal_runs():
+    y = simulate(30)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(
+            build_model,
+            100,
+            proposal=proposals.LinearGaussianObservations(),
+            record_states=True,
+        )
+        alg = inf.PMMH(
+            filt,
+            num_samples=5,
+            num_chains=2,
+            proposal=inf.GradientBasedProposal(scale=2e-2),
+            context=ctx,
+            key=jax.random.PRNGKey(2),
+        )
+        res = alg.fit(y, logging=inf.logging.DefaultLogger())
+    arr = res.as_arrays()
+    assert all(np.isfinite(v).all() for v in arr.values())
+
+
+def test_smc2_with_quasi_context():
+    y = simulate(40)
+    with inf.make_context(use_quasi=True, key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 100, proposal=proposals.LinearGaussianObservations())
+        alg = inf.SMC2(filt, 128, context=ctx, key=jax.random.PRNGKey(2))
+        state = alg.fit(y, logging=inf.logging.DefaultLogger())
+    assert np.isfinite(np.asarray(state.w)).all()
+
+
+def test_plot_posterior_grid():
+    pytest.importorskip("matplotlib")
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from pyfilter_tpu.inference.plot import mimic_arviz_posterior
+
+    y = simulate(25)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 50, proposal=proposals.LinearGaussianObservations())
+        alg = inf.SMC2(filt, 64, context=ctx, key=jax.random.PRNGKey(2))
+        state = alg.fit(y, logging=inf.logging.DefaultLogger())
+        fig, axes = mimic_arviz_posterior(ctx, state)
+    assert len(axes) >= 3
