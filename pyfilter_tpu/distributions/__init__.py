@@ -26,6 +26,7 @@ from .core import (
     Delta,
     Exponential,
     Gamma,
+    InverseGamma,
     LogNormal,
     Normal,
     StudentT,
@@ -42,6 +43,7 @@ __all__ = [
     "Uniform",
     "Exponential",
     "Gamma",
+    "InverseGamma",
     "Beta",
     "StudentT",
     "Categorical",

@@ -226,6 +226,53 @@ class Gamma(Distribution):
         return self.concentration / jnp.square(self.rate) + jnp.zeros(self.batch_shape)
 
 
+class InverseGamma(Distribution):
+    """Inverse-gamma (used by the reference's nutria example for observation
+    variances, nutria.ipynb): ``X = 1/G`` for ``G ~ Gamma(concentration, rate)``."""
+
+    arg_names = ("concentration", "rate")
+    arg_constraints = {"concentration": constraints.positive, "rate": constraints.positive}
+
+    def __init__(self, concentration, rate):
+        self.concentration = concentration
+        self.rate = rate
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.concentration, self.rate)
+
+    @property
+    def support(self):
+        return constraints.positive
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.concentration, self.rate, 0.0)
+        g = jax.random.gamma(
+            key, jnp.broadcast_to(jnp.asarray(self.concentration, dtype), shape), dtype=dtype
+        )
+        return self.rate / g
+
+    def log_prob(self, value):
+        a, b = self.concentration, self.rate
+        return a * jnp.log(b) - (a + 1.0) * jnp.log(value) - b / value - gammaln(a)
+
+    def cdf(self, value):
+        return 1.0 - gammainc(self.concentration, self.rate / value)
+
+    @property
+    def mean(self):
+        a = jnp.asarray(self.concentration)
+        m = self.rate / (a - 1.0)
+        return jnp.where(a > 1.0, m, jnp.nan) + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        a = jnp.asarray(self.concentration)
+        v = jnp.square(self.rate) / (jnp.square(a - 1.0) * (a - 2.0))
+        return jnp.where(a > 2.0, v, jnp.nan) + jnp.zeros(self.batch_shape)
+
+
 class Beta(Distribution):
     arg_names = ("concentration1", "concentration0")
     arg_constraints = {

@@ -71,6 +71,14 @@ def find_optimal_density(
     a_mat = _promote_obs_matrix(a, hidden_1d, obs_1d)  # (..., d_o, d_h)
     a_t = jnp.swapaxes(a_mat, -2, -1)
 
+    d_o, d_h = a_mat.shape[-2], a_mat.shape[-1]
+    # scalar process/observation scales broadcast across the event dim
+    # (e.g. Lorenz-63's scalar diffusion over a 3-D state, lorenz.ipynb)
+    if not obs_1d:
+        o_var_inv = jnp.asarray(o_var_inv) * jnp.ones(d_o)
+    if not hidden_1d:
+        h_var_inv = jnp.asarray(h_var_inv) * jnp.ones(d_h)
+
     o_prec = construct_diag_from_flat(jnp.asarray(o_var_inv), obs_event_ndim)  # (..., d_o, d_o)
     h_prec = construct_diag_from_flat(jnp.asarray(h_var_inv), hidden_event_ndim)
 
@@ -116,6 +124,11 @@ def linear_marginal_density(
 
     a_mat = _promote_obs_matrix(a, hidden_1d, obs_1d)
     a_t = jnp.swapaxes(a_mat, -2, -1)
+    d_o, d_h = a_mat.shape[-2], a_mat.shape[-1]
+    if not obs_1d:
+        o_var = jnp.asarray(o_var) * jnp.ones(d_o)
+    if not hidden_1d:
+        h_var = jnp.asarray(h_var) * jnp.ones(d_h)
     diag_h = construct_diag_from_flat(jnp.asarray(h_var), hidden_event_ndim)
     diag_o = construct_diag_from_flat(jnp.asarray(o_var), obs_event_ndim)
     cov = diag_o + a_mat @ diag_h @ a_t
