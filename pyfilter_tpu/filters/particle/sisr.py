@@ -27,35 +27,47 @@ class SISR(ParticleFilter):
         """
         normalized = state.normalized_weights()
         ess = get_ess(normalized, normalized=True)  # (*batch,)
-        mask = ess < self.resample_threshold
 
         ts_state = state.x
         weights = state.log_weights
-
-        fresh_idx = self.resampler(key, normalized, normalized=True)
         identity = jnp.broadcast_to(
-            jnp.arange(self.n_particles, dtype=fresh_idx.dtype).reshape(
+            jnp.arange(self.n_particles, dtype=jnp.int32).reshape(
                 (self.n_particles,) + (1,) * len(self.batch_shape)
             ),
-            fresh_idx.shape,
+            self.particles,
         )
 
-        mask_p = mask[None]  # broadcast over particle axis
-        indices = jnp.where(mask_p, fresh_idx, identity)
+        def resample(key):
+            fresh_idx = self.resampler(key, normalized, normalized=True)
+            mask = ess < self.resample_threshold
+            mask_p = mask[None]  # broadcast over particle axis
+            indices = jnp.where(mask_p, fresh_idx, identity)
 
-        new_weights = jnp.where(mask_p, 0.0, weights)
-        new_normalized = jnp.where(mask_p, 1.0 / self.n_particles, normalized)
+            new_weights = jnp.where(mask_p, 0.0, weights)
+            new_normalized = jnp.where(mask_p, 1.0 / self.n_particles, normalized)
 
-        resampled_vals = batched_gather(ts_state.value, indices, ts_state.event_ndim)
-        new_vals = jnp.where(
-            mask.reshape((1,) + mask.shape + (1,) * ts_state.event_ndim),
-            resampled_vals,
-            ts_state.value,
-        )
+            resampled_vals = batched_gather(ts_state.value, indices, ts_state.event_ndim)
+            new_vals = jnp.where(
+                mask.reshape((1,) + mask.shape + (1,) * ts_state.event_ndim),
+                resampled_vals,
+                ts_state.value,
+            )
+            return ParticleFilterPrediction(
+                ts_state.copy(values=new_vals), new_weights, new_normalized, indices
+            )
 
-        return ParticleFilterPrediction(
-            ts_state.copy(values=new_vals), new_weights, new_normalized, indices
-        )
+        def passthrough(key):
+            return ParticleFilterPrediction(ts_state, weights, normalized, identity)
+
+        if self.batch_shape:
+            # per-lane gates: always-compute + per-lane where (inside resample)
+            return resample(key)
+
+        # single filter: the gate is one scalar — lax.cond skips the whole
+        # cumsum/sort/gather resampling pipeline on the (typically most)
+        # steps where the ESS is healthy. Identical numerics to the reference's
+        # host-side `if not mask.any()` early-out (sisr.py:25-26).
+        return jax.lax.cond(ess < self.resample_threshold, resample, passthrough, key)
 
     def correct(self, key, y, prediction) -> ParticleFilterCorrection:
         """Propose, accumulate weights, estimate the per-step log-likelihood

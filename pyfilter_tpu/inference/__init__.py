@@ -1,6 +1,6 @@
 """Joint state/parameter inference (reference pyfilter/inference/)."""
 
-from . import batch, prior, sequential
+from . import batch, prior, sequential, variational
 from .base import BaseAlgorithm
 from .batch.mcmc import PMMH, GradientBasedProposal, RandomWalk, SymmetricMH, run_pmmh
 from .context import (
@@ -21,6 +21,7 @@ from .state import (
     SMC2State,
 )
 from .utils import QuasiMultivariateNormal, calc_mean_chol, construct_mvn
+from .variational import SVIResult, fit_svi
 
 __all__ = [
     "InferenceContext",
@@ -52,4 +53,7 @@ __all__ = [
     "prior",
     "sequential",
     "batch",
+    "variational",
+    "fit_svi",
+    "SVIResult",
 ]

@@ -1,0 +1,133 @@
+"""Variational inference over model parameters via the particle-filter factor.
+
+Re-design of the reference's pyro bridge (reference filters/particle/base.py:176-229
++ tests/filters/test_pyro.py): the filter supplies an FFBS-smoothed, parameter-
+differentiable log-likelihood factor; here the surrounding SVI machinery is
+explicit — a diagonal-Gaussian guide on the unconstrained parameter space and
+an optax Adam loop maximizing the ELBO
+
+.. math::
+    \\mathcal{L} = E_q[ \\hat\\ell(\\theta) + \\log p(\\theta) - \\log q(\\theta) ]
+
+with the expectation vectorized over ``num_elbo_samples`` parameter lanes
+(pyro's ``vectorize_particles=True``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..distributions import Normal
+from .context import InferenceContext
+
+
+class GuideState(NamedTuple):
+    loc: jax.Array
+    log_scale: jax.Array
+
+
+class SVIResult(NamedTuple):
+    guide: GuideState
+    losses: jax.Array
+    context: InferenceContext
+
+    def posterior(self):
+        """Diagonal-Gaussian posterior over the unconstrained parameters."""
+        return Normal(self.guide.loc, jnp.exp(self.guide.log_scale)).to_event(1)
+
+    def posterior_quantiles(self, context: InferenceContext = None, qs=(0.05, 0.5, 0.95)):
+        """Per-parameter constrained-space quantiles (reference test_pyro.py:50-63
+        reads the guide's median/std)."""
+        from . import prior as prior_ops
+
+        ctx = context if context is not None else self.context
+        out = {}
+        for q in qs:
+            z = self.guide.loc + jnp.exp(self.guide.log_scale) * jnp.asarray(
+                jax.scipy.stats.norm.ppf(q), self.guide.loc.dtype
+            )
+            index = 0
+            for name in ctx.parameters:
+                shape = ctx.get_shape(name, constrained=False)
+                numel = int(np.prod(shape, dtype=np.int64)) if shape else 1
+                chunk = z[index : index + numel].reshape(shape)
+                constrained = prior_ops.get_constrained(ctx.get_prior(name), chunk)
+                out.setdefault(name, {})[q] = np.asarray(constrained)
+                index += numel
+        return out
+
+
+def fit_svi(
+    build_model: Callable,
+    y: jax.Array,
+    filter_factory: Callable,
+    key,
+    num_steps: int = 500,
+    num_elbo_samples: int = 4,
+    learning_rate: float = 1e-2,
+    context: InferenceContext = None,
+    init_scale: float = 0.1,
+) -> SVIResult:
+    """Fit a diagonal-Gaussian guide by stochastic ELBO ascent.
+
+    ``filter_factory(build_model) -> ParticleFilter`` constructs the filter
+    whose smoothed log-likelihood acts as the (stop-gradient-filtered,
+    density-differentiable) likelihood factor.
+    """
+    import optax
+
+    k_ctx, k_loop = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
+
+    ctx = context if context is not None else InferenceContext(key=k_ctx)
+    if ctx.batch_shape is None:
+        ctx.set_batch_shape((num_elbo_samples,))
+    elif tuple(ctx.batch_shape) != (num_elbo_samples,):
+        raise ValueError(
+            f"context batch shape {ctx.batch_shape} must equal (num_elbo_samples,) "
+            f"= ({num_elbo_samples},) — the ELBO samples ride the lane axis"
+        )
+
+    filt = filter_factory(build_model)
+    filt = filt.set_batch_shape((num_elbo_samples,)).replace(record_states=True)
+    filt = filt.initialize_model(ctx)
+
+    theta0 = ctx.stack_parameters(constrained=False)  # (S, D)
+    dim = theta0.shape[-1]
+    guide = GuideState(jnp.mean(theta0, axis=0), jnp.full((dim,), jnp.log(init_scale)))
+
+    y = jnp.asarray(y)
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(guide)
+
+    def neg_elbo(g: GuideState, k):
+        k_eps, k_factor = jax.random.split(k)
+        eps = jax.random.normal(k_eps, (num_elbo_samples, dim))
+        scale = jnp.exp(g.log_scale)
+        theta = g.loc + scale * eps  # (S, D) reparameterized
+
+        ctx2 = ctx.unstack_parameters(theta, constrained=False)
+        filt2 = filt.initialize_model(ctx2)
+
+        ll = filt2.smoothed_log_likelihood(k_factor, y)  # (S,)
+        log_prior = ctx2.eval_priors(constrained=False)  # (S,)
+        log_q = Normal(g.loc, scale).to_event(1).log_prob(theta)  # (S,)
+        return -jnp.mean(ll + log_prior - log_q)
+
+    @jax.jit
+    def step(g, o, k):
+        loss, grads = jax.value_and_grad(neg_elbo)(g, k)
+        updates, o = opt.update(grads, o)
+        g = jax.tree_util.tree_map(lambda p, u: p + u, g, updates)
+        return g, o, loss
+
+    losses = []
+    for i in range(num_steps):
+        k_loop, k_i = jax.random.split(k_loop)
+        guide, opt_state, loss = step(guide, opt_state, k_i)
+        losses.append(loss)
+
+    return SVIResult(guide, jnp.stack(losses), ctx)

@@ -1,0 +1,50 @@
+"""SVI via the particle-filter factor (mirrors reference tests/filters/test_pyro.py:
+true sigma must lie within 2 posterior std of the fitted guide)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyfilter_tpu as pf
+import pyfilter_tpu.distributions as dist
+from pyfilter_tpu import inference as inf, timeseries as ts
+from pyfilter_tpu.filters.particle import proposals
+from pyfilter_tpu.timeseries import models
+
+
+def build_ssm(sigma):
+    latent = models.RandomWalk(sigma)
+    return ts.LinearStateSpaceModel(latent, (1.0, 0.1))
+
+
+@pytest.mark.slow
+def test_svi_recovers_sigma():
+    true_sigma = 0.05
+    _, y = build_ssm(true_sigma).sample_states(jax.random.PRNGKey(123), 250).get_paths()
+
+    def build_model(ctx):
+        sigma = ctx.named_parameter("sigma", dist.LogNormal(0.0, 1.0))
+        return build_ssm(sigma)
+
+    result = inf.fit_svi(
+        build_model,
+        y,
+        filter_factory=lambda bm: pf.APF(
+            bm, 100, proposal=proposals.LinearGaussianObservations()
+        ),
+        key=jax.random.PRNGKey(1),
+        num_steps=500,
+        num_elbo_samples=4,
+        learning_rate=2e-2,
+    )
+
+    # losses should decrease overall
+    losses = np.asarray(result.losses)
+    assert losses[-10:].mean() < losses[:10].mean()
+
+    # posterior over unconstrained sigma: map back via the context
+    qs = result.posterior_quantiles(qs=(0.025, 0.5, 0.975))
+    lo, med, hi = qs["sigma"][0.025], qs["sigma"][0.5], qs["sigma"][0.975]
+    assert lo <= true_sigma <= hi, (lo, med, hi)
+    assert abs(med - true_sigma) < 0.05
