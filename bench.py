@@ -48,13 +48,16 @@ def _simulate_obs(n_obs):
 
 def bench_jax(y):
     import jax
+
+    # rbg is substantially faster than threefry on TPU for bulk normal draws
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     import pyfilter_tpu as pf
     from pyfilter_tpu import examples
 
     model = examples.stochastic_volatility_model(KAPPA, GAMMA, SIGMA, MU, NU, TAU, dt=DT)
-    filt = pf.SISR(model, N_PARTICLES)
+    filt = pf.SISR(model, N_PARTICLES, record_moments=False)
 
     key = jax.random.PRNGKey(0)
     y = jnp.asarray(y)

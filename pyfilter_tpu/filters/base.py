@@ -139,11 +139,17 @@ class BaseFilter:
         oes = self.model.observe_every_step
         n_sub = 0 if first_step else oes - 1
 
-        keys = jax.random.split(key, 2 * n_sub + 2)
+        keys = jax.random.split(key, n_sub + 2)
         prediction = self.predict(keys[0], state)
         for i in range(n_sub):
-            sub_state = prediction.create_state_from_prediction(keys[1 + 2 * i], self.model)
-            prediction = self.predict_passthrough(sub_state)
+            # sub-steps only advance the hidden state: pure propagation leaves
+            # the weights (and hence the normalized weights, the ESS gate and
+            # the ancestry) untouched, so re-deriving them per sub-step — as
+            # the reference's create_state/predict chain does,
+            # filters/base.py:204-210 — is redundant recomputation, not
+            # different math.
+            x_new = self.model.hidden.propagate(keys[1 + i], prediction.x)
+            prediction = prediction._replace(x=x_new)
 
         k_correct = keys[-1]
         y = jnp.asarray(y)
@@ -154,7 +160,9 @@ class BaseFilter:
         all_nan = jnp.isnan(y).all()
         correction = jax.lax.cond(
             all_nan,
-            lambda k: prediction.create_state_from_prediction(k, self.model),
+            lambda k: prediction.create_state_from_prediction(
+                k, self.model, compute_moments=getattr(self, "record_moments", True)
+            ),
             lambda k: self.correct(k, y, prediction),
             k_correct,
         )

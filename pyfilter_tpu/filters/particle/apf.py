@@ -58,4 +58,6 @@ class APF(ParticleFilter):
         )
         ll = log_likelihood(weights) + aux_norm
 
-        return ParticleFilterCorrection.from_weighted_particles(x, weights, ll, indices)
+        return ParticleFilterCorrection.from_weighted_particles(
+            x, weights, ll, indices, compute_moments=self.record_moments
+        )

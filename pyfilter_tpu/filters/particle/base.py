@@ -38,6 +38,7 @@ class ParticleFilter(BaseFilter):
         "proposal",
         "resampler",
         "ess_threshold",
+        "record_moments",
     )
 
     def __init__(
@@ -48,6 +49,7 @@ class ParticleFilter(BaseFilter):
         proposal: Proposal = None,
         ess_threshold: float = 0.9,
         record_states: bool = False,
+        record_moments: bool = True,
         nan_strategy: str = "skip",
         batch_shape=(),
     ):
@@ -65,6 +67,7 @@ class ParticleFilter(BaseFilter):
         )
         self.proposal = proposal if proposal is not None else Bootstrap()
         self.ess_threshold = float(ess_threshold)
+        self.record_moments = record_moments
 
     # -- shapes --------------------------------------------------------------
     @property
@@ -95,7 +98,9 @@ class ParticleFilter(BaseFilter):
             self.particles,
         )
         ll = jnp.zeros(self.batch_shape, dtype=dtype)
-        return ParticleFilterCorrection.from_weighted_particles(x, weights, ll, prev_inds)
+        return ParticleFilterCorrection.from_weighted_particles(
+            x, weights, ll, prev_inds, compute_moments=self.record_moments
+        )
 
     # -- smoothing ------------------------------------------------------------
     def smooth(self, key, states: Union[FilterResult, FilterHistory], method: str = "ffbs") -> jax.Array:

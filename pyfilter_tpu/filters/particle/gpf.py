@@ -26,5 +26,6 @@ class GPF(ParticleFilter):
 
         x_new, weights = self.proposal.sample_and_weight(key, self.model, y, prediction)
         return ParticleFilterCorrection.from_weighted_particles(
-            x_new, weights, log_likelihood(weights), prediction.indices
+            x_new, weights, log_likelihood(weights), prediction.indices,
+            compute_moments=self.record_moments,
         )

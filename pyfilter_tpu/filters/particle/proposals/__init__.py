@@ -5,6 +5,7 @@ from .base import Proposal, get_pre_weight_func
 from .bootstrap import Bootstrap
 from .linear import LinearGaussianObservations
 from .linearized import Linearized
+from .local_linearization import LocalLinearization
 from .nested import NestedProposal
 from .utils import find_mode, find_optimal_density, linear_marginal_density
 
@@ -13,6 +14,7 @@ __all__ = [
     "Bootstrap",
     "LinearGaussianObservations",
     "Linearized",
+    "LocalLinearization",
     "GaussianProposal",
     "GaussianLinearized",
     "GaussianLinear",

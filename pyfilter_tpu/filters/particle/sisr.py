@@ -76,5 +76,5 @@ class SISR(ParticleFilter):
         new_weights = inc_weights + prediction.log_weights
         ll = log_likelihood(inc_weights, prediction.normalized_weights)
         return ParticleFilterCorrection.from_weighted_particles(
-            x, new_weights, ll, prediction.indices
+            x, new_weights, ll, prediction.indices, compute_moments=self.record_moments
         )

@@ -40,13 +40,13 @@ class ParticleFilterPrediction(NamedTuple):
     def get_timeseries_state(self) -> TimeseriesState:
         return self.x
 
-    def create_state_from_prediction(self, key, model) -> "ParticleFilterCorrection":
+    def create_state_from_prediction(self, key, model, compute_moments: bool = True) -> "ParticleFilterCorrection":
         """Propagate the hidden process without correcting (sub-steps / NaN skip;
         reference particle/state.py:38-42)."""
         x_new = model.hidden.propagate(key, self.x)
         ll = jnp.zeros(self.normalized_weights.shape[1:], dtype=self.normalized_weights.dtype)
         return ParticleFilterCorrection.from_weighted_particles(
-            x_new, self.log_weights, ll, self.indices
+            x_new, self.log_weights, ll, self.indices, compute_moments=compute_moments
         )
 
     def get_predictive_density(self, model, key=None, approximate: bool = False) -> Distribution:
@@ -89,10 +89,18 @@ class ParticleFilterCorrection(NamedTuple):
     variance: jax.Array
 
     @classmethod
-    def from_weighted_particles(cls, x: TimeseriesState, log_weights, log_likelihood, prev_indices):
-        mean, var = get_mean_and_variance(
-            x.value, normalize(log_weights), event_ndim=x.event_ndim
-        )
+    def from_weighted_particles(
+        cls, x: TimeseriesState, log_weights, log_likelihood, prev_indices, compute_moments: bool = True
+    ):
+        if compute_moments:
+            mean, var = get_mean_and_variance(
+                x.value, normalize(log_weights), event_ndim=x.event_ndim
+            )
+        else:
+            # placeholder moments (filters built with record_moments=False skip
+            # the two per-step reductions over the cloud)
+            mean = jnp.zeros_like(log_likelihood)
+            var = jnp.zeros_like(log_likelihood)
         return cls(x, log_weights, log_likelihood, prev_indices, mean, var)
 
     # -- reference Correction protocol --------------------------------------

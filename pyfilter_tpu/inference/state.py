@@ -88,14 +88,20 @@ class RunningFilterResult:
         return new
 
     def state_dict(self) -> dict:
+        # the correction is a pytree containing custom nodes (TimeseriesState);
+        # persist its leaves — the loading side supplies the structure.
+        leaves = jax.tree_util.tree_leaves(self.latest_state)
         return {
             "log_likelihood": np.asarray(self.log_likelihood),
-            "latest_state": jax.tree_util.tree_map(np.asarray, self.latest_state),
+            "latest_state_leaves": [np.asarray(l) for l in leaves],
         }
 
     def load_state_dict(self, state_dict: dict):
         self.log_likelihood = jnp.asarray(state_dict["log_likelihood"])
-        loaded = jax.tree_util.tree_map(jnp.asarray, state_dict["latest_state"])
+        treedef = jax.tree_util.tree_structure(self.latest_state)
+        loaded = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(l) for l in state_dict["latest_state_leaves"]]
+        )
         if loaded.x.value.shape != self.latest_state.x.value.shape:
             raise ValueError(
                 f"Seems like you're loading a different shape: "

@@ -297,3 +297,41 @@ def test_observe_every_step(key):
     assert abs((ll - kll) / kll) < RELATIVE_TOLERANCE
     dev = median_relative_deviation(km, np.asarray(result.filter_means))
     assert dev < RELATIVE_TOLERANCE
+
+
+def test_local_linearization(key):
+    """Working LocalLinearization (the reference's is disabled,
+    local_linearization.py:40): the UKF-style nonlinear benchmark model
+    (reference tests/filters/models.py:65-104) filtered with the linearized
+    optimal proposal must match a large bootstrap filter on loglik and means,
+    with and without a user-supplied derivative."""
+    import math
+
+    sigma, s = math.sqrt(10.0), 1.0
+
+    def mean_scale(x, s_):
+        xt = x.value
+        return xt / 2.0 + 25 * xt / (1 + xt**2.0) + 8.0 * jnp.cos(1.2 * x.time_index), s_
+
+    def obs_mean(x, s_):
+        return x.value**2.0 / 20.0
+
+    def obs_deriv(x, s_):
+        return x.value / 10.0
+
+    hidden = ts.AffineProcess(
+        mean_scale, (sigma,), dist.Normal(0.0, 1.0), lambda *a: dist.Normal(0.0, math.sqrt(5.0))
+    )
+    ssm = ts.StateSpaceModel(hidden, lambda x, s_: dist.Normal(obs_mean(x, s_), s_), (s,))
+
+    _, y = ssm.sample_states(jax.random.PRNGKey(33), 60).get_paths()
+
+    oracle = SISR(ssm, 20_000).batch_filter(key, y)
+
+    for lin_f in (obs_deriv, None):  # explicit derivative and autodiff
+        prop = props.LocalLinearization(f=obs_mean, linearized_f=lin_f)
+        for filt_cls in (SISR, APF):
+            filt = filt_cls(ssm, 1_000, proposal=prop)
+            res = filt.batch_filter(key, y)
+            ll_o, ll = float(oracle.log_likelihood), float(res.log_likelihood)
+            assert abs(ll - ll_o) / abs(ll_o) < 0.1, (filt_cls.__name__, lin_f, ll, ll_o)

@@ -439,3 +439,38 @@ def test_plot_posterior_grid():
         state = alg.fit(y, logging=inf.logging.DefaultLogger())
         fig, axes = mimic_arviz_posterior(ctx, state)
     assert len(axes) >= 3
+
+
+def test_io_state_dict_roundtrip(tmp_path):
+    """npz persistence of the state_dict protocol (reference persists via
+    torch.save; SURVEY.md §5.4)."""
+    from pyfilter_tpu import io as pio
+
+    y = simulate(20)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 64, proposal=proposals.LinearGaussianObservations())
+        alg = inf.SMC2(filt, 64, context=ctx, key=jax.random.PRNGKey(2))
+        state = alg.fit(y, logging=inf.logging.DefaultLogger())
+
+        path = str(tmp_path / "ckpt.npz")
+        pio.save_state_dict(path, {"algorithm": state.state_dict(), "context": ctx.state_dict()})
+        loaded = pio.load_state_dict(path)
+
+    np.testing.assert_allclose(loaded["algorithm"]["w"], np.asarray(state.w))
+    assert loaded["algorithm"]["current_iteration"] == 20
+    np.testing.assert_allclose(
+        loaded["context"]["parameters"]["kappa"], np.asarray(ctx.get_parameter("kappa"))
+    )
+
+
+def test_io_pytree_roundtrip(tmp_path, key):
+    from pyfilter_tpu import io as pio
+
+    pytest.importorskip("orbax.checkpoint")
+    ssm = true_model()
+    filt = pf.SISR(ssm, 32)
+    state = filt.initialize(key)
+    path = str(tmp_path / "state")
+    pio.save_pytree(path, state)
+    restored = pio.load_pytree(path, target=state)
+    np.testing.assert_allclose(np.asarray(restored.x.value), np.asarray(state.x.value))
