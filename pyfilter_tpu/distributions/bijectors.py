@@ -209,12 +209,32 @@ class Power(Bijector):
         return cls(*children)
 
 
+def _asinh(x):
+    # log/sqrt formulation (sign-symmetrized for accuracy) — used instead of
+    # jnp.arcsinh so the transform lowers inside Pallas TPU kernels, where
+    # asinh/cosh have no lowering (ops/fused.py).
+    ax = jnp.abs(x)
+    return jnp.sign(x) * jnp.log(ax + jnp.sqrt(jnp.square(ax) + 1.0))
+
+
+def _sinh(x):
+    e = jnp.exp(x)
+    return 0.5 * (e - 1.0 / e)
+
+
+def _log_cosh(x):
+    # log((e^x + e^-x)/2) = |x| + log1p(e^{-2|x|}) - log 2, overflow-safe
+    ax = jnp.abs(x)
+    return ax + jnp.log1p(jnp.exp(-2.0 * ax)) - jnp.log(jnp.asarray(2.0, jnp.result_type(x)))
+
+
 class SinhArcsinh(Bijector):
     """Sinh-arcsinh transform ``y = sinh((arcsinh(x) + skew) * tailweight)``.
 
     Equivalent of the ``SinhArcsinhTransform`` used by the reference's
     stochastic-volatility example (stochastic-volatility.ipynb); controls skewness
-    and tail weight of a transformed base distribution.
+    and tail weight of a transformed base distribution. Implemented with
+    primitive log/exp/sqrt only so it lowers inside Pallas kernels.
     """
 
     def __init__(self, skew=0.0, tailweight=1.0):
@@ -222,15 +242,15 @@ class SinhArcsinh(Bijector):
         self.tailweight = tailweight
 
     def forward(self, x):
-        return jnp.sinh((jnp.arcsinh(x) + self.skew) * self.tailweight)
+        return _sinh((_asinh(x) + self.skew) * self.tailweight)
 
     def inverse(self, y):
-        return jnp.sinh(jnp.arcsinh(y) / self.tailweight - self.skew)
+        return _sinh(_asinh(y) / self.tailweight - self.skew)
 
     def log_abs_det_jacobian(self, x, y):
         t = jnp.asarray(self.tailweight, jnp.result_type(x))
-        inner = (jnp.arcsinh(x) + self.skew) * t
-        return jnp.log(t) + jnp.log(jnp.cosh(inner)) - 0.5 * jnp.log1p(jnp.square(x))
+        inner = (_asinh(x) + self.skew) * t
+        return jnp.log(t) + _log_cosh(inner) - 0.5 * jnp.log1p(jnp.square(x))
 
     def tree_flatten(self):
         return (self.skew, self.tailweight), None

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ... import resampling
+from ...ops import systematic_counts
 from ...timeseries import TimeseriesState
 from ...utils import batched_gather, normalize
 from ..base import BaseFilter
@@ -45,7 +46,11 @@ class ParticleFilter(BaseFilter):
         self,
         model,
         particles: int,
-        resampling_method: Union[str, callable] = resampling.systematic,
+        # default: the search-free counts-inversion systematic resampler
+        # (2.3x faster than the search-based one at N=1e6 on TPU; identical
+        # up to ULP-level ties — ops/resample.py). Pass
+        # ``resampling.systematic`` for the reference-exact variant.
+        resampling_method: Union[str, callable] = systematic_counts,
         proposal: Proposal = None,
         ess_threshold: float = 0.9,
         record_states: bool = False,

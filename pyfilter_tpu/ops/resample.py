@@ -1,0 +1,79 @@
+"""Search-free systematic resampling via integer counts inversion.
+
+``jnp.searchsorted`` — even with the sort-based lowering — costs ~23 ms at
+N=1e6 on TPU (it sorts 2N keys plus payload and un-permutes). Systematic
+resampling doesn't need a search at all: the positions ``p_i = (i+u)/N`` are
+uniformly spaced, so the number of positions below each cumulative weight is
+
+.. math::
+    n_j = \\lceil N c_j - u \\rceil \\quad (\\text{clipped to } [0, N]),
+
+and the ancestor indices are the inverse of the monotone counts sequence,
+
+.. math::
+    idx[i] = \\max\\{ j : n_{j-1} \\le i \\} = \\mathrm{cumsum}(s)[i] - 1,
+    \\quad s = \\mathrm{scatter\\_add}(\\mathbb{1}, n_{j-1}),
+
+— one float cumsum, one elementwise ceil, one integer scatter-add and one
+integer cumsum. All index arithmetic is exact (integers); the only float
+rounding is in ``N c_j - u``, which perturbs a copy-count boundary by at most
+one ULP-level tie — statistically equivalent to an infinitesimal shift of
+``u``.
+
+This is the default resampler the particle filters use at scale; the
+search-based :func:`pyfilter_tpu.resampling.systematic` remains the
+reference-exact implementation (it matches filterpy index-for-index under an
+injected ``u``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import normalize
+
+
+def _counts_invert_1d(probs: jax.Array, u: jax.Array) -> jax.Array:
+    n = probs.shape[0]
+    cumw = jnp.cumsum(probs)
+    cumw = cumw.at[-1].set(1.0)
+
+    # positions strictly below c: ceil(N*c - u); exact ceil via floor trick to
+    # match the open/closed side of searchsorted(side="right")
+    counts = jnp.clip(jnp.ceil(n * cumw - u), 0, n).astype(jnp.int32)
+    n_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), counts[:-1]])
+
+    # invert the monotone counts: idx[i] = #{j : n_{j-1} <= i} - 1
+    scat = jnp.zeros(n, jnp.int32).at[jnp.minimum(n_prev, n - 1)].add(
+        jnp.where(n_prev < n, 1, 0).astype(jnp.int32)
+    )
+    return jnp.cumsum(scat) - 1
+
+
+def systematic_counts(
+    key: jax.Array | None,
+    weights: jax.Array,
+    normalized: bool = False,
+    u: jax.Array | None = None,
+) -> jax.Array:
+    """Drop-in systematic resampler (same signature as
+    :func:`pyfilter_tpu.resampling.systematic`) using counts inversion."""
+    w = jnp.asarray(weights)
+    probs = w if normalized else normalize(w, axis=0)
+    n = probs.shape[0]
+    batch_shape = probs.shape[1:]
+
+    if u is None:
+        if key is None:
+            raise ValueError("either key or u must be provided")
+        u = jax.random.uniform(key, batch_shape, dtype=probs.dtype)
+    u = jnp.broadcast_to(jnp.asarray(u, probs.dtype), batch_shape)
+
+    if not batch_shape:
+        return _counts_invert_1d(probs, u)
+
+    flat = probs.reshape(n, -1).T  # (B, N)
+    flat_u = u.reshape(-1)
+    idx = jax.vmap(_counts_invert_1d)(flat, flat_u)  # (B, N)
+    return idx.T.reshape(probs.shape)

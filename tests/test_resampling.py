@@ -129,3 +129,38 @@ def test_jit_and_vmap_safe(key):
     vm = jax.vmap(lambda k, lw: resampling.systematic(k, lw), in_axes=(0, 1), out_axes=1)
     idx2 = vm(jax.random.split(key, 4), jnp.log(w))
     assert idx2.shape == (n, 4)
+
+
+def test_systematic_counts_matches_search(key):
+    """ops.systematic_counts is a drop-in for resampling.systematic: identical
+    indices up to ULP-level ties at weight boundaries."""
+    import numpy as np
+    from pyfilter_tpu.ops import systematic_counts
+    from pyfilter_tpu.resampling import systematic
+
+    rng = np.random.default_rng(0)
+    total_disagree = 0
+    total = 0
+    for n in (10, 100, 1000, 10_000):
+        for trial in range(10):
+            w = jnp.asarray(rng.normal(size=n).astype(np.float32))  # log-weights
+            u = jnp.asarray(rng.uniform())
+            a = np.asarray(systematic(None, w, u=u))
+            b = np.asarray(systematic_counts(None, w, u=u))
+            assert (np.diff(b) >= 0).all() and b.min() >= 0 and b.max() < n
+            total_disagree += int((a != b).sum())
+            total += n
+    assert total_disagree / total < 1e-3, total_disagree
+
+    # systematic guarantee: copy counts within 1 of N * w
+    n = 50_000
+    lw = jnp.asarray(rng.normal(size=n).astype(np.float32)) * 0.5
+    probs = np.exp(np.asarray(lw, np.float64)); probs /= probs.sum()
+    idx = np.asarray(systematic_counts(jax.random.PRNGKey(0), lw))
+    counts = np.bincount(idx, minlength=n)
+    assert np.abs(counts - n * probs).max() <= 1.0 + 1e-3
+
+    # batched lanes
+    wb = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32))
+    idxb = systematic_counts(jax.random.PRNGKey(1), wb)
+    assert idxb.shape == (256, 3)
