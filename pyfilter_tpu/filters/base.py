@@ -112,24 +112,6 @@ class BaseFilter:
     def correct(self, key, y, prediction) -> ParticleFilterCorrection:
         raise NotImplementedError
 
-    def predict_passthrough(self, state) -> ParticleFilterPrediction:
-        """Resample-free prediction used for SDE sub-steps.
-
-        Pure propagation never changes the weights, so the ESS resample gate
-        evaluates identically at every sub-step of one observation: if the
-        first predict resampled, weights are reset to uniform (gate off); if it
-        didn't, the ESS is unchanged (gate still off). Running the full
-        resampling predict once per observation and this pass-through for the
-        remaining sub-steps is therefore *exactly* equivalent to the
-        reference's predict-per-sub-step loop (filters/base.py:204-210) — and
-        ~``observe_every_step``x cheaper on the resampling path.
-        """
-        from ..utils import normalize
-
-        return ParticleFilterPrediction(
-            state.x, state.log_weights, normalize(state.log_weights), state.prev_indices
-        )
-
     # -- single observation step ---------------------------------------------
     def filter(self, key, y, state, first_step: bool = False) -> ParticleFilterCorrection:
         """One filter move (reference filters/base.py:188-221): predict,

@@ -15,10 +15,10 @@ import jax.numpy as jnp
 from ... import resampling
 from ...ops import systematic_counts
 from ...timeseries import TimeseriesState
-from ...utils import batched_gather, normalize
+from ...utils import batched_gather
 from ..base import BaseFilter
 from ..result import FilterHistory, FilterResult
-from ..state import ParticleFilterCorrection, ParticleFilterPrediction
+from ..state import ParticleFilterCorrection
 from .proposals import Bootstrap, Proposal
 
 

@@ -7,7 +7,6 @@ the filter; every iteration is one :func:`run_pmmh` full re-filter.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ...base import BaseAlgorithm

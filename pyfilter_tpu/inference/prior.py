@@ -10,7 +10,6 @@ surface is provided as free functions over any
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..distributions import Distribution, TransformedDistribution, biject_to
 from ..distributions.bijectors import Bijector

@@ -10,10 +10,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, List
 
-import jax
 import jax.numpy as jnp
 
-from ...filters.base import BaseFilter
 from ..base import BaseAlgorithm
 from ..logging import TQDMWrapper
 from ..state import RunningFilterResult, SequentialAlgorithmState

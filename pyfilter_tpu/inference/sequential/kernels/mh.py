@@ -13,7 +13,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ....resampling import systematic
 from ...batch.mcmc.proposals import BaseProposal, SymmetricMH

@@ -13,6 +13,7 @@ The TPU-native scaling axes of an SMC library are:
   parallel; the only cross-lane ops are small (param ESS, MVN fits).
 """
 
+from . import collective
 from .sharding import (
     lane_sharded_filter,
     make_mesh,
@@ -27,4 +28,5 @@ __all__ = [
     "sharded_batch_filter",
     "sharded_filter_step",
     "lane_sharded_filter",
+    "collective",
 ]

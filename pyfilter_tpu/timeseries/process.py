@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
-from ..distributions import Distribution, Normal
+from ..distributions import Distribution
 from .affine import affine_transform
 from .state import StateSpacePath, TimeseriesState
 

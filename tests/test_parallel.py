@@ -105,3 +105,77 @@ def test_lane_plus_particle_mesh(key):
     # AR params: alpha scalar, beta (4,), sigma scalar
     beta = sharded_filt.model.hidden.parameters[1]
     assert beta.sharding.spec[0] == "lanes"
+
+
+def test_collective_weight_ops(key):
+    """shard_map psum-normalize / ESS / loglik match the single-device math."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pyfilter_tpu import utils
+    from pyfilter_tpu.parallel import collective
+
+    mesh = parallel.make_mesh()
+    n = 1024
+    lw = jax.random.normal(key, (n,)) * 2.0
+    lw = lw.at[3].set(jnp.nan).at[7].set(jnp.inf)  # scrub path
+    inc = jax.random.normal(jax.random.PRNGKey(1), (n,))
+
+    f = shard_map(
+        lambda lw_, inc_: (
+            collective.psum_normalize(lw_, "particles"),
+            collective.distributed_ess(lw_, "particles"),
+            collective.distributed_log_likelihood(inc_, lw_, "particles"),
+        ),
+        mesh=mesh,
+        in_specs=(P("particles"), P("particles")),
+        out_specs=(P("particles"), P(), P()),
+    )
+    probs, ess, ll = f(lw, inc)
+
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(utils.normalize(lw)), rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(float(ess), float(utils.get_ess(lw)), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(ll), float(utils.log_likelihood(inc, utils.normalize(lw))), rtol=1e-5
+    )
+
+
+def test_allgather_systematic(key):
+    """Distributed systematic resampling matches the single-device counts
+    resampler index-for-index (same shared uniform)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pyfilter_tpu.ops import systematic_counts
+    from pyfilter_tpu.parallel import collective
+
+    mesh = parallel.make_mesh()
+    n = 2048
+    lw = jax.random.normal(key, (n,))
+    vals = jax.random.normal(jax.random.PRNGKey(2), (n,))
+    k = jax.random.PRNGKey(3)
+
+    f = shard_map(
+        lambda lw_, v_: (
+            collective.allgather_systematic(k, lw_, "particles"),
+            collective.allgather_take(
+                v_, collective.allgather_systematic(k, lw_, "particles"), "particles"
+            ),
+        ),
+        mesh=mesh,
+        in_specs=(P("particles"), P("particles")),
+        out_specs=(P("particles"), P("particles")),
+    )
+    idx, resampled = f(lw, vals)
+
+    u = jax.random.uniform(k, ())
+    ref_idx = np.asarray(systematic_counts(None, lw, u=u))
+    idx = np.asarray(idx)
+    # per-shard cumsum + offsets reorders the float accumulation vs the global
+    # cumsum -> occasional ULP ties flip an index by one
+    diff = np.abs(idx - ref_idx)
+    assert (diff <= 1).all()
+    assert (diff != 0).mean() < 5e-3, (diff != 0).mean()
+    np.testing.assert_allclose(np.asarray(resampled), np.asarray(vals)[idx])
