@@ -64,14 +64,14 @@ def bench_jax(y):
 
     # warmup/compile; the host fetch forces real completion (block_until_ready
     # returns early through the axon TPU tunnel)
-    res = filt.batch_filter(key, y)
+    res = filt.batch_filter(key, y, unroll=4)
     ll = float(res.log_likelihood)
 
     times = []
     for i in range(3):
         k = jax.random.PRNGKey(i + 1)
         t0 = time.perf_counter()
-        res = filt.batch_filter(k, y)
+        res = filt.batch_filter(k, y, unroll=4)
         ll = float(res.log_likelihood)
         times.append(time.perf_counter() - t0)
 
