@@ -39,9 +39,22 @@ class BaseFilter:
     """
 
     #: config attribute names that form the static aux data, in order.
-    _config_fields: tuple = ("record_states", "nan_strategy", "batch_shape", "model_builder")
+    _config_fields: tuple = (
+        "record_states",
+        "record_intermediary",
+        "nan_strategy",
+        "batch_shape",
+        "model_builder",
+    )
 
-    def __init__(self, model, record_states: bool = False, nan_strategy: str = "skip", batch_shape=()):
+    def __init__(
+        self,
+        model,
+        record_states: bool = False,
+        record_intermediary: bool = False,
+        nan_strategy: str = "skip",
+        batch_shape=(),
+    ):
         if nan_strategy not in ("skip", "impute"):
             raise ValueError("nan_strategy must be 'skip' or 'impute'")
         # the reference accepts a model OR a model-builder
@@ -53,6 +66,7 @@ class BaseFilter:
             self.model = model
             self.model_builder = None
         self.record_states = record_states
+        self.record_intermediary = record_intermediary
         self.nan_strategy = nan_strategy
         self.batch_shape = tuple(batch_shape)
 
@@ -113,16 +127,23 @@ class BaseFilter:
         raise NotImplementedError
 
     # -- single observation step ---------------------------------------------
-    def filter(self, key, y, state, first_step: bool = False) -> ParticleFilterCorrection:
+    def filter(
+        self, key, y, state, first_step: bool = False, return_intermediaries: bool = False
+    ) -> ParticleFilterCorrection:
         """One filter move (reference filters/base.py:188-221): predict,
         ``observe_every_step - 1`` uncorrected sub-steps (0 on the very first
         observation, whose initial time is already aligned), then correct — or
-        propagate-only when the observation is entirely NaN."""
+        propagate-only when the observation is entirely NaN.
+
+        ``return_intermediaries`` additionally returns the sub-step states
+        stacked as ``(n_sub, ...)`` history leaves (the reference's
+        ``record_intermediary_states``, base.py:206-208)."""
         oes = self.model.observe_every_step
         n_sub = 0 if first_step else oes - 1
 
         keys = jax.random.split(key, n_sub + 2)
         prediction = self.predict(keys[0], state)
+        inters = []
         for i in range(n_sub):
             # sub-steps only advance the hidden state: pure propagation leaves
             # the weights (and hence the normalized weights, the ESS gate and
@@ -132,6 +153,10 @@ class BaseFilter:
             # different math.
             x_new = self.model.hidden.propagate(keys[1 + i], prediction.x)
             prediction = prediction._replace(x=x_new)
+            if return_intermediaries:
+                inters.append(
+                    (x_new.time_index, x_new.value, prediction.log_weights, prediction.indices)
+                )
 
         k_correct = keys[-1]
         y = jnp.asarray(y)
@@ -148,6 +173,9 @@ class BaseFilter:
             lambda k: self.correct(k, y, prediction),
             k_correct,
         )
+        if return_intermediaries:
+            inter = tuple(jnp.stack(parts) for parts in zip(*inters)) if inters else None
+            return correction, inter
         return correction
 
     def _impute(self, key, y, prediction) -> jax.Array:
@@ -207,14 +235,29 @@ def _batch_filter_impl(filt: BaseFilter, key, y, initial_state, unroll: int = 1)
     state1 = filt.filter(k_first, y[0], state0, first_step=True)
     first_out = _step_outputs(filt, state1)
 
+    oes = filt.model.observe_every_step
+    record_inter = (
+        filt.record_states
+        and getattr(filt, "record_intermediary", False)
+        and oes > 1
+        and n_steps > 1
+    )
+
     def step(state, inp):
         k, y_t = inp
+        if record_inter:
+            new, inter = filt.filter(k, y_t, state, return_intermediaries=True)
+            return new, (_step_outputs(filt, new), inter)
         new = filt.filter(k, y_t, state)
-        return new, _step_outputs(filt, new)
+        return new, (_step_outputs(filt, new),)
 
+    rest_inter = None
     if n_steps > 1:
         keys = jax.random.split(k_scan, n_steps - 1)
-        last_state, rest_out = jax.lax.scan(step, state1, (keys, y[1:]), unroll=unroll)
+        last_state, rest = jax.lax.scan(step, state1, (keys, y[1:]), unroll=unroll)
+        rest_out = rest[0]
+        if record_inter:
+            rest_inter = rest[1]  # leaves shaped (T-1, n_sub, ...)
         outs = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), first_out, rest_out
         )
@@ -229,13 +272,33 @@ def _batch_filter_impl(filt: BaseFilter, key, y, initial_state, unroll: int = 1)
         # (reference result.py:40 appends init_state), while filter_means spans
         # the T observations only (the reference's extra t=0 row is skipped by
         # its own tests, test_particle.py:105).
-        history = FilterHistory(
-            *jax.tree_util.tree_map(
-                lambda h0, hs: jnp.concatenate([jnp.asarray(h0)[None], hs], axis=0),
-                _history_leaves(state0),
-                tuple(outs[3:]),
+        if rest_inter is not None:
+            # interleave sub-step states with their corrections: timeline is
+            # [init, first correction, (substeps..., correction) x (T-1)]
+            rest_corr = tuple(o[1:] for o in outs[3:])  # (T-1, ...) leaves
+            first_corr = tuple(o[:1] for o in outs[3:])
+
+            def interleave(inter_leaf, corr_leaf):
+                combined = jnp.concatenate(
+                    [inter_leaf, corr_leaf[:, None]], axis=1
+                )  # (T-1, oes, ...)
+                return combined.reshape((-1,) + combined.shape[2:])
+
+            flat = tuple(interleave(i, c) for i, c in zip(rest_inter, rest_corr))
+            history = FilterHistory(
+                *(
+                    jnp.concatenate([jnp.asarray(h0)[None], f0, fl], axis=0)
+                    for h0, f0, fl in zip(_history_leaves(state0), first_corr, flat)
+                )
             )
-        )
+        else:
+            history = FilterHistory(
+                *jax.tree_util.tree_map(
+                    lambda h0, hs: jnp.concatenate([jnp.asarray(h0)[None], hs], axis=0),
+                    _history_leaves(state0),
+                    tuple(outs[3:]),
+                )
+            )
 
     return FilterResult(
         log_likelihood=jnp.sum(step_lls, axis=0),

@@ -1,0 +1,194 @@
+"""Exact Kalman filter for linear-Gaussian state-space models.
+
+New capability beyond the reference (which is particle-only): when the model
+is a ``LinearStateSpaceModel`` over a linear-affine hidden process, the
+filtering distribution is available in closed form. The API mirrors
+:class:`~pyfilter_tpu.filters.particle.ParticleFilter` — ``batch_filter`` is
+one ``lax.scan`` and returns a :class:`~pyfilter_tpu.filters.result.FilterResult`
+— so users can swap the exact filter in wherever a particle filter runs.
+
+The transition ``(F, b, Q)`` is extracted NUMERICALLY from the process's
+``mean_scale`` by probing basis states (with a linearity/homoscedasticity
+check), so any affine parameterization works — ``LinearModel``'s ``(a, b, s)``
+as well as e.g. ``models.AR``'s ``(alpha, beta, sigma)`` ordering.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..timeseries import TimeseriesState
+from .result import FilterResult
+
+
+class KalmanState(NamedTuple):
+    mean: jax.Array       # (d,)
+    cov: jax.Array        # (d, d)
+    log_likelihood: jax.Array
+    time_index: jax.Array
+
+    # protocol compatibility with ParticleFilterCorrection where meaningful
+    @property
+    def x(self) -> TimeseriesState:
+        return TimeseriesState(self.time_index, self.mean, 1)
+
+    def get_mean(self):
+        return self.mean
+
+    def get_variance(self):
+        return jnp.diagonal(self.cov, axis1=-2, axis2=-1)
+
+
+def _extract_affine(hidden):
+    """Probe ``mean_scale`` at basis states to recover ``(F, b, Q)``.
+
+    Raises if the drift is not affine or the diffusion depends on the state
+    (heteroscedastic models have no exact Kalman recursion).
+    """
+    ev = hidden.event_ndim
+    init = hidden.initial_distribution()
+    d = int(init.event_shape[0]) if ev == 1 else 1
+
+    def loc_scale(vec):
+        value = vec if ev == 1 else vec[0]
+        state = TimeseriesState(jnp.asarray(0.0), jnp.asarray(value, jnp.float32), ev)
+        loc, scale = hidden.mean_scale(state)
+        return (
+            np.atleast_1d(np.asarray(loc, np.float64)),
+            np.atleast_1d(np.asarray(scale, np.float64)),
+        )
+
+    b, scale0 = loc_scale(np.zeros(d))
+    cols = []
+    for j in range(d):
+        e = np.zeros(d)
+        e[j] = 1.0
+        loc_j, scale_j = loc_scale(e)
+        cols.append(loc_j - b)
+        if not np.allclose(scale_j, scale0, rtol=1e-5, atol=1e-7):
+            raise ValueError(
+                "KalmanFilter requires a state-independent diffusion scale"
+            )
+    f_mat = np.stack(cols, axis=-1)
+
+    # linearity check at a non-basis point
+    probe = np.full(d, 2.0)
+    loc_p, _ = loc_scale(probe)
+    if not np.allclose(loc_p, b + f_mat @ probe, rtol=1e-4, atol=1e-5):
+        raise ValueError("KalmanFilter requires an affine (linear) hidden drift")
+
+    inc_std = np.atleast_1d(np.asarray(hidden.increment_distribution.stddev, np.float64))
+    q_diag = np.square(scale0 * inc_std) * np.ones(d)
+    return (
+        jnp.asarray(f_mat, jnp.float32),
+        jnp.asarray(b, jnp.float32),
+        jnp.asarray(np.diag(q_diag), jnp.float32),
+        d,
+    )
+
+
+class KalmanFilter:
+    """Exact filter for affine-Gaussian models built from
+    :class:`LinearStateSpaceModel` over any linear-affine hidden process."""
+
+    def __init__(self, model):
+        if len(model.parameters) != 3:
+            raise ValueError("KalmanFilter requires LinearModel + LinearStateSpaceModel")
+        hidden = model.hidden
+        if not hasattr(hidden, "mean_scale") or not hasattr(hidden, "increment_distribution"):
+            raise ValueError("KalmanFilter requires LinearModel + LinearStateSpaceModel")
+        self.model = model
+
+        self.F, self.b, self.Q, self._d_x = _extract_affine(hidden)
+        self._d_y = int(model.event_shape[0]) if model.event_shape else 1
+
+        h, d_off, r = model.parameters
+        h = np.asarray(h, np.float64)
+        if h.ndim == 2:
+            h_mat = h
+        elif h.ndim == 0:
+            h_mat = (h * np.eye(self._d_x))[: self._d_y]
+        elif h.shape[0] == self._d_x and self._d_y == self._d_x:
+            # LinearStateSpaceModel's vector coefficients act elementwise
+            h_mat = np.diag(h)
+        else:
+            raise ValueError("observation coefficient must be scalar, matrix, or elementwise")
+        self.H = jnp.asarray(h_mat, jnp.float32)
+        self.d = jnp.broadcast_to(jnp.asarray(d_off, jnp.float32), (self._d_y,))
+        r = np.atleast_1d(np.asarray(r, np.float64))
+        self.R = jnp.asarray(np.eye(self._d_y) * np.square(r), jnp.float32)
+
+        init = hidden.initial_distribution()
+        m0 = jnp.broadcast_to(jnp.asarray(init.mean, jnp.float32), (self._d_x,))
+        v0 = jnp.asarray(init.variance, jnp.float32)
+        self.m0 = m0
+        self.P0 = jnp.eye(self._d_x) * jnp.broadcast_to(v0, (self._d_x,))
+
+    def initialize(self) -> KalmanState:
+        return KalmanState(self.m0, self.P0, jnp.asarray(0.0), jnp.asarray(0.0))
+
+    def filter(self, y_t, state: KalmanState, n_transitions: int = None) -> KalmanState:
+        """One predict+update move with all-NaN observation skip.
+
+        ``n_transitions`` hidden steps are applied before the update (defaults
+        to ``observe_every_step``; the first observation after t=0 uses one —
+        the same timing as the particle filters, filters/base.py)."""
+        y_t = jnp.atleast_1d(jnp.asarray(y_t, jnp.float32))
+        if n_transitions is None:
+            n_transitions = int(self.model.observe_every_step)
+
+        m, p = state.mean, state.cov
+        for _ in range(n_transitions):
+            m = self.F @ m + self.b
+            p = self.F @ p @ self.F.T + self.Q
+
+        s_mat = self.H @ p @ self.H.T + self.R
+        chol = jnp.linalg.cholesky(s_mat)
+        innov = jnp.where(jnp.isnan(y_t), 0.0, y_t - (self.H @ m + self.d))
+
+        solved = jax.scipy.linalg.cho_solve((chol, True), innov)
+        k_gain = p @ self.H.T @ jax.scipy.linalg.cho_solve(
+            (chol, True), jnp.eye(self._d_y)
+        )
+
+        log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        ll_t = -0.5 * (innov @ solved + log_det + self._d_y * math.log(2.0 * math.pi))
+
+        observed = ~jnp.isnan(y_t).all()
+        m_new = jnp.where(observed, m + k_gain @ innov, m)
+        p_new = jnp.where(observed, p - k_gain @ self.H @ p, p)
+        ll_new = state.log_likelihood + jnp.where(observed, ll_t, 0.0)
+
+        return KalmanState(m_new, p_new, ll_new, state.time_index + n_transitions)
+
+    def batch_filter(self, y) -> FilterResult:
+        """Exact filtering over the whole sequence (time axis leading)."""
+        y = jnp.asarray(y, jnp.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+
+        state1 = self.filter(y[0], self.initialize(), n_transitions=1)
+        first = (state1.log_likelihood, state1.mean, jnp.diagonal(state1.cov))
+
+        def step(state, y_t):
+            new = self.filter(y_t, state)
+            step_ll = new.log_likelihood - state.log_likelihood
+            return new, (step_ll, new.mean, jnp.diagonal(new.cov))
+
+        last, rest = jax.lax.scan(step, state1, y[1:])
+        step_lls, means, variances = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), first, rest
+        )
+        return FilterResult(
+            log_likelihood=last.log_likelihood,
+            step_log_likelihoods=step_lls,
+            filter_means=means,
+            filter_variances=variances,
+            latest_state=last,
+            states=None,
+        )

@@ -32,6 +32,7 @@ class ParticleFilter(BaseFilter):
 
     _config_fields = (
         "record_states",
+        "record_intermediary",
         "nan_strategy",
         "batch_shape",
         "model_builder",
@@ -54,6 +55,7 @@ class ParticleFilter(BaseFilter):
         proposal: Proposal = None,
         ess_threshold: float = 0.9,
         record_states: bool = False,
+        record_intermediary: bool = False,
         record_moments: bool = True,
         nan_strategy: str = "skip",
         batch_shape=(),
@@ -61,6 +63,7 @@ class ParticleFilter(BaseFilter):
         super().__init__(
             model,
             record_states=record_states,
+            record_intermediary=record_intermediary,
             nan_strategy=nan_strategy,
             batch_shape=batch_shape,
         )
@@ -209,7 +212,11 @@ class ParticleFilter(BaseFilter):
         (matching the reference's ``no_grad`` boundary, base.py:184-195).
         """
         model = self.model if model is None else model
-        filt = self.replace(model=model, record_states=True)
+        filt = self.replace(
+            model=model,
+            record_states=True,
+            record_intermediary=model.observe_every_step > 1,
+        )
 
         k_filter, k_smooth = jax.random.split(key)
         result = jax.lax.stop_gradient(filt.batch_filter(k_filter, y))

@@ -335,3 +335,75 @@ def test_local_linearization(key):
             res = filt.batch_filter(key, y)
             ll_o, ll = float(oracle.log_likelihood), float(res.log_likelihood)
             assert abs(ll - ll_o) / abs(ll_o) < 0.1, (filt_cls.__name__, lin_f, ll, ll_o)
+
+
+def test_kalman_filter_exact(key):
+    """The built-in exact KalmanFilter (new vs reference) matches the numpy
+    oracle on means, variances and loglik, including NaN skips."""
+    from pyfilter_tpu.filters import KalmanFilter as JKF
+
+    sigma = np.array([0.05, 0.1])
+    a, s = np.eye(2), 0.15 * np.ones(2)
+    inc = dist.Normal(0.0, 1.0).expand((2,)).to_event(1)
+    rw = ts.LinearModel(
+        (jnp.asarray(a, jnp.float32), jnp.asarray(sigma, jnp.float32)),
+        inc,
+        lambda m_, _, s_: dist.Normal(0.0, s_).expand((2,)).to_event(1),
+        event_ndim=1,
+    )
+    ssm = ts.LinearStateSpaceModel(
+        rw, (jnp.asarray(a, jnp.float32), jnp.asarray(s, jnp.float32)), event_shape=(2,)
+    )
+    oracle = KalmanFilter(
+        a, a, sigma**2.0 * np.eye(2), s**2.0 * np.eye(2),
+        initial_state_covariance=sigma**2.0 * np.eye(2),
+    )
+    rng = np.random.default_rng(3)
+    _, y = oracle.sample(80, rng)
+    y[10] = np.nan
+    km, kc, kll = oracle.filter(y)
+
+    res = JKF(ssm).batch_filter(y)
+    np.testing.assert_allclose(float(res.log_likelihood), kll, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.filter_means), km, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(res.filter_variances),
+        np.stack([np.diag(c) for c in kc]),
+        rtol=1e-3,
+        atol=1e-7,
+    )
+
+
+def test_record_intermediary(key):
+    """Sub-step state recording (reference record_intermediary_states,
+    base.py:206-208): the history timeline contains every hidden step, and
+    FFBS over it uses genuine single-step densities."""
+    sigma_h, sigma_o, oes = 0.1, 0.05, 4
+    rw = models.RandomWalk(sigma_h)
+    ssm = ts.LinearStateSpaceModel(rw, (1.0, sigma_o), observe_every_step=oes)
+
+    path = ssm.sample_states(jax.random.PRNGKey(5), 20 * oes)
+    ys = path.y
+    y = ys[~jnp.isnan(ys)]
+    assert y.shape[0] == 20
+
+    filt = SISR(ssm, 400, record_states=True, record_intermediary=True)
+    res = filt.batch_filter(key, y)
+
+    hist = res.states
+    # timeline: init + first correction + (oes per remaining observation)
+    expected_len = 1 + 1 + (20 - 1) * oes
+    assert hist.values.shape[0] == expected_len
+    times = np.asarray(hist.time_indexes)
+    np.testing.assert_allclose(times, np.arange(expected_len, dtype=np.float64) + 0.0 - (times[0]))
+    assert float(times[-1]) == 1 + 19 * oes
+
+    # FFBS over the dense history runs and produces the dense timeline
+    smoothed = filt.smooth(jax.random.PRNGKey(6), res, method="ffbs")
+    assert smoothed.shape[0] == expected_len
+    assert np.isfinite(np.asarray(smoothed)).all()
+
+    # without the flag, only corrected states are recorded
+    filt2 = SISR(ssm, 400, record_states=True)
+    res2 = filt2.batch_filter(key, y)
+    assert res2.states.values.shape[0] == 21

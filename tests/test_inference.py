@@ -474,3 +474,48 @@ def test_io_pytree_roundtrip(tmp_path, key):
     pio.save_pytree(path, state)
     restored = pio.load_pytree(path, target=state)
     np.testing.assert_allclose(np.asarray(restored.x.value), np.asarray(state.x.value))
+
+
+class TestPriorHelpers:
+    """Prior transform helpers (plays the role of reference tests/inference/test_prior.py
+    — no monkey-patch to assert, the helpers are free functions)."""
+
+    def test_constrained_unconstrained_roundtrip(self):
+        from pyfilter_tpu.inference import prior as pr
+
+        for prior in (dist.Exponential(2.0), dist.LogNormal(0.0, 1.0), dist.Uniform(-1.0, 3.0)):
+            v = prior.sample(jax.random.PRNGKey(0), (100,))
+            u = pr.get_unconstrained(prior, v)
+            assert np.isfinite(np.asarray(u)).all()
+            back = pr.get_constrained(prior, u)
+            np.testing.assert_allclose(np.asarray(back), np.asarray(v), rtol=1e-4, atol=1e-5)
+
+    def test_eval_prior_jacobian(self):
+        """Unconstrained density = constrained density + log|dconstrained/dunconstrained|."""
+        from pyfilter_tpu.inference import prior as pr
+
+        prior = dist.Exponential(3.0)
+        v = jnp.asarray([0.1, 0.5, 2.0])
+        lp_c = pr.eval_prior(prior, v, constrained=True)
+        lp_u = pr.eval_prior(prior, v, constrained=False)
+        # positive support -> exp bijector: log|dv/du| = log(v)
+        np.testing.assert_allclose(
+            np.asarray(lp_u), np.asarray(lp_c + jnp.log(v)), rtol=1e-5
+        )
+
+    def test_unconstrained_prior_integrates(self):
+        """MC check: samples of the unconstrained prior map back to prior samples."""
+        from pyfilter_tpu.inference import prior as pr
+
+        prior = dist.LogNormal(0.0, 0.5)
+        up = pr.unconstrained_prior(prior)
+        u = up.sample(jax.random.PRNGKey(1), (20_000,))
+        v = pr.get_constrained(prior, u)
+        ref = prior.sample(jax.random.PRNGKey(2), (20_000,))
+        assert abs(float(jnp.mean(v)) - float(jnp.mean(ref))) < 0.05
+
+    def test_get_numel(self):
+        from pyfilter_tpu.inference import prior as pr
+
+        assert pr.get_numel(dist.Normal(0.0, 1.0)) == 1
+        assert pr.get_numel(dist.Normal(0.0, 1.0).expand((3,)).to_event(1)) == 3
