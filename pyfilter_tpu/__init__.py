@@ -10,14 +10,19 @@ randomness is explicit ``jax.random`` keys.
 
 __version__ = "0.1.0"
 
-from . import distributions, filters, inference, resampling, timeseries, utils
-from .filters import APF, GPF, SISR, FilterResult, ParticleFilter
+from . import distributions, examples, filters, inference, io, ops, parallel, resampling, timeseries, utils
+from .filters import APF, GPF, SISR, FilterResult, KalmanFilter, ParticleFilter
 from .inference import NESS, NESSMC2, PMMH, SMC2, SMC2FW, make_context
 from .utils import get_ess, log_likelihood, normalize
 
 __all__ = [
     "distributions",
     "filters",
+    "examples",
+    "io",
+    "ops",
+    "parallel",
+    "KalmanFilter",
     "timeseries",
     "resampling",
     "utils",
