@@ -61,3 +61,27 @@ def mimic_arviz_posterior(context, state, num_cols: int = 3, ax=None, **kwargs):
         axes[j].axis("off")
 
     return fig, axes
+
+
+def plot_chains(result, num_cols: int = 3, burn_in: int = 0, ax=None, **kwargs):
+    """Trace plots of PMMH chains (one axis per parameter, one line per chain)."""
+    import matplotlib.pyplot as plt
+
+    chains = result.as_arrays()  # name -> (num_samples, num_chains, *event)
+    names = list(chains)
+    num_rows = (len(names) + num_cols - 1) // num_cols
+
+    if ax is None:
+        fig, ax = plt.subplots(num_rows, num_cols, figsize=(4 * num_cols, 2.5 * num_rows))
+    else:
+        fig = None
+    axes = np.atleast_1d(np.asarray(ax)).ravel()
+
+    for i, name in enumerate(names):
+        arr = chains[name][burn_in:]
+        if arr.shape[0] > 0:
+            axes[i].plot(arr.reshape(arr.shape[0], arr[0].size), alpha=0.7, **kwargs)
+        axes[i].set_title(name)
+    for j in range(len(names), len(axes)):
+        axes[j].axis("off")
+    return fig, axes

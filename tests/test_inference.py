@@ -519,3 +519,41 @@ class TestPriorHelpers:
 
         assert pr.get_numel(dist.Normal(0.0, 1.0)) == 1
         assert pr.get_numel(dist.Normal(0.0, 1.0).expand((3,)).to_event(1)) == 3
+
+
+def test_standardizer_collector():
+    """Standardizer inverse-transforms residuals through a TransformedDistribution
+    observation (reference collectors.py:63-89) — stoch-vol workload."""
+    from pyfilter_tpu import examples
+
+    true_model = examples.stochastic_volatility_model()
+    ys = true_model.sample_states(jax.random.PRNGKey(3), 40 * true_model.observe_every_step).y
+    y = ys[~jnp.isnan(ys)]
+
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(examples.stochastic_volatility_builder, 100)
+        alg = inf.SMC2(filt, 128, context=ctx, key=jax.random.PRNGKey(2))
+        alg.register_callback(inf.sequential.Standardizer())
+        state = alg.fit(y, logging=inf.logging.DefaultLogger())
+
+    resid = np.asarray(state.collected["standardized"])
+    assert resid.shape == (40,)
+    assert np.isfinite(resid).all()
+    # standardized residuals should be O(1)
+    assert np.abs(resid).mean() < 3.0
+
+
+def test_plot_chains():
+    pytest.importorskip("matplotlib")
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from pyfilter_tpu.inference.plot import plot_chains
+
+    y = simulate(20)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 64, proposal=proposals.LinearGaussianObservations())
+        alg = inf.PMMH(filt, num_samples=10, num_chains=2, context=ctx, key=jax.random.PRNGKey(2))
+        res = alg.fit(y, logging=inf.logging.DefaultLogger())
+    fig, axes = plot_chains(res)
+    assert len(axes) >= 3
