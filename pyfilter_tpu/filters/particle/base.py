@@ -59,7 +59,15 @@ class ParticleFilter(BaseFilter):
         record_moments: bool = True,
         nan_strategy: str = "skip",
         batch_shape=(),
+        # reference-signature aliases (particle/base.py:19-27) for drop-in
+        # migration: `resampling=` and `record_intermediary_states=`
+        resampling=None,
+        record_intermediary_states=None,
     ):
+        if resampling is not None:
+            resampling_method = resampling
+        if record_intermediary_states is not None:
+            record_intermediary = bool(record_intermediary_states)
         super().__init__(
             model,
             record_states=record_states,
@@ -76,6 +84,12 @@ class ParticleFilter(BaseFilter):
         self.proposal = proposal if proposal is not None else Bootstrap()
         self.ess_threshold = float(ess_threshold)
         self.record_moments = record_moments
+
+    # -- reference aliases -----------------------------------------------------
+    @property
+    def ssm(self):
+        """The underlying state-space model (reference ``BaseFilter.ssm``)."""
+        return self.model
 
     # -- shapes --------------------------------------------------------------
     @property

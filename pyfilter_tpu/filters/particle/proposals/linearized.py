@@ -27,6 +27,9 @@ class Linearized(Proposal):
     n_steps: int = 1
     alpha: float = 1e-4
     use_second_order: bool = False
+    #: accepted for reference-signature compatibility; both engines collapse
+    #: into the single JAX implementation (reference utils.py:64-216)
+    use_functorch: bool = True
 
     def __post_init__(self):
         if self.n_steps < 1:
