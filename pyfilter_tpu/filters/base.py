@@ -213,9 +213,16 @@ class BaseFilter:
 
 def _step_outputs(filt: BaseFilter, c: ParticleFilterCorrection):
     out = (c.log_likelihood, c.mean, c.variance)
-    if filt.record_states:
+    if filt.record_states is True:  # bool full recording; int k uses a rolling buffer
         out += _history_leaves(c)
     return out
+
+
+def _bounded_k(filt: BaseFilter):
+    rs = filt.record_states
+    if isinstance(rs, bool) or not isinstance(rs, int):
+        return None
+    return rs
 
 
 def _history_leaves(c: ParticleFilterCorrection):
@@ -237,11 +244,63 @@ def _batch_filter_impl(filt: BaseFilter, key, y, initial_state, unroll: int = 1)
 
     oes = filt.model.observe_every_step
     record_inter = (
-        filt.record_states
+        filt.record_states is True
         and getattr(filt, "record_intermediary", False)
         and oes > 1
         and n_steps > 1
     )
+
+    k_bound = _bounded_k(filt)
+    if k_bound is not None:
+        # rolling last-k history in the scan carry (the reference's
+        # ``record_states=int`` maxlen deque, container.py:10-18) — bounded
+        # memory for fixed-lag smoothing over long sequences.
+        total = n_steps + 1
+        if k_bound < 2 or k_bound > total:
+            raise ValueError(
+                f"record_states={k_bound} must be in [2, num_observations + 1]"
+            )
+        if getattr(filt, "record_intermediary", False):
+            raise ValueError("bounded record_states cannot record intermediaries")
+
+        leaves0 = tuple(jnp.asarray(l) for l in _history_leaves(state0))
+        buf = tuple(jnp.zeros((k_bound,) + l.shape, l.dtype).at[0].set(l) for l in leaves0)
+        buf = tuple(
+            b.at[1 % k_bound].set(jnp.asarray(l))
+            for b, l in zip(buf, _history_leaves(state1))
+        )
+
+        def step_bounded(carry, inp):
+            state, bb, g = carry
+            kk, y_t = inp
+            new = filt.filter(kk, y_t, state)
+            bb = tuple(
+                b.at[g % k_bound].set(jnp.asarray(l))
+                for b, l in zip(bb, _history_leaves(new))
+            )
+            return (new, bb, g + 1), (new.log_likelihood, new.mean, new.variance)
+
+        keys = jax.random.split(k_scan, n_steps - 1)
+        (last_state, buf, _), rest_out = jax.lax.scan(
+            step_bounded,
+            (state1, buf, jnp.asarray(2, jnp.int32)),
+            (keys, y[1:]),
+            unroll=unroll,
+        )
+        shift = total % k_bound  # static: slot of the oldest kept state
+        history = FilterHistory(*(jnp.roll(b, -shift, axis=0) for b in buf))
+        outs3 = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), first_out[:3], rest_out
+        )
+        step_lls, means, variances = outs3
+        return FilterResult(
+            log_likelihood=jnp.sum(step_lls, axis=0),
+            step_log_likelihoods=step_lls,
+            filter_means=means,
+            filter_variances=variances,
+            latest_state=last_state,
+            states=history,
+        )
 
     def step(state, inp):
         k, y_t = inp

@@ -407,3 +407,36 @@ def test_record_intermediary(key):
     filt2 = SISR(ssm, 400, record_states=True)
     res2 = filt2.batch_filter(key, y)
     assert res2.states.values.shape[0] == 21
+
+
+def test_bounded_record_states(key):
+    """record_states=k keeps exactly the last k states in chronological order
+    (the reference's maxlen-deque mode, container.py:10-18), enabling
+    memory-bounded fixed-lag smoothing."""
+    ssm, kalman = ar_model()
+    _, y = make_data(kalman)
+    y_in = jnp.asarray(y[:, 0], jnp.float32)
+
+    full = SISR(ssm, 300, record_states=True).batch_filter(key, y_in)
+    k = 12
+    bounded = SISR(ssm, 300, record_states=k).batch_filter(key, y_in)
+
+    assert bounded.states.values.shape[0] == k
+    # identical keys -> identical trajectories: bounded history == tail of full
+    np.testing.assert_array_equal(
+        np.asarray(bounded.states.values), np.asarray(full.states.values)[-k:]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bounded.states.time_indexes), np.asarray(full.states.time_indexes)[-k:]
+    )
+    np.testing.assert_allclose(
+        np.asarray(bounded.log_likelihood), np.asarray(full.log_likelihood)
+    )
+
+    # fixed-lag smoothing over the bounded window runs
+    filt = SISR(ssm, 300, record_states=k)
+    sm = filt.smooth(jax.random.PRNGKey(1), bounded, method="fl")
+    assert sm.shape[0] == k
+
+    with pytest.raises(ValueError, match="record_states"):
+        SISR(ssm, 300, record_states=500).batch_filter(key, y_in)
