@@ -37,7 +37,8 @@ class SISR(ParticleFilter):
             self.particles,
         )
 
-        def resample(key):
+        def resample_lanes(key):
+            # per-lane gates: always-compute + per-lane where
             fresh_idx = self.resampler(key, normalized, normalized=True)
             mask = ess < self.resample_threshold
             mask_p = mask[None]  # broadcast over particle axis
@@ -56,12 +57,23 @@ class SISR(ParticleFilter):
                 ts_state.copy(values=new_vals), new_weights, new_normalized, indices
             )
 
+        def resample(key):
+            # inside the scalar-gated cond branch the gate is known true:
+            # no per-lane where needed
+            indices = self.resampler(key, normalized, normalized=True)
+            new_vals = batched_gather(ts_state.value, indices, ts_state.event_ndim)
+            return ParticleFilterPrediction(
+                ts_state.copy(values=new_vals),
+                jnp.zeros_like(weights),
+                jnp.full_like(normalized, 1.0 / self.n_particles),
+                indices,
+            )
+
         def passthrough(key):
             return ParticleFilterPrediction(ts_state, weights, normalized, identity)
 
         if self.batch_shape:
-            # per-lane gates: always-compute + per-lane where (inside resample)
-            return resample(key)
+            return resample_lanes(key)
 
         # single filter: the gate is one scalar — lax.cond skips the whole
         # cumsum/sort/gather resampling pipeline on the (typically most)
