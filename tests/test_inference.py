@@ -297,13 +297,18 @@ def test_ness_recovers_parameters():
 
 
 @pytest.mark.slow
-def test_nessmc2_and_smc2fw_run():
+def test_nessmc2_and_smc2fw_recover():
+    """Hybrid algorithms (SMC2 -> NESS/FixedWidthNESS after the switch) must
+    still recover the identifiable parameters."""
     for cls in (inf.NESSMC2, inf.SMC2FW):
         post, state, ctx, _ = run_sequential(
-            lambda f, p, c: cls(f, p, switch=30, context=c, key=jax.random.PRNGKey(4)),
-            n_obs=80,
+            lambda f, p, c: cls(f, p, switch=50, context=c, key=jax.random.PRNGKey(4)),
+            n_obs=200,
         )
+        kappa, gamma, sigma = post
         assert np.isfinite(post).all()
+        assert abs(gamma - TRUE_GAMMA) < 0.25, (cls.__name__, post)
+        assert abs(sigma - TRUE_SIGMA) < 0.1, (cls.__name__, post)
 
 
 def test_smc2_particle_increase():
