@@ -7,6 +7,11 @@ from .particle import APF, GPF, SISR, ParticleFilter
 from .result import FilterHistory, FilterResult
 from .state import ParticleFilterCorrection, ParticleFilterPrediction
 
+# reference import-path aliases (pyfilter.filters exports Prediction/Correction,
+# filters/__init__.py:1-4)
+Prediction = ParticleFilterPrediction
+Correction = ParticleFilterCorrection
+
 __all__ = [
     "BaseFilter",
     "KalmanFilter",
@@ -19,5 +24,7 @@ __all__ = [
     "FilterHistory",
     "ParticleFilterCorrection",
     "ParticleFilterPrediction",
+    "Prediction",
+    "Correction",
     "particle",
 ]
