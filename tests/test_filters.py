@@ -152,7 +152,17 @@ def test_filter_vs_kalman_ar(filter_name):
 @pytest.mark.parametrize("model_name", ["rw2d", "joint2d"])
 @pytest.mark.parametrize(
     "filter_name",
-    ["sisr-bootstrap", "apf-linear", "sisr-linearized", "sisr-linearized2", "gpf", "apf-nested"],
+    [
+        "sisr-bootstrap",
+        "apf-linear",
+        "sisr-linearized",
+        "sisr-linearized2",
+        "gpf",
+        "gpf-glinear",
+        "gpf-glinearized",
+        "gpf-glinearized2",
+        "apf-nested",
+    ],
 )
 def test_filter_vs_kalman_2d(model_name, filter_name):
     run_filter_check(model_name, filter_name)
