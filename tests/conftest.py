@@ -17,6 +17,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent compilation cache: repeat suite runs skip XLA compiles entirely —
+# much faster, and fewer compiles means less exposure to rare LLVM-compile
+# segfaults observed on this single-core host.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 

@@ -20,6 +20,12 @@ def build_ssm(sigma):
 
 @pytest.mark.slow
 def test_svi_recovers_sigma():
+    # the SVI step is the largest single XLA compile in the suite; after ~140
+    # prior test compiles the CPU backend segfaults inside LLVM on this
+    # single-core host (jax 0.9.0). Clearing the in-process caches before the
+    # big compile avoids the corrupted-state trigger; the persistent
+    # compilation cache (conftest) makes repeat runs skip the compile entirely.
+    jax.clear_caches()
     true_sigma = 0.05
     _, y = build_ssm(true_sigma).sample_states(jax.random.PRNGKey(123), 250).get_paths()
 
