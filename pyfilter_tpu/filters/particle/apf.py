@@ -8,6 +8,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ...ops.expand import systematic_expand
 from ...utils import batched_gather, log_likelihood
 from ..state import ParticleFilterCorrection, ParticleFilterPrediction
 from .base import ParticleFilter
@@ -38,10 +39,17 @@ class APF(ParticleFilter):
         pre_weights = self.proposal.pre_weight(self.model, y, ts_state)
         resample_weights = pre_weights + prediction.log_weights
 
-        indices = self.resampler(k_resample, resample_weights)
-        resampled_x = ts_state.copy(
-            values=batched_gather(ts_state.value, indices, ts_state.event_ndim)
-        )
+        if self._use_fused_resample(ts_state.value):
+            # fused Pallas resample+gather (ops/expand.py) pulls the state
+            # values AND the pre-weights through one streaming expansion
+            (res_vals, res_prew), indices = systematic_expand(
+                k_resample, resample_weights, (ts_state.value, pre_weights)
+            )
+        else:
+            indices = self.resampler(k_resample, resample_weights)
+            res_vals = batched_gather(ts_state.value, indices, ts_state.event_ndim)
+            res_prew = batched_gather(pre_weights, indices, 0)
+        resampled_x = ts_state.copy(values=res_vals)
 
         zeros = jnp.zeros_like(resample_weights)
         resampled_prediction = ParticleFilterPrediction(
@@ -51,7 +59,7 @@ class APF(ParticleFilter):
         x, inc_weights = self.proposal.sample_and_weight(
             k_prop, self.model, y, resampled_prediction
         )
-        weights = inc_weights - batched_gather(pre_weights, indices, 0)
+        weights = inc_weights - res_prew
 
         aux_norm = jnp.log(
             jnp.sum(prediction.normalized_weights * jnp.exp(pre_weights), axis=0)

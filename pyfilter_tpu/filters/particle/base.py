@@ -41,6 +41,7 @@ class ParticleFilter(BaseFilter):
         "resampler",
         "ess_threshold",
         "record_moments",
+        "fused_resample",
     )
 
     def __init__(
@@ -59,6 +60,10 @@ class ParticleFilter(BaseFilter):
         record_moments: bool = True,
         nan_strategy: str = "skip",
         batch_shape=(),
+        # fused Pallas resample+gather (ops/expand.py): None = auto-enable on
+        # TPU for large single-lane clouds with a systematic resampler; True
+        # forces it (systematic semantics); False disables.
+        fused_resample: bool = None,
         # reference-signature aliases (particle/base.py:19-27) for drop-in
         # migration: `resampling=` and `record_intermediary_states=`
         resampling=None,
@@ -84,6 +89,23 @@ class ParticleFilter(BaseFilter):
         self.proposal = proposal if proposal is not None else Bootstrap()
         self.ess_threshold = float(ess_threshold)
         self.record_moments = record_moments
+        self.fused_resample = fused_resample
+
+    def _use_fused_resample(self, value: jax.Array) -> bool:
+        """Trace-time decision: route the resample+gather through the fused
+        Pallas expansion kernel (ops/expand.py). Only single-lane f32 clouds
+        qualify; the auto mode additionally requires a TPU backend, a
+        systematic-family resampler, and a cloud large enough that the XLA
+        scatter/gather floor dominates."""
+        if self.batch_shape or value.dtype != jnp.float32:
+            return False
+        if self.fused_resample is not None:
+            return bool(self.fused_resample)
+        return (
+            jax.default_backend() == "tpu"
+            and self.n_particles >= 16384
+            and self.resampler in (systematic_counts, resampling.systematic)
+        )
 
     # -- reference aliases -----------------------------------------------------
     @property

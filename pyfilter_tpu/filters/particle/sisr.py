@@ -10,6 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ...ops.expand import systematic_expand
 from ...utils import batched_gather, get_ess, log_likelihood
 from ..state import ParticleFilterCorrection, ParticleFilterPrediction
 from .base import ParticleFilter
@@ -60,8 +61,15 @@ class SISR(ParticleFilter):
         def resample(key):
             # inside the scalar-gated cond branch the gate is known true:
             # no per-lane where needed
-            indices = self.resampler(key, normalized, normalized=True)
-            new_vals = batched_gather(ts_state.value, indices, ts_state.event_ndim)
+            if self._use_fused_resample(ts_state.value):
+                # fused Pallas resample+gather (ops/expand.py): streams the
+                # cloud instead of paying the XLA scatter+gather floor
+                new_vals, indices = systematic_expand(
+                    key, normalized, ts_state.value, normalized=True
+                )
+            else:
+                indices = self.resampler(key, normalized, normalized=True)
+                new_vals = batched_gather(ts_state.value, indices, ts_state.event_ndim)
             return ParticleFilterPrediction(
                 ts_state.copy(values=new_vals),
                 jnp.zeros_like(weights),

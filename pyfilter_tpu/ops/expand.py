@@ -1,0 +1,238 @@
+"""Fused systematic resample + particle gather as a Pallas TPU kernel.
+
+The ~19 ms cost of a resample fire at N=1e6 (PERF.md) is two XLA random-access
+ops: the int scatter inside counts inversion (~8 ms) and the value gather
+``x[idx]`` (~8 ms). Both are unnecessary: systematic-resampling indices are
+**monotone non-decreasing**, so resampling is a *streaming expansion* — output
+block ``[kB, (k+1)B)`` only reads source particles in a narrow window around
+``idx[kB]``. This module exploits that:
+
+1.  XLA side: cumulative weights -> integer copy-count boundaries
+    ``counts[j] = #positions below cumw[j]`` (exactly as
+    :mod:`pyfilter_tpu.ops.resample`), plus a cheap binary search of the
+    ``n/B`` block-boundary positions to find each output block's source
+    window start.
+2.  Pallas side: for each output block, compare the window's count
+    boundaries against the block's output positions — a ``(window, B)``
+    one-hot selection matrix ``1{cshift[j] <= i < counts[j]}`` built on the
+    VPU — and contract it with the window's particle values on the MXU.
+    The one-hot contraction reproduces the gather **bit-exactly** (each
+    output row sums exactly one value times 1.0), and the ancestor index
+    comes free as a row-sum of the step matrix.
+
+Streaming reads replace random access entirely; the only random-ish op left
+is a contiguous-rows pre-gather of the per-group windows, which runs at copy
+speed. Degenerate weight profiles whose windows exceed the static bound
+(possible only with long runs of zero-copy particles) are detected with a
+scalar check and routed to the XLA counts-inversion + gather fallback via
+``lax.cond``.
+
+Reference hot path this replaces: pyfilter/resampling.py:24-52 plus the
+``x[idx]`` gathers at pyfilter/filters/particle/sisr.py:29-43 and
+apf.py:25-46.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import normalize
+
+__all__ = ["systematic_expand"]
+
+# Output block of B positions reads a window of WINDOW source particles.
+# Work scales as n * WINDOW compares, so keep the window tight; GROUP output
+# blocks share one grid step (and one VMEM-resident region) to amortize
+# dispatch. REGION covers GROUP consecutive windows plus slack.
+_B = 128
+_WINDOW = 2 * _B
+_GROUP = 32
+_REGION = (_GROUP + 2) * _B
+
+
+def _counts_from_probs(probs: jax.Array, u: jax.Array) -> jax.Array:
+    """Copy-count boundaries: counts[j] = #{i : (i+u)/n < cumw[j]} (see
+    ops/resample.py — identical arithmetic, so indices match bit-for-bit)."""
+    n = probs.shape[0]
+    cumw = jnp.cumsum(probs)
+    cumw = cumw.at[-1].set(1.0)
+    return jnp.clip(jnp.ceil(n * cumw - u), 0, n).astype(jnp.int32)
+
+
+def _invert_counts(counts: jax.Array) -> jax.Array:
+    """Counts -> ancestor indices via scatter-add inversion (the XLA fallback;
+    same algorithm as ops/resample._counts_invert_1d)."""
+    n = counts.shape[0]
+    n_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), counts[:-1]])
+    scat = jnp.zeros(n, jnp.int32).at[jnp.minimum(n_prev, n - 1)].add(
+        jnp.where(n_prev < n, 1, 0).astype(jnp.int32)
+    )
+    return jnp.cumsum(scat) - 1
+
+
+def _expand_kernel(rel_ref, s_ref, regions_ref, out_ref, *, n_cols: int):
+    """One grid step: GROUP output blocks expanded from one VMEM region.
+
+    rel_ref/s_ref: SMEM (1, GROUP) int32 — window start relative to the
+    region / absolute. regions_ref: VMEM (1, REGION, 2 + D) with columns
+    [cshift, counts, values...]. out_ref: VMEM (GROUP*B, D + 1) with columns
+    [values..., ancestor index].
+    """
+    g = pl.program_id(0)
+    d = n_cols - 2
+    base = (g * _GROUP * _B).astype(jnp.float32)
+    iota = jax.lax.broadcasted_iota(jnp.float32, (1, _B), 1)
+
+    for b in range(_GROUP):
+        rel = pl.multiple_of(rel_ref[0, b], 8)
+        w = regions_ref[0, pl.ds(rel, _WINDOW), :]  # (WINDOW, 2 + D)
+        i_row = base + (b * _B) + iota  # (1, B) output positions
+
+        # one-hot[j, i] = 1{cshift[j] <= i < counts[j]} — difference of steps
+        c_lo = (w[:, 0:1] <= i_row).astype(jnp.float32)  # (WINDOW, B)
+        c_hi = (w[:, 1:2] <= i_row).astype(jnp.float32)
+        vals = jax.lax.dot_general(
+            c_lo - c_hi,
+            w[:, 2:],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, D) — exact: one value times 1.0 per row
+
+        # ancestor index: idx[i] = S + #{j in window : counts[j] <= i}
+        idx = s_ref[0, b].astype(jnp.float32) + jnp.sum(c_hi, axis=0)
+
+        out_ref[pl.ds(b * _B, _B), :d] = vals
+        out_ref[pl.ds(b * _B, _B), d:] = idx[:, None]
+
+
+def _expand_pallas(counts, v2d, rel, s_groups, r_starts, n_out_pad, interpret):
+    n, d = v2d.shape
+    n_src_pad = n + _REGION
+
+    counts_f = counts.astype(jnp.float32)
+    cshift_f = jnp.concatenate([jnp.zeros(1, jnp.float32), counts_f[:-1]])
+    win = jnp.concatenate([cshift_f[:, None], counts_f[:, None], v2d], axis=1)
+    sentinel = jnp.concatenate(
+        [jnp.full((1, 2), float(n), jnp.float32), jnp.zeros((1, d), jnp.float32)],
+        axis=1,
+    )
+    win = jnp.concatenate(
+        [win, jnp.broadcast_to(sentinel, (n_src_pad - n, d + 2))], axis=0
+    )
+
+    # contiguous-rows pre-gather of each group's region (copy-speed)
+    regions = jax.vmap(
+        lambda r: jax.lax.dynamic_slice(win, (r, 0), (_REGION, d + 2))
+    )(r_starts)
+
+    n_groups = n_out_pad // (_GROUP * _B)
+    out = pl.pallas_call(
+        functools.partial(_expand_kernel, n_cols=d + 2),
+        out_shape=jax.ShapeDtypeStruct((n_out_pad, d + 1), jnp.float32),
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, _GROUP), lambda g: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _GROUP), lambda g: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, _REGION, d + 2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (_GROUP * _B, d + 1), lambda g: (g, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(rel, s_groups, regions)
+
+    vals = out[:n, :d]
+    idx = out[:n, d].astype(jnp.int32)
+    return vals, idx
+
+
+def systematic_expand(
+    key: jax.Array | None,
+    weights: jax.Array,
+    values,
+    normalized: bool = False,
+    u: jax.Array | None = None,
+    interpret: bool | None = None,
+):
+    """Systematic resample + gather in one fused pass (single lane).
+
+    ``weights``: (N,) log-weights (or probabilities with ``normalized=True``).
+    ``values``: one array or a tuple of arrays, each of shape ``(N, ...)`` —
+    everything that must be gathered with the ancestor indices (state values,
+    APF pre-weights, ...). float32 only.
+
+    Returns ``(resampled_values, indices)`` with ``resampled_values``
+    matching the structure of ``values`` and ``indices`` the int32 ancestor
+    vector — bit-identical to ``ops.systematic_counts`` + gather.
+    """
+    w = jnp.asarray(weights)
+    if w.ndim != 1:
+        raise ValueError("systematic_expand supports a single lane; got batched weights")
+    probs = w if normalized else normalize(w, axis=0)
+    probs = probs.astype(jnp.float32)
+    n = probs.shape[0]
+    if n >= 1 << 24:
+        raise ValueError("particle count must stay below 2**24 for exact f32 indexing")
+
+    single = not isinstance(values, (tuple, list))
+    vals_in = (values,) if single else tuple(values)
+    shapes = [v.shape for v in vals_in]
+    v2d = jnp.concatenate(
+        [jnp.asarray(v, jnp.float32).reshape(n, -1) for v in vals_in], axis=1
+    )
+
+    if u is None:
+        if key is None:
+            raise ValueError("either key or u must be provided")
+        u = jax.random.uniform(key, (), dtype=probs.dtype)
+    u = jnp.asarray(u, probs.dtype).reshape(())
+
+    counts = _counts_from_probs(probs, u)
+
+    gb = _GROUP * _B
+    n_out_pad = max(gb, ((n + gb - 1) // gb) * gb)
+    n_blocks = n_out_pad // _B
+
+    bounds = jnp.arange(n_blocks, dtype=jnp.int32) * _B
+    first_src = jnp.searchsorted(counts, bounds, side="right").astype(jnp.int32)
+    last_src = jnp.searchsorted(counts, bounds + (_B - 1), side="right").astype(jnp.int32)
+
+    starts = (first_src // 8) * 8
+    s_groups = starts.reshape(-1, _GROUP)
+    r_starts = s_groups[:, 0]
+    rel = s_groups - r_starts[:, None]
+
+    valid = bounds < n
+    span_ok = last_src <= starts + _WINDOW
+    region_ok = (rel + _WINDOW <= _REGION).reshape(-1)
+    overflow = jnp.any(valid & ~(span_ok & region_ok))
+    rel = jnp.minimum(rel, _REGION - _WINDOW)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def fallback(_):
+        idx = _invert_counts(counts)
+        return jnp.take(v2d, idx, axis=0), idx
+
+    def fused(_):
+        return _expand_pallas(counts, v2d, rel, s_groups, r_starts, n_out_pad, interpret)
+
+    vals2d, idx = jax.lax.cond(overflow, fallback, fused, None)
+
+    outs = []
+    col = 0
+    for v, shape in zip(vals_in, shapes):
+        width = 1
+        for dim in shape[1:]:
+            width *= int(dim)
+        outs.append(vals2d[:, col : col + width].reshape(shape).astype(v.dtype))
+        col += width
+    return (outs[0] if single else tuple(outs)), idx

@@ -1,5 +1,5 @@
-"""TPU-optimized ops: counts resampler (see test_resampling) and the fused
-Pallas observation step."""
+"""TPU-optimized ops: counts resampler (see test_resampling), the fused
+Pallas observation step, and the fused Pallas resample+gather expansion."""
 
 import jax
 import jax.numpy as jnp
@@ -8,10 +8,95 @@ import pytest
 
 import pyfilter_tpu as pf
 from pyfilter_tpu import examples
+from pyfilter_tpu.ops import systematic_counts, systematic_expand
+from pyfilter_tpu.utils import batched_gather
 
 
 def _model():
     return examples.stochastic_volatility_model(0.1, 1.0, 0.05, 0.0, 0.0, 1.0, dt=0.2)
+
+
+@pytest.mark.parametrize("n", [257, 1000, 4096, 9001])
+@pytest.mark.parametrize("event", [(), (2,), (3, 2)])
+def test_systematic_expand_matches_counts_resampler(key, n, event):
+    """The Pallas expansion must reproduce counts-inversion + gather
+    bit-for-bit (same counts arithmetic, exact one-hot selection)."""
+    k_w, k_v, k_u = jax.random.split(key, 3)
+    lw = jax.random.normal(k_w, (n,)) * 2.0
+    vals = jax.random.normal(k_v, (n, *event))
+    u = jax.random.uniform(k_u, ())
+
+    ref_idx = systematic_counts(None, lw, u=u)
+    ref_vals = batched_gather(vals, ref_idx, len(event))
+
+    out_vals, idx = systematic_expand(None, lw, vals, u=u)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_array_equal(np.asarray(out_vals), np.asarray(ref_vals))
+
+
+def test_systematic_expand_multiple_arrays_and_jit(key):
+    n = 2048
+    k_w, k_v = jax.random.split(key)
+    lw = jax.random.normal(k_w, (n,))
+    vals = jax.random.normal(k_v, (n, 2))
+
+    fn = jax.jit(lambda w, v, p, u: systematic_expand(None, w, (v, p), u=u))
+    (out_vals, out_prew), idx = fn(lw, vals, lw, jnp.float32(0.25))
+    ref_idx = systematic_counts(None, lw, u=jnp.float32(0.25))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_array_equal(np.asarray(out_prew), np.asarray(lw)[np.asarray(ref_idx)])
+    np.testing.assert_array_equal(
+        np.asarray(out_vals), np.asarray(vals)[np.asarray(ref_idx)]
+    )
+
+
+@pytest.mark.parametrize("hot", [0, 17, 4095])
+def test_systematic_expand_degenerate_weights_fallback(hot):
+    """All mass on one particle: window spans overflow the static bound and
+    the scalar check must route to the XLA fallback — still exact."""
+    n = 4096
+    lw = jnp.full((n,), -jnp.inf).at[hot].set(0.0)
+    vals = jnp.arange(n, dtype=jnp.float32)
+    out_vals, idx = systematic_expand(None, lw, vals, u=jnp.float32(0.5))
+    assert bool((idx == hot).all())
+    assert bool((out_vals == float(hot)).all())
+
+
+def test_systematic_expand_zero_count_runs(key):
+    """Alternating zero-weight runs exercise window skew without overflow."""
+    n = 4096
+    lw = jnp.where(jnp.arange(n) % 3 == 0, 0.0, -jnp.inf)
+    u = jnp.float32(0.7)
+    ref_idx = systematic_counts(None, lw, u=u)
+    out_vals, idx = systematic_expand(None, lw, jnp.arange(n, dtype=jnp.float32), u=u)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_array_equal(np.asarray(out_vals), np.asarray(ref_idx, np.float32))
+
+
+@pytest.mark.parametrize("cls", [pf.SISR, pf.APF])
+def test_fused_resample_filter_bit_identical(key, cls):
+    """A filter with the fused Pallas resample must produce the exact same
+    run as the standard counts-inversion path (same keys, same u)."""
+    model = _model()
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.normal(0.0, 0.5, 12).astype(np.float32))
+
+    # low ESS threshold argument not needed: SISR resamples whenever gated;
+    # use enough observations that resampling fires.
+    base = cls(model, 512, record_states=True, fused_resample=False)
+    fused = cls(model, 512, record_states=True, fused_resample=True)
+
+    r1 = base.batch_filter(key, y)
+    r2 = fused.batch_filter(key, y)
+    np.testing.assert_allclose(
+        float(r1.log_likelihood), float(r2.log_likelihood), rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r1.states.values), np.asarray(r2.states.values)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r1.states.prev_indices), np.asarray(r2.states.prev_indices)
+    )
 
 
 def test_fused_bootstrap_filter_structure(key):
