@@ -4,22 +4,70 @@ Re-design of the reference's ``pyfilter/inference/sequential/base.py``:
 ``num_particles`` parameter lanes ride the filter's batch axis; each
 observation step runs one jit-compiled filter move over all lanes, and
 rejuvenation kernels rebuild the model functionally.
+
+The reference's fit loop (sequential/base.py:93-102) — and round 1 of this
+package — synced device to host after every observation to evaluate the
+rejuvenation trigger. Here ``fit`` runs jitted **scan chunks** instead: one
+compiled ``lax.scan`` advances ``chunk_size`` observations and returns the
+per-step parameter-ESS/non-finite trigger signals; the host inspects them
+once per chunk and, when a step inside the chunk fired, replays the chunk up
+to the trigger (the scan body is gated on a traced ``[lo, hi)`` window, so
+every replay reuses the same compiled program) before rejuvenating.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List
+import functools
+from typing import Any, Callable, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
+from ...utils import get_ess
 from ..base import BaseAlgorithm
 from ..logging import TQDMWrapper
 from ..state import RunningFilterResult, SequentialAlgorithmState
 
 
+@jax.jit
+def _chunk_scan(filt, corr, w, ll, ys, keys, lo, hi):
+    """Advance the filter over steps ``i`` in the traced window ``[lo, hi)``
+    (passthrough outside it), bumping the parameter lane weights. Returns the
+    final ``(correction, w, log_likelihood)`` carry plus per-step trigger
+    signals (parameter ESS, any-non-finite) and — when the filter records
+    moments — the per-step filter means/variances."""
+    record_moments = getattr(filt, "record_moments", True)
+
+    def body(carry, inp):
+        y_t, k_t, i = inp
+
+        def active(args):
+            corr, w, ll = args
+            new = filt.filter(k_t, y_t, corr, first_step=False)
+            inc = new.log_likelihood
+            return new, w + inc, ll + inc
+
+        corr, w, ll = jax.lax.cond(
+            (i >= lo) & (i < hi), active, lambda args: args, carry
+        )
+        outs = (get_ess(w), ~jnp.isfinite(w).all())
+        if record_moments:
+            outs = outs + (corr.mean, corr.variance)
+        return (corr, w, ll), outs
+
+    idx = jnp.arange(ys.shape[0], dtype=jnp.int32)
+    return jax.lax.scan(body, (corr, w, ll), (ys, keys, idx))
+
+
 class SequentialParticleAlgorithm(BaseAlgorithm):
     """Reference sequential/base.py:14-102. Wires the filter's lane axis and
     the context's batch shape to the same ``num_particles``."""
+
+    #: subclasses that express their rejuvenation trigger via
+    #: :meth:`_chunk_trigger` opt in to the chunked (host-sync-free) fit loop.
+    _chunk_supported: bool = False
+    _default_chunk_size: int = 16
 
     def __init__(self, filter_, num_particles: int, context=None, key=None, record_moments: bool = True):
         super().__init__(filter_, context=context, key=key)
@@ -79,16 +127,129 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
         state.append(correction)
         return state
 
-    def fit(self, y, logging=None) -> SequentialAlgorithmState:
+    def fit(self, y, logging=None, chunk_size: int | None = None) -> SequentialAlgorithmState:
+        """Fit the algorithm over ``y``.
+
+        ``chunk_size``: observations advanced per compiled scan before the
+        host inspects the rejuvenation triggers (default
+        ``_default_chunk_size`` when the algorithm supports chunking and no
+        per-step callbacks are registered; pass 1 to force the per-step
+        reference-style loop)."""
         logging = logging or TQDMWrapper()
         y = jnp.asarray(y)
 
+        if chunk_size is None:
+            chunk_size = (
+                self._default_chunk_size
+                if self._chunk_supported and not self._callbacks
+                else 1
+            )
+
         with logging.initialize(self, y.shape[0]):
             state = self.initialize()
+            if chunk_size > 1 and self._chunk_supported and not self._callbacks:
+                return self._fit_chunked(y, state, logging, int(chunk_size))
             for yt in y:
                 state = self.step(yt, state)
                 logging.do_log(state.current_iteration, state)
             return state
+
+    # -- chunked fit (host-sync once per chunk) --------------------------------
+    def _chunk_trigger(self, t0: int, ess, nonfinite) -> Optional[int]:
+        """First local index ``j`` such that rejuvenation must run AFTER global
+        step ``t0 + j`` (``ess[j]``/``nonfinite[j]`` describe the parameter
+        weights after that step), or None. Host-side, NumPy inputs."""
+        raise NotImplementedError
+
+    def _do_rejuvenate(self, state):
+        """Run the algorithm's rejuvenation kernel and absorb its results
+        (shared by SMC2's PMMH kernel and NESS's jitter kernel)."""
+        update = self._kernel.update(self._next_key(), self.context, self._filter, state)
+        self.context.absorb(update.context)
+        self._filter = update.filter_
+        return update.state
+
+    def _on_data_consumed(self, state, y_rows):
+        """Hook: observations just absorbed into the state (SMC2 history)."""
+
+    def _fit_chunked(self, y, state, logging, chunk: int) -> SequentialAlgorithmState:
+        n_total = int(y.shape[0])
+
+        # the first observation runs alone: ``first_step=True`` is a static
+        # structural flag (sub-step count), so it cannot live inside the scan
+        corr0 = self._filter.step(
+            self._next_key(), y[0], state.filter_state.latest_state, first_step=True
+        )
+        self._on_data_consumed(state, y[0:1])
+        state.append(corr0)
+        state.bump_iteration()
+        trig = self._chunk_trigger(
+            0,
+            np.asarray(state.ess[-1])[None],
+            np.asarray(~jnp.isfinite(state.w).all())[None],
+        )
+        if trig is not None:
+            state = self._do_rejuvenate(state)
+        logging.do_log(state.current_iteration, state)
+
+        t = 1
+        while t < n_total:
+            n_eff = min(chunk, n_total - t)
+            ys_c = y[t : t + n_eff]
+            if n_eff < chunk:  # static chunk shape: one compile for all chunks
+                pad = jnp.broadcast_to(ys_c[-1:], (chunk - n_eff,) + ys_c.shape[1:])
+                ys_c = jnp.concatenate([ys_c, pad], axis=0)
+            # one _next_key per observation — the same key stream the per-step
+            # loop consumes, so both paths are bit-identical up to the first
+            # rejuvenation
+            keys = jnp.stack([self._next_key() for _ in range(chunk)])
+
+            lo = 0
+            while lo < n_eff:
+                carry = (
+                    state.filter_state.latest_state,
+                    state.w,
+                    state.filter_state.log_likelihood,
+                )
+                carry_out, outs = _chunk_scan(
+                    self._filter, *carry, ys_c, keys, jnp.int32(lo), jnp.int32(n_eff)
+                )
+                ess_np = np.asarray(outs[0])  # the chunk's single host sync
+                nonfin_np = np.asarray(outs[1])
+                # slice row j corresponds to global step t + j
+                trig = self._chunk_trigger(t, ess_np[lo:n_eff], nonfin_np[lo:n_eff])
+                hi = n_eff if trig is None else lo + trig + 1
+                if trig is not None and hi < n_eff:
+                    # replay the prefix up to the trigger — same compiled scan,
+                    # the window bounds are traced scalars
+                    carry_out, outs = _chunk_scan(
+                        self._filter, *carry, ys_c, keys, jnp.int32(lo), jnp.int32(hi)
+                    )
+
+                self._absorb_chunk(state, carry_out, outs, lo, hi)
+                self._on_data_consumed(state, y[t : t + (hi - lo)])
+                t += hi - lo
+                lo = hi
+                if trig is not None:
+                    state = self._do_rejuvenate(state)
+            logging.do_log(state.current_iteration, state)
+        return state
+
+    def _absorb_chunk(self, state, carry_out, outs, lo: int, hi: int):
+        """Fold a consumed scan window ``[lo, hi)`` into the running state."""
+        corr, w, ll = carry_out
+        state.w = w
+        state.filter_state.latest_state = corr
+        state.filter_state.log_likelihood = ll
+        ess = outs[0]
+        for j in range(lo, hi):
+            state.ess.append(ess[j])
+        if self.record_moments and len(outs) > 2:
+            means, variances = outs[2], outs[3]
+            for j in range(lo, hi):
+                state.filter_state.filter_means.append(means[j])
+                state.filter_state.filter_variances.append(variances[j])
+        state.current_iteration += hi - lo
 
 
 class CombinedSequentialParticleAlgorithm(SequentialParticleAlgorithm):

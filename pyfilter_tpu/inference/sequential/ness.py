@@ -15,7 +15,13 @@ from .kernels import NonShrinkingKernel, OnlineKernel
 
 class BaseOnlineAlgorithm(SequentialParticleAlgorithm):
     """Reference ness.py:15-59: jitter-rejuvenate the parameter lanes before
-    the filter step whenever :meth:`do_update_particles` fires."""
+    the filter step whenever :meth:`do_update_particles` fires.
+
+    The chunked ``fit`` expresses the same pre-step trigger as an
+    after-previous-step trigger: "rejuvenate before step t+1" and
+    "rejuvenate after step t" are the same event."""
+
+    _chunk_supported = True
 
     def __init__(self, filter_, particles, kernel=None, discrete: bool = False, context=None, key=None, **kwargs):
         super().__init__(filter_, particles, context=context, key=key, **kwargs)
@@ -26,10 +32,7 @@ class BaseOnlineAlgorithm(SequentialParticleAlgorithm):
 
     def _step(self, y, state):
         if self.do_update_particles(state):
-            update = self._kernel.update(self._next_key(), self.context, self._filter, state)
-            self.context.absorb(update.context)
-            self._filter = update.filter_
-            state = update.state
+            state = self._do_rejuvenate(state)
 
         return self._filter_step(y, state)
 
@@ -46,6 +49,12 @@ class NESS(BaseOnlineAlgorithm):
         triggered = state.current_iteration > 0 and float(ess[-1]) < self._threshold
         return triggered or bool(~jnp.isfinite(state.w).all())
 
+    def _chunk_trigger(self, t0, ess, nonfinite):
+        for j, (e, nf) in enumerate(zip(ess, nonfinite)):
+            if nf or e < self._threshold:
+                return j
+        return None
+
 
 class FixedWidthNESS(BaseOnlineAlgorithm):
     """Block-scheduled updates every ``block_len`` steps (reference ness.py:88-109)."""
@@ -60,3 +69,11 @@ class FixedWidthNESS(BaseOnlineAlgorithm):
         return (self._num_iterations % self._bl == 0) or bool(
             ~jnp.isfinite(state.w).all()
         )
+
+    def _chunk_trigger(self, t0, ess, nonfinite):
+        # the reference triggers before 1-based step i when i % block_len == 0,
+        # i.e. after 0-based global step j when (j + 2) % block_len == 0
+        for j, nf in enumerate(nonfinite):
+            if nf or (t0 + j + 2) % self._bl == 0:
+                return j
+        return None

@@ -16,6 +16,8 @@ from .threshold import ConstantThreshold, Thresholder
 
 
 class SMC2(SequentialParticleAlgorithm):
+    _chunk_supported = True
+
     def __init__(
         self,
         filter_,
@@ -52,18 +54,30 @@ class SMC2(SequentialParticleAlgorithm):
     def _step(self, y, state: SMC2State) -> SMC2State:
         """Reference smc2.py:53-65: append data, filter, accumulate weights,
         rejuvenate when the parameter ESS drops below the threshold or any
-        weight goes non-finite."""
+        weight goes non-finite. (Per-step reference-style path; ``fit`` uses
+        the chunked scan by default — see ``_chunk_trigger``.)"""
         state.append_data(y)
         state = self._filter_step(y, state)
 
-        any_nans = bool(~jnp.isfinite(state.w).all())
-        ess = float(state.ess[-1])
-        thresh = self._threshold.get_threshold(len(state.ess) - 2)
-
-        if ess < thresh * self.num_particles or any_nans:
-            update = self._kernel.update(self._next_key(), self.context, self._filter, state)
-            self.context.absorb(update.context)
-            self._filter = update.filter_
-            state = update.state
-
+        trig = self._chunk_trigger(
+            state.current_iteration,
+            [float(state.ess[-1])],
+            [bool(~jnp.isfinite(state.w).all())],
+        )
+        if trig is not None:
+            state = self._do_rejuvenate(state)
         return state
+
+    def _chunk_trigger(self, t0, ess, nonfinite):
+        """Rejuvenate after global step ``t0 + j`` when the parameter ESS
+        falls below the (scheduled) threshold or any weight is non-finite."""
+        k = self.num_particles
+        for j, (e, nf) in enumerate(zip(ess, nonfinite)):
+            if nf or e < self._threshold.get_threshold(t0 + j) * k:
+                return j
+        return None
+
+    def _on_data_consumed(self, state: SMC2State, y_rows):
+        # every consumed observation joins the re-filtering history
+        for row in y_rows:
+            state.append_data(row)

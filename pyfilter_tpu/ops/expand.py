@@ -9,23 +9,24 @@ block ``[kB, (k+1)B)`` only reads source particles in a narrow window around
 
 1.  XLA side: cumulative weights -> integer copy-count boundaries
     ``counts[j] = #positions below cumw[j]`` (exactly as
-    :mod:`pyfilter_tpu.ops.resample`), plus a cheap binary search of the
-    ``n/B`` block-boundary positions to find each output block's source
-    window start.
+    :mod:`pyfilter_tpu.ops.resample`), plus a binary search of the ``n/B``
+    block-boundary positions to find each output block's source window start.
 2.  Pallas side: for each output block, compare the window's count
     boundaries against the block's output positions — a ``(window, B)``
     one-hot selection matrix ``1{cshift[j] <= i < counts[j]}`` built on the
-    VPU — and contract it with the window's particle values on the MXU.
-    The one-hot contraction reproduces the gather **bit-exactly** (each
-    output row sums exactly one value times 1.0), and the ancestor index
-    comes free as a row-sum of the step matrix.
+    VPU — and contract it with the window's particle values on the MXU
+    (``Precision.HIGHEST`` keeps the full f32 mantissa). The one-hot
+    contraction reproduces the gather **bit-exactly** (each output row sums
+    exactly one value times 1.0), and the ancestor index comes free as a
+    row-sum of the step matrix.
 
 Streaming reads replace random access entirely; the only random-ish op left
 is a contiguous-rows pre-gather of the per-group windows, which runs at copy
-speed. Degenerate weight profiles whose windows exceed the static bound
-(possible only with long runs of zero-copy particles) are detected with a
-scalar check and routed to the XLA counts-inversion + gather fallback via
-``lax.cond``.
+speed. Window spans grow with weight degeneracy (zero-copy runs): measured
+max spans at N=1e6 are ~136 at ESS 0.998·N (the SISR gate regime), ~184 at
+ESS 0.37·N, ~298 at ESS 0.014·N. Scalar checks pick the narrow window, the
+wide window, or the XLA counts-inversion fallback via nested ``lax.cond`` —
+untaken branches are free on TPU (measured).
 
 Reference hot path this replaces: pyfilter/resampling.py:24-52 plus the
 ``x[idx]`` gathers at pyfilter/filters/particle/sisr.py:29-43 and
@@ -45,14 +46,15 @@ from ..utils import normalize
 
 __all__ = ["systematic_expand"]
 
-# Output block of B positions reads a window of WINDOW source particles.
-# Work scales as n * WINDOW compares, so keep the window tight; GROUP output
-# blocks share one grid step (and one VMEM-resident region) to amortize
-# dispatch. REGION covers GROUP consecutive windows plus slack.
+# Output block of B positions reads a window of window_blocks*B sources; work
+# scales as n * window, so the narrow window runs unless its span check
+# fails. GROUP output blocks share one grid step (one VMEM-resident region)
+# to amortize dispatch; DRIFT_BLOCKS of slack absorb the random-walk drift of
+# window starts across a group.
 _B = 128
-_WINDOW = 2 * _B
 _GROUP = 32
-_REGION = (_GROUP + 2) * _B
+_WINDOW_BLOCKS = (2, 4)  # narrow, wide
+_DRIFT_BLOCKS = 4
 
 
 def _counts_from_probs(probs: jax.Array, u: jax.Array) -> jax.Array:
@@ -75,44 +77,49 @@ def _invert_counts(counts: jax.Array) -> jax.Array:
     return jnp.cumsum(scat) - 1
 
 
-def _expand_kernel(rel_ref, s_ref, regions_ref, out_ref, *, n_cols: int):
+def _expand_kernel(rel_ref, s_ref, regions_ref, out_ref, *, n_cols: int, window: int):
     """One grid step: GROUP output blocks expanded from one VMEM region.
 
-    rel_ref/s_ref: SMEM (1, GROUP) int32 — window start relative to the
-    region / absolute. regions_ref: VMEM (1, REGION, 2 + D) with columns
+    rel_ref/s_ref: SMEM (n_groups, GROUP) int32 — window start relative to
+    the region / absolute. regions_ref: VMEM (1, region, 2 + D) with columns
     [cshift, counts, values...]. out_ref: VMEM (GROUP*B, D + 1) with columns
     [values..., ancestor index].
     """
     g = pl.program_id(0)
     d = n_cols - 2
     base = (g * _GROUP * _B).astype(jnp.float32)
-    iota = jax.lax.broadcasted_iota(jnp.float32, (1, _B), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, _B), 1).astype(jnp.float32)
 
     for b in range(_GROUP):
-        rel = pl.multiple_of(rel_ref[0, b], 8)
-        w = regions_ref[0, pl.ds(rel, _WINDOW), :]  # (WINDOW, 2 + D)
+        rel = pl.multiple_of(rel_ref[g, b], 8)
+        w = regions_ref[0, pl.ds(rel, window), :]  # (window, 2 + D)
         i_row = base + (b * _B) + iota  # (1, B) output positions
 
         # one-hot[j, i] = 1{cshift[j] <= i < counts[j]} — difference of steps
-        c_lo = (w[:, 0:1] <= i_row).astype(jnp.float32)  # (WINDOW, B)
+        c_lo = (w[:, 0:1] <= i_row).astype(jnp.float32)  # (window, B)
         c_hi = (w[:, 1:2] <= i_row).astype(jnp.float32)
         vals = jax.lax.dot_general(
             c_lo - c_hi,
             w[:, 2:],
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # HIGHEST keeps the f32 mantissa through the MXU — required for
+            # the one-hot selection to reproduce the gather bit-exactly
+            precision=jax.lax.Precision.HIGHEST,
         )  # (B, D) — exact: one value times 1.0 per row
 
         # ancestor index: idx[i] = S + #{j in window : counts[j] <= i}
-        idx = s_ref[0, b].astype(jnp.float32) + jnp.sum(c_hi, axis=0)
+        idx = s_ref[g, b].astype(jnp.float32) + jnp.sum(c_hi, axis=0)
 
         out_ref[pl.ds(b * _B, _B), :d] = vals
         out_ref[pl.ds(b * _B, _B), d:] = idx[:, None]
 
 
-def _expand_pallas(counts, v2d, rel, s_groups, r_starts, n_out_pad, interpret):
+def _expand_pallas(
+    counts, v2d, rel, s_groups, r_starts, n_out_pad, region, window, interpret
+):
     n, d = v2d.shape
-    n_src_pad = n + _REGION
+    n_src_pad = n + region
 
     counts_f = counts.astype(jnp.float32)
     cshift_f = jnp.concatenate([jnp.zeros(1, jnp.float32), counts_f[:-1]])
@@ -127,19 +134,21 @@ def _expand_pallas(counts, v2d, rel, s_groups, r_starts, n_out_pad, interpret):
 
     # contiguous-rows pre-gather of each group's region (copy-speed)
     regions = jax.vmap(
-        lambda r: jax.lax.dynamic_slice(win, (r, 0), (_REGION, d + 2))
+        lambda r: jax.lax.dynamic_slice(win, (r, 0), (region, d + 2))
     )(r_starts)
 
     n_groups = n_out_pad // (_GROUP * _B)
     out = pl.pallas_call(
-        functools.partial(_expand_kernel, n_cols=d + 2),
+        functools.partial(_expand_kernel, n_cols=d + 2, window=window),
         out_shape=jax.ShapeDtypeStruct((n_out_pad, d + 1), jnp.float32),
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((1, _GROUP), lambda g: (g, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _GROUP), lambda g: (g, 0), memory_space=pltpu.SMEM),
+            # whole offset tables in SMEM (indexed by program_id): per-group
+            # blocking of skinny int arrays trips the (8, 128) tiling rule
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, _REGION, d + 2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+                (1, region, d + 2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -207,25 +216,41 @@ def systematic_expand(
     starts = (first_src // 8) * 8
     s_groups = starts.reshape(-1, _GROUP)
     r_starts = s_groups[:, 0]
-    rel = s_groups - r_starts[:, None]
-
+    rel0 = s_groups - r_starts[:, None]
     valid = bounds < n
-    span_ok = last_src <= starts + _WINDOW
-    region_ok = (rel + _WINDOW <= _REGION).reshape(-1)
-    overflow = jnp.any(valid & ~(span_ok & region_ok))
-    rel = jnp.minimum(rel, _REGION - _WINDOW)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    def make_branch(window_blocks: int):
+        window = window_blocks * _B
+        region = (_GROUP - 1 + window_blocks + _DRIFT_BLOCKS) * _B
+        fits = (last_src <= starts + window) & (
+            (rel0 + window <= region).reshape(-1)
+        )
+        ok = jnp.all(fits | ~valid)
+        rel = jnp.minimum(rel0, region - window)
+
+        def run(_):
+            return _expand_pallas(
+                counts, v2d, rel, s_groups, r_starts, n_out_pad, region, window, interpret
+            )
+
+        return ok, run
+
+    ok_narrow, run_narrow = make_branch(_WINDOW_BLOCKS[0])
+    ok_wide, run_wide = make_branch(_WINDOW_BLOCKS[1])
 
     def fallback(_):
         idx = _invert_counts(counts)
         return jnp.take(v2d, idx, axis=0), idx
 
-    def fused(_):
-        return _expand_pallas(counts, v2d, rel, s_groups, r_starts, n_out_pad, interpret)
-
-    vals2d, idx = jax.lax.cond(overflow, fallback, fused, None)
+    vals2d, idx = jax.lax.cond(
+        ok_narrow,
+        run_narrow,
+        lambda op: jax.lax.cond(ok_wide, run_wide, fallback, op),
+        None,
+    )
 
     outs = []
     col = 0

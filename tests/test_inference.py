@@ -333,6 +333,65 @@ def test_smc2_particle_increase():
     assert np.isfinite(np.asarray(state.w)).all()
 
 
+@pytest.mark.parametrize("algo", ["smc2", "ness", "fwness"])
+def test_chunked_fit_mechanics(algo):
+    """The chunked (host-sync-free) fit must consume every observation exactly
+    once: iteration count, ESS history, recorded moments and (for SMC2) the
+    re-filtering history all line up with the per-step reference loop."""
+    y = simulate(37)  # deliberately not a multiple of the chunk size
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 50, proposal=proposals.LinearGaussianObservations())
+        if algo == "smc2":
+            alg = inf.SMC2(filt, 100, context=ctx, key=jax.random.PRNGKey(2))
+        elif algo == "ness":
+            alg = inf.NESS(filt, 100, context=ctx, key=jax.random.PRNGKey(2))
+        else:
+            alg = inf.FixedWidthNESS(filt, 100, block_len=10, context=ctx, key=jax.random.PRNGKey(2))
+        assert alg._chunk_supported
+        state = alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=8)
+
+    assert state.current_iteration == 37
+    assert len(state.ess) == 38
+    assert len(state.filter_state.filter_means) == 37
+    assert np.isfinite(np.asarray(state.w)).all()
+    assert float(state.filter_state.latest_state.x.time_index) == 37.0
+    if algo == "smc2":
+        assert len(state.parsed_data) == 37
+
+
+def test_chunked_fit_matches_per_step_triggers():
+    """Chunk triggers fire at the same global steps the per-step loop's checks
+    would: run both paths and compare the recorded rejuvenation indices."""
+    y = simulate(50, seed=11)
+
+    def run(chunk_size):
+        fired = []
+        with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+            filt = pf.APF(build_model, 40, proposal=proposals.LinearGaussianObservations())
+            alg = inf.SMC2(filt, 80, context=ctx, key=jax.random.PRNGKey(2))
+            orig = alg._do_rejuvenate
+
+            def spy(state):
+                # #appended steps; the two paths bump current_iteration at
+                # different points, this is invariant
+                fired.append(len(state.ess) - 1)
+                return orig(state)
+
+            alg._do_rejuvenate = spy
+            state = alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=chunk_size)
+        return fired, [float(e) for e in state.ess]
+
+    # the chunked path consumes the identical per-observation key stream, so
+    # both runs are bit-identical up to the first rejuvenation: the first
+    # trigger step and the pre-trigger ESS trajectory must agree exactly.
+    per_step, ess_ps = run(1)
+    chunked, ess_ch = run(8)
+    assert per_step and chunked
+    assert per_step[0] == chunked[0], (per_step, chunked)
+    first = per_step[0]
+    np.testing.assert_allclose(ess_ps[:first], ess_ch[:first], rtol=1e-5)
+
+
 def test_sequential_with_collectors():
     y = simulate(40)
     with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
