@@ -1,16 +1,27 @@
-"""Headline benchmark: SISR particle-steps/sec at N=1e6 on stochastic volatility.
+"""Benchmarks vs the CPU PyTorch reference (BASELINE.md's two target metrics).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line with the headline metric (SISR particle-steps/sec at
+N=1e6 on stochastic volatility) plus an ``extra_metrics`` entry for the SMC2
+end-to-end wall-clock ratio:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "extra_metrics": [{"metric": "smc2_stochvol_wallclock", ...}]}
 
 ``vs_baseline`` compares against the CPU PyTorch reference implementation
 (tingiskhan/pyfilter is pure torch — SURVEY.md §0): the reference package and
-its deps are not installable here, so a minimal, operation-faithful torch
-re-implementation of its SISR hot loop (normalize -> ESS gate -> systematic
-resample via cumsum+searchsorted -> Euler-Maruyama propagate -> log-prob
-reweight; reference sisr.py, resampling.py:24-52, utils.py:49-64) is timed on
-the same workload. Its measured throughput is cached in
-``.bench_torch_baseline.json`` so TPU runs don't re-pay the CPU measurement.
+its deps are not installable here, so minimal, operation-faithful torch
+re-implementations of its hot loops are timed on the same workloads:
+
+- metric 1: the SISR step (normalize -> ESS gate -> systematic resample via
+  cumsum+searchsorted -> Euler-Maruyama propagate -> log-prob reweight;
+  reference sisr.py, resampling.py:24-52, utils.py:49-64);
+- metric 2: SMC2 on the stochastic-volatility flagship (reference
+  examples/stochastic-volatility.ipynb: APF state filter with bootstrap
+  proposal + propagate-to-mean pre-weights inside the parameter-lane SMC of
+  smc2.py, with MVN rejuvenation and full re-filtering of the history,
+  kernels/mh.py + batch/mcmc/utils.py) at T=200, N=400, K=1000.
+
+CPU measurements are cached in ``.bench_torch_baseline.json`` /
+``.bench_smc2_torch.json`` so TPU runs don't re-pay them.
 """
 
 from __future__ import annotations
@@ -137,6 +148,233 @@ def bench_torch_reference(y, n_obs_torch=3):
     return n * hidden_steps / elapsed
 
 
+# --------------------------------------------------------------------------
+# metric 2: SMC2 end-to-end wall-clock (stoch-vol flagship, scaled to T=200)
+# --------------------------------------------------------------------------
+
+SMC2_T = 200
+SMC2_N = 400       # state particles (reference notebook: APF 400)
+SMC2_K = 1000      # parameter particles (reference notebook: SMC2 1000)
+SMC2_STEPS = 2     # PMMH transitions per rejuvenation
+SMC2_THRESHOLD = 0.2
+
+_SMC2_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_smc2_torch.json"
+)
+
+
+def bench_smc2_jax(y):
+    import jax
+    import jax.numpy as jnp
+
+    import pyfilter_tpu as pf
+    from pyfilter_tpu import inference as inf
+    from pyfilter_tpu.examples import stochastic_volatility_builder
+
+    y = jnp.asarray(y)
+
+    def run(seed):
+        ctx = inf.make_context(key=jax.random.PRNGKey(seed))
+        filt = pf.APF(stochastic_volatility_builder, SMC2_N, record_moments=False)
+        alg = inf.SMC2(
+            filt,
+            SMC2_K,
+            threshold=SMC2_THRESHOLD,
+            num_steps=SMC2_STEPS,
+            context=ctx,
+            key=jax.random.PRNGKey(seed + 1),
+            record_moments=False,
+        )
+        state = alg.fit(y, logging=inf.logging.DefaultLogger())
+        return float(jnp.sum(state.w)), ctx, state  # host fetch = sync
+
+    run(0)  # warm the compile caches (chunk scan + rejuvenation shapes)
+    t0 = time.perf_counter()
+    _, ctx, state = run(7)
+    elapsed = time.perf_counter() - t0
+
+    import numpy as np
+
+    w = np.asarray(state.normalized_weights())
+    post = w @ np.asarray(ctx.stack_parameters(True))
+    return elapsed, post
+
+
+def bench_smc2_torch(y):
+    """Operation-faithful torch-CPU SMC2 (the reference's algorithm): APF with
+    bootstrap proposal + propagate-to-mean pre-weights over (N, K) tensors,
+    parameter-ESS-triggered rejuvenation with lane resampling, MVN proposal
+    (SymmetricMH's 1.1-scaled weighted covariance), and ``num_steps`` PMMH
+    transitions each re-filtering the FULL parsed history (reference
+    smc2.py:53-65, kernels/mh.py:52-108, batch/mcmc/utils.py:14-77; particle
+    doubling omitted — it fires rarely and only raises the torch cost)."""
+    import numpy as np
+    import torch
+
+    torch.manual_seed(0)
+    y_t = torch.from_numpy(np.asarray(y, np.float32))
+    T, N, K = len(y_t), SMC2_N, SMC2_K
+    sqrt_dt = math.sqrt(DT)
+    log2pi = math.log(2 * math.pi)
+
+    # priors (reference notebook): kappa~Exp(10), gamma~LogN(0,1),
+    # sigma~LogN(log .05,1), mu~N(0,.5), nu~N(0,.15), tau~LogN(0,.1)
+    def sample_params(k):
+        return torch.stack(
+            [
+                torch.distributions.Exponential(10.0).sample((k,)).log(),
+                torch.randn(k),
+                torch.randn(k) + math.log(0.05),
+                torch.randn(k) * 0.5,
+                torch.randn(k) * 0.15,
+                torch.randn(k) * 0.1,
+            ],
+            dim=1,
+        )  # unconstrained: [log kappa, log gamma, log sigma, mu, nu, log tau]
+
+    def log_prior(u):
+        lk, lg, ls, mu, nu, lt = u.unbind(1)
+        # Exp(10) on kappa with log-jacobian; LogNormal == Normal on logs + |J|
+        lp = math.log(10.0) - 10.0 * lk.exp() + lk
+        lp = lp - 0.5 * lg.pow(2) - 0.5 * log2pi
+        lp = lp - 0.5 * ((ls - math.log(0.05))).pow(2) - 0.5 * log2pi
+        lp = lp - 0.5 * (mu / 0.5).pow(2) - 0.5 * log2pi - math.log(0.5)
+        lp = lp - 0.5 * (nu / 0.15).pow(2) - 0.5 * log2pi - math.log(0.15)
+        lp = lp - 0.5 * (lt / 0.1).pow(2) - 0.5 * log2pi - math.log(0.1)
+        return lp
+
+    def normalize(lw, dim=0):
+        lw = torch.where(torch.isnan(lw) | torch.isposinf(lw), torch.tensor(-float("inf")), lw)
+        m = lw.max(dim=dim, keepdim=True).values
+        p = (lw - m).exp()
+        return p / p.sum(dim=dim, keepdim=True)
+
+    def systematic_lanes(probs):
+        # probs (N, K): one shared uniform per lane (reference resampling.py)
+        n = probs.shape[0]
+        u = torch.rand(probs.shape[1])
+        pos = (torch.arange(n, dtype=probs.dtype)[:, None] + u) / n
+        cumw = probs.cumsum(0)
+        cumw[-1] = 1.0
+        idx = torch.searchsorted(cumw.T.contiguous(), pos.T.contiguous(), right=True)
+        return idx.clamp_max(n - 1).T  # (N, K)
+
+    def obs_logpdf(yv, x, mu, nu, tau):
+        z_aff = (yv - mu) / x
+        z = torch.sinh(torch.asinh(z_aff) / tau - nu)
+        base = -0.5 * z.pow(2) - 0.5 * log2pi
+        ladj = (
+            tau.log()
+            + torch.log(torch.cosh((torch.asinh(z) + nu) * tau))
+            - 0.5 * torch.log1p(z.pow(2))
+            + x.log()
+        )
+        return base - ladj
+
+    def filter_batch(u_params, ys):
+        """Full APF pass over ys; returns (x, w, lane loglik)."""
+        kappa, gamma, sigma = u_params[:, 0].exp(), u_params[:, 1].exp(), u_params[:, 2].exp()
+        mu, nu, tau = u_params[:, 3], u_params[:, 4], u_params[:, 5].exp()
+        x = (gamma + sigma * torch.randn(N, K)).clamp_min(1e-4)
+        w = torch.zeros(N, K)
+        ll = torch.zeros(K)
+        for t in range(len(ys)):
+            # pre-weight at the propagated mean (OES deterministic steps)
+            m = x
+            for _ in range(OES):
+                m = (m + kappa * (gamma - m) * m * DT).clamp_min(1e-6)
+            pre_w = obs_logpdf(ys[t], m, mu, nu, tau)
+            probs = normalize(pre_w + w, dim=0)
+            idx = systematic_lanes(probs)
+            x = torch.gather(x, 0, idx)
+            pre_g = torch.gather(pre_w, 0, idx)
+            for _ in range(OES):
+                noise = torch.randn(N, K)
+                x = (x + kappa * (gamma - x) * x * DT + sigma * x * sqrt_dt * noise).clamp_min(1e-6)
+            new_w = obs_logpdf(ys[t], x, mu, nu, tau) - pre_g
+            # loglik = log mean exp(new_w) + log sum(norm_prev * exp(pre_w))
+            mx = new_w.max(0).values
+            step_ll = mx + (new_w - mx).exp().mean(0).log()
+            aux = (normalize(w, dim=0) * pre_w.exp()).sum(0).log()
+            ll = ll + step_ll + aux
+            w = new_w
+        return x, w, ll
+
+    start = time.perf_counter()
+    params = sample_params(K)
+    x, w, ll = filter_batch(params, y_t[:1])
+    lane_w = ll.clone()
+    prev_ll = ll.clone()
+
+    for t in range(1, T):
+        # one APF step (same ops as filter_batch's body)
+        kappa, gamma, sigma = params[:, 0].exp(), params[:, 1].exp(), params[:, 2].exp()
+        mu, nu, tau = params[:, 3], params[:, 4], params[:, 5].exp()
+        m = x
+        for _ in range(OES):
+            m = (m + kappa * (gamma - m) * m * DT).clamp_min(1e-6)
+        pre_w = obs_logpdf(y_t[t], m, mu, nu, tau)
+        probs = normalize(pre_w + w, dim=0)
+        idx = systematic_lanes(probs)
+        x = torch.gather(x, 0, idx)
+        pre_g = torch.gather(pre_w, 0, idx)
+        for _ in range(OES):
+            noise = torch.randn(N, K)
+            x = (x + kappa * (gamma - x) * x * DT + sigma * x * sqrt_dt * noise).clamp_min(1e-6)
+        new_w = obs_logpdf(y_t[t], x, mu, nu, tau) - pre_g
+        mx = new_w.max(0).values
+        step_ll = mx + (new_w - mx).exp().mean(0).log()
+        aux = (normalize(w, dim=0) * pre_w.exp()).sum(0).log()
+        prev_ll = prev_ll + step_ll + aux
+        w = new_w
+        lane_w = lane_w + step_ll + aux
+
+        probs_l = normalize(lane_w, dim=0)
+        ess = 1.0 / probs_l.pow(2).sum()
+        if ess < SMC2_THRESHOLD * K or not torch.isfinite(lane_w).all():
+            # rejuvenate: lane resample -> MVN -> num_steps PMMH full re-filters
+            lidx = systematic_lanes(probs_l[:, None])[:, 0]
+            params = params[lidx]
+            x = x[:, lidx]
+            w = w[:, lidx]
+            prev_ll = prev_ll[lidx]
+            mean = probs_l @ params
+            c = params - mean
+            cov = (probs_l[:, None] * c).T @ c * 1.1
+            chol = torch.linalg.cholesky(cov + 1e-6 * torch.eye(6))
+            for _ in range(SMC2_STEPS):
+                # independent MVN draw (SymmetricMH, symmetric -> no q terms)
+                prop = mean + torch.randn(K, 6) @ chol.T
+                x_new, w_new, ll_new = filter_batch(prop, y_t[: t + 1])
+                log_u = torch.rand(K).log()
+                accept = log_u < (ll_new + log_prior(prop)) - (prev_ll + log_prior(params))
+                a = accept[None, :]
+                x = torch.where(a, x_new, x)
+                w = torch.where(a, w_new, w)
+                prev_ll = torch.where(accept, ll_new, prev_ll)
+                params = torch.where(accept[:, None], prop, params)
+            lane_w = torch.zeros(K)
+
+    elapsed = time.perf_counter() - start
+    return elapsed
+
+
+def get_smc2_torch_baseline(y):
+    if os.path.exists(_SMC2_CACHE):
+        with open(_SMC2_CACHE) as f:
+            return json.load(f)["wall_clock_sec"]
+    try:
+        elapsed = bench_smc2_torch(y)
+        with open(_SMC2_CACHE, "w") as f:
+            json.dump(
+                {"wall_clock_sec": elapsed, "t": SMC2_T, "n": SMC2_N, "k": SMC2_K},
+                f,
+            )
+        return elapsed
+    except Exception:
+        return None
+
+
 def get_torch_baseline(y):
     if os.path.exists(_CACHE):
         with open(_CACHE) as f:
@@ -154,8 +392,25 @@ def main():
     y = _simulate_obs(N_OBS)
     baseline = get_torch_baseline(y)
     value, _ll = bench_jax(y)
-
     vs_baseline = (value / baseline) if baseline else None
+
+    y2 = _simulate_obs(SMC2_T)
+    smc2_torch = get_smc2_torch_baseline(y2)
+    smc2_extra = []
+    try:
+        smc2_sec, _post = bench_smc2_jax(y2)
+        smc2_extra = [
+            {
+                "metric": "smc2_stochvol_wallclock_t200_n400_k1000",
+                "value": smc2_sec,
+                "unit": "s",
+                "vs_baseline": (smc2_torch / smc2_sec) if smc2_torch else None,
+                "torch_cpu_sec": smc2_torch,
+            }
+        ]
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -163,6 +418,7 @@ def main():
                 "value": value,
                 "unit": "particle-steps/s",
                 "vs_baseline": vs_baseline,
+                "extra_metrics": smc2_extra,
             }
         )
     )

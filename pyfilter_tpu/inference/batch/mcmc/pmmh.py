@@ -28,7 +28,11 @@ class PMMH(BaseAlgorithm):
         initializer: str = "mean",
         context=None,
         key=None,
+        mesh=None,
+        lane_axis: str = "lanes",
     ):
+        """``mesh`` (optional): shard the vectorized chains over the mesh's
+        ``lane_axis`` — each device runs its own chains' full re-filters."""
         super().__init__(filter_=filter_, context=context, key=key)
 
         self.num_samples = int(num_samples)
@@ -41,6 +45,19 @@ class PMMH(BaseAlgorithm):
         if initializer not in ("mean", "seed"):
             raise NotImplementedError(f"`{initializer}` is not configured!")
         self._initializer = initializer
+        self._mesh = mesh
+        self._lane_axis = (
+            lane_axis
+            if mesh is not None and lane_axis in getattr(mesh, "axis_names", ())
+            else None
+        )
+
+    def _place_filter(self, filt):
+        if self._mesh is None or self._lane_axis is None:
+            return filt
+        from ....parallel import lane_sharded_filter
+
+        return lane_sharded_filter(filt, self._mesh, lane_axis=self._lane_axis)
 
     def initialize(self, y) -> PMMHResult:
         """Build the model, set chains to the prior mean (10k-sample MC
@@ -59,7 +76,7 @@ class PMMH(BaseAlgorithm):
             mean = jnp.broadcast_to(mean, (self.num_chains,) + tuple(prior.event_shape))
             self.context.update_parameter(name, mean)
 
-        self._filter = self._filter.initialize_model(self.context)
+        self._filter = self._place_filter(self._filter.initialize_model(self.context))
         prev_res = self._filter.batch_filter(self._next_key(), jnp.asarray(y))
         return PMMHResult(dict(self.context.parameters), prev_res)
 
@@ -87,7 +104,7 @@ class PMMH(BaseAlgorithm):
                 self.context.absorb(step.context)
                 state.filter_state = step.filter_state
                 prop_kernel = step.proposal_kernel
-                self._filter = self._filter.initialize_model(self.context)
+                self._filter = self._place_filter(self._filter.initialize_model(self.context))
 
                 state.update_chain(dict(self.context.parameters))
                 logging.do_log(i, state)

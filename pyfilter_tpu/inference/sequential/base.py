@@ -69,15 +69,71 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
     _chunk_supported: bool = False
     _default_chunk_size: int = 16
 
-    def __init__(self, filter_, num_particles: int, context=None, key=None, record_moments: bool = True):
+    def __init__(
+        self,
+        filter_,
+        num_particles: int,
+        context=None,
+        key=None,
+        record_moments: bool = True,
+        mesh=None,
+        lane_axis: str = "lanes",
+        particle_axis: str = None,
+    ):
+        """``mesh`` (optional, a :class:`jax.sharding.Mesh`): distribute the
+        nested SMC over devices — parameter lanes shard over the mesh's
+        ``lane_axis`` (embarrassingly parallel filters; the lane count must
+        divide evenly) and, when ``particle_axis`` names a second mesh axis,
+        each filter's state-particle cloud shards over it (XLA inserts the
+        psum/all-gather collectives for the weight reductions and
+        resampling). SURVEY.md §2.8/§5.8's new-capability plan."""
         super().__init__(filter_, context=context, key=key)
 
         self.num_particles = int(num_particles)
         self._filter = self._filter.set_batch_shape((self.num_particles,))
         self.context.set_batch_shape((self.num_particles,))
         self.record_moments = record_moments
+        self._mesh = mesh
+        self._lane_axis = lane_axis if mesh is not None and lane_axis in getattr(mesh, "axis_names", ()) else None
+        self._particle_axis = (
+            particle_axis
+            if mesh is not None and particle_axis in getattr(mesh, "axis_names", ())
+            else None
+        )
 
         self._callbacks: List[Callable] = []
+
+    # -- device placement (mesh mode) ------------------------------------------
+    def _place_filter(self, filt):
+        """Lane-shard the filter's model parameters over the mesh."""
+        if self._mesh is None or self._lane_axis is None:
+            return filt
+        from ...parallel import lane_sharded_filter
+
+        return lane_sharded_filter(filt, self._mesh, lane_axis=self._lane_axis)
+
+    def _place_state(self, state):
+        """Shard the running state: particle-indexed leaves on
+        (particle_axis, lane_axis), per-lane leaves on lane_axis."""
+        if self._mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ...parallel import shard_filter_state
+
+        state.filter_state.latest_state = shard_filter_state(
+            state.filter_state.latest_state,
+            self._mesh,
+            particle_axis=self._particle_axis,
+            lane_axis=self._lane_axis,
+            n_lane_dims=1,
+        )
+        lane_sharding = NamedSharding(self._mesh, P(self._lane_axis))
+        state.w = jax.device_put(state.w, lane_sharding)
+        state.filter_state.log_likelihood = jax.device_put(
+            state.filter_state.log_likelihood, lane_sharding
+        )
+        return state
 
     @property
     def particles(self) -> tuple:
@@ -96,15 +152,17 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
         self.context.initialize_parameters()
         # rebuild with the (possibly re-)initialized values
         self._filter = self._filter.initialize_model(self.context)
+        self._filter = self._place_filter(self._filter)
 
         init_state = self._filter.initialize(self._next_key())
         init_weights = jnp.zeros(self.particles)
-        return SequentialAlgorithmState(
+        state = SequentialAlgorithmState(
             init_weights,
             RunningFilterResult(
                 init_state, jnp.zeros(self.particles), record_moments=self.record_moments
             ),
         )
+        return self._place_state(state)
 
     def step(self, y, state: SequentialAlgorithmState) -> SequentialAlgorithmState:
         result = self._step(y, state)
@@ -166,8 +224,8 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
         (shared by SMC2's PMMH kernel and NESS's jitter kernel)."""
         update = self._kernel.update(self._next_key(), self.context, self._filter, state)
         self.context.absorb(update.context)
-        self._filter = update.filter_
-        return update.state
+        self._filter = self._place_filter(update.filter_)
+        return self._place_state(update.state)
 
     def _on_data_consumed(self, state, y_rows):
         """Hook: observations just absorbed into the state (SMC2 history)."""

@@ -95,23 +95,22 @@ def _expand_kernel(rel_ref, s_ref, regions_ref, out_ref, *, n_cols: int, window:
         w = regions_ref[0, pl.ds(rel, window), :]  # (window, 2 + D)
         i_row = base + (b * _B) + iota  # (1, B) output positions
 
-        # one-hot[j, i] = 1{cshift[j] <= i < counts[j]} — difference of steps
-        c_lo = (w[:, 0:1] <= i_row).astype(jnp.float32)  # (window, B)
-        c_hi = (w[:, 1:2] <= i_row).astype(jnp.float32)
-        vals = jax.lax.dot_general(
-            c_lo - c_hi,
-            w[:, 2:],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # HIGHEST keeps the f32 mantissa through the MXU — required for
-            # the one-hot selection to reproduce the gather bit-exactly
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (B, D) — exact: one value times 1.0 per row
+        # one-hot[j, i] = 1{cshift[j] <= i < counts[j]} — difference of steps.
+        # Select + sublane-reduce on the VPU: exactly one row is selected per
+        # output lane, so the sum IS the gathered value (bit-exact; also
+        # measured faster than per-block MXU dots, whose tiny-N latency
+        # dominates at 7812 matmuls per resample).
+        c_lo = w[:, 0:1] <= i_row  # (window, B) bool
+        c_hi = w[:, 1:2] <= i_row
+        hot = c_lo & (~c_hi)
+        for col in range(d):
+            v = jnp.where(hot, w[:, 2 + col : 3 + col], 0.0)
+            out_ref[pl.ds(b * _B, _B), col] = jnp.sum(v, axis=0)
 
         # ancestor index: idx[i] = S + #{j in window : counts[j] <= i}
-        idx = s_ref[g, b].astype(jnp.float32) + jnp.sum(c_hi, axis=0)
-
-        out_ref[pl.ds(b * _B, _B), :d] = vals
+        idx = s_ref[g, b].astype(jnp.float32) + jnp.sum(
+            c_hi.astype(jnp.float32), axis=0
+        )
         out_ref[pl.ds(b * _B, _B), d:] = idx[:, None]
 
 
@@ -210,10 +209,17 @@ def systematic_expand(
     n_blocks = n_out_pad // _B
 
     bounds = jnp.arange(n_blocks, dtype=jnp.int32) * _B
-    first_src = jnp.searchsorted(counts, bounds, side="right").astype(jnp.int32)
-    last_src = jnp.searchsorted(counts, bounds + (_B - 1), side="right").astype(jnp.int32)
-
-    starts = (first_src // 8) * 8
+    # Window starts from an 8-strided subsample of block maxima: with
+    # M = #{m : counts[8m+7] <= q}, the exact rank r = #{j : counts[j] <= q}
+    # satisfies 8M <= r < 8M + 8, so 8M IS the 8-aligned window start
+    # (identical to (searchsorted(counts, q) // 8) * 8) and 8M + 8 bounds the
+    # last source from above. One sort-based merge over ~n/8 + n/64 keys
+    # replaces two binary searches over n (20 sequential gather rounds each).
+    sub = counts[7::8]
+    queries = jnp.concatenate([bounds, bounds + (_B - 1)])
+    ranks = jnp.searchsorted(sub, queries, side="right", method="sort").astype(jnp.int32)
+    starts = 8 * ranks[:n_blocks]
+    last_src = 8 * ranks[n_blocks:] + 8  # conservative upper bound
     s_groups = starts.reshape(-1, _GROUP)
     r_starts = s_groups[:, 0]
     rel0 = s_groups - r_starts[:, None]

@@ -38,20 +38,26 @@ def make_mesh(
     return Mesh(devices.reshape(axis_sizes), tuple(axis_names))
 
 
-def _leaf_spec(leaf, particle_axis_name: Optional[str], lane_axis_name: Optional[str], n_lane_dims: int):
-    """PartitionSpec for one state leaf: particle axis (dim 0) and/or the first
-    lane axis sharded; everything else replicated. Scalars/per-lane leaves
-    (no particle dim) get lane-only or replicated specs."""
+def _leaf_spec(
+    leaf,
+    particle_axis_name: Optional[str],
+    lane_axis_name: Optional[str],
+    n_lane_dims: int,
+    has_particle_dim: bool = True,
+):
+    """PartitionSpec for one state leaf. Particle-indexed leaves carry the
+    particle dim at axis 0 and the lane dims right after (possibly replicated
+    on either); per-lane leaves (``has_particle_dim=False``) start with the
+    lane dims."""
     ndim = jnp.ndim(leaf)
     if ndim == 0:
         return P()
     spec = [None] * ndim
-    if particle_axis_name is not None:
+    lane_dim = 1 if has_particle_dim else 0
+    if has_particle_dim and particle_axis_name is not None:
         spec[0] = particle_axis_name
-        if lane_axis_name is not None and ndim >= 2 and n_lane_dims > 0:
-            spec[1] = lane_axis_name
-    elif lane_axis_name is not None and n_lane_dims > 0:
-        spec[0] = lane_axis_name
+    if lane_axis_name is not None and n_lane_dims > 0 and ndim > lane_dim:
+        spec[lane_dim] = lane_axis_name
     return P(*spec)
 
 
@@ -70,7 +76,9 @@ def _state_shardings(
         return NamedSharding(mesh, _leaf_spec(leaf, particle_axis, lane_axis, n_lane_dims))
 
     def lane_leaf(leaf):
-        return NamedSharding(mesh, _leaf_spec(leaf, None, lane_axis, n_lane_dims))
+        return NamedSharding(
+            mesh, _leaf_spec(leaf, None, lane_axis, n_lane_dims, has_particle_dim=False)
+        )
 
     return ParticleFilterCorrection(
         x=jax.tree_util.tree_map(particle_leaf, state.x),

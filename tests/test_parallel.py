@@ -179,3 +179,90 @@ def test_allgather_systematic(key):
     assert (diff <= 1).all()
     assert (diff != 0).mean() < 5e-3, (diff != 0).mean()
     np.testing.assert_allclose(np.asarray(resampled), np.asarray(vals)[idx])
+
+
+# ---------------------------------------------------------------------------
+# inference layer: mesh-aware SMC2 / NESS / PMMH (SURVEY §2.8 integration)
+# ---------------------------------------------------------------------------
+
+
+def _ou_builder(ctx):
+    import pyfilter_tpu.distributions as dist
+
+    k = ctx.named_parameter("kappa", dist.Exponential(1.0))
+    g = ctx.named_parameter("gamma", dist.Normal(0.0, 1.0))
+    s = ctx.named_parameter("sigma", dist.LogNormal(-2.0, 1.0))
+    return ts.LinearStateSpaceModel(models.OrnsteinUhlenbeck(k, g, s), (1.0, 0.05))
+
+
+def _ou_data(n=60, seed=5):
+    truth = ts.LinearStateSpaceModel(
+        models.OrnsteinUhlenbeck(0.5, 1.0, 0.1), (1.0, 0.05)
+    )
+    _, y = truth.sample_states(jax.random.PRNGKey(seed), n).get_paths()
+    return y
+
+
+def test_sharded_smc2_placement_and_fit():
+    """SMC2 with a (lanes, particles) mesh: lane-sharded parameters and a
+    particle+lane-sharded cloud survive a full chunked fit with rejuvenation
+    (the dryrun path, through the public API)."""
+    from pyfilter_tpu import inference as inf
+
+    mesh = parallel.make_mesh((2, 4), ("lanes", "particles"))
+    y = _ou_data(40)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(_ou_builder, 32, proposal=proposals.LinearGaussianObservations())
+        alg = inf.SMC2(
+            filt, 64, context=ctx, key=jax.random.PRNGKey(2),
+            mesh=mesh, lane_axis="lanes", particle_axis="particles",
+        )
+        state = alg.fit(y, logging=inf.logging.DefaultLogger())
+
+    assert np.isfinite(np.asarray(state.w)).all()
+    assert state.current_iteration == 40
+    # the carried cloud must still be sharded over both mesh axes
+    val_sharding = state.filter_state.latest_state.x.value.sharding
+    spec = val_sharding.spec
+    assert tuple(spec)[:2] == ("particles", "lanes"), spec
+    w_spec = tuple(state.w.sharding.spec)
+    assert w_spec and w_spec[0] == "lanes", w_spec
+
+
+@pytest.mark.slow
+def test_sharded_ness_recovers_parameters():
+    """End-to-end lane-sharded NESS on the 8-device mesh recovers the OU
+    parameters (the single-device statistical bar, SURVEY §4)."""
+    from pyfilter_tpu import inference as inf
+
+    mesh = parallel.make_mesh((8,), ("lanes",))
+    y = _ou_data(300)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(_ou_builder, 150, proposal=proposals.LinearGaussianObservations())
+        alg = inf.NESS(
+            filt, 400, context=ctx, key=jax.random.PRNGKey(3),
+            mesh=mesh, lane_axis="lanes",
+        )
+        state = alg.fit(y, logging=inf.logging.DefaultLogger())
+        w = np.asarray(state.normalized_weights())
+        post = w @ np.asarray(ctx.stack_parameters(True))
+
+    kappa, gamma, sigma = post
+    assert abs(gamma - 1.0) < 0.2, post
+    assert abs(sigma - 0.1) < 0.1, post
+
+
+def test_sharded_pmmh_runs():
+    from pyfilter_tpu import inference as inf
+
+    mesh = parallel.make_mesh((8,), ("lanes",))
+    y = _ou_data(30)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(_ou_builder, 40, proposal=proposals.LinearGaussianObservations())
+        alg = inf.PMMH(
+            filt, 5, num_chains=8, context=ctx, key=jax.random.PRNGKey(2),
+            mesh=mesh, lane_axis="lanes",
+        )
+        res = alg.fit(y, logging=inf.logging.DefaultLogger())
+    samples = res.samples
+    assert all(np.isfinite(np.asarray(v)).all() for v in samples.values())
