@@ -210,6 +210,38 @@ class BaseFilter:
             return _jitted_batch_filter(self, key, jnp.asarray(y), initial_state, unroll)
         return _batch_filter_impl(self, key, jnp.asarray(y), initial_state, unroll)
 
+    def batch_filter_masked(self, key, y_padded, n_valid) -> FilterResult:
+        """Filter ``y_padded[:n_valid]`` where ``n_valid`` is a TRACED scalar
+        and ``y_padded`` has a fixed (bucketed) length: one compile serves
+        every history length up to the bucket (see :func:`pad_observations`).
+        Steps past ``n_valid`` pass through untouched; the returned result
+        carries the state and lane log-likelihood after step ``n_valid``.
+        Moment/state recording is not supported here (this is the
+        rejuvenation re-filter fast path)."""
+        if self.record_states or self.record_intermediary:
+            raise ValueError("batch_filter_masked cannot record states")
+        return _jitted_masked_batch_filter(
+            self.replace(record_states=False), key, jnp.asarray(y_padded), jnp.int32(n_valid)
+        )
+
+
+def pad_observations(y: jax.Array, bucket: int = None):
+    """Pad ``y``'s time axis to the next power of two (or ``bucket``).
+
+    With :meth:`BaseFilter.batch_filter_masked`, growing histories (SMC2's
+    rejuvenation re-filters) compile once per bucket instead of once per
+    length — the reference pays a Python re-loop instead (mh.py:74), a JAX
+    rebuild would pay a full XLA recompile per rejuvenation without this.
+    Returns ``(y_padded, n_valid)``.
+    """
+    t = y.shape[0]
+    if bucket is None:
+        bucket = 1 << max(t - 1, 0).bit_length()
+    if bucket < t:
+        raise ValueError(f"bucket {bucket} shorter than the sequence {t}")
+    pad = jnp.zeros((bucket - t,) + y.shape[1:], y.dtype)
+    return jnp.concatenate([y, pad], axis=0), t
+
 
 def _step_outputs(filt: BaseFilter, c: ParticleFilterCorrection):
     out = (c.log_likelihood, c.mean, c.variance)
@@ -382,3 +414,46 @@ def _jitted_batch_filter_noinit(filt, key, y, unroll):
 @functools.partial(jax.jit, static_argnums=(4,))
 def _jitted_single_step(filt, key, y, state, first_step):
     return filt.filter(key, y, state, first_step=first_step)
+
+
+@jax.jit
+def _jitted_masked_batch_filter(filt, key, y, n_valid):
+    """Scan over a padded observation buffer, active only for steps below the
+    traced ``n_valid`` (first step assumed valid)."""
+    k_init, k_first, k_scan = jax.random.split(key, 3)
+    state0 = filt.initialize(k_init)
+    state1 = filt.filter(k_first, y[0], state0, first_step=True)
+
+    n_steps = y.shape[0]
+    if n_steps == 1:
+        return FilterResult(
+            log_likelihood=state1.log_likelihood,
+            step_log_likelihoods=state1.log_likelihood[None],
+            filter_means=None,
+            filter_variances=None,
+            latest_state=state1,
+        )
+
+    def step(state, inp):
+        k, y_t, i = inp
+
+        def active(s):
+            new = filt.filter(k, y_t, s)
+            return new, new.log_likelihood
+
+        def passive(s):
+            return s, jnp.zeros_like(s.log_likelihood)
+
+        return jax.lax.cond(i < n_valid, active, passive, state)
+
+    keys = jax.random.split(k_scan, n_steps - 1)
+    idx = jnp.arange(1, n_steps, dtype=jnp.int32)
+    last, lls = jax.lax.scan(step, state1, (keys, y[1:], idx))
+    step_lls = jnp.concatenate([state1.log_likelihood[None], lls], axis=0)
+    return FilterResult(
+        log_likelihood=jnp.sum(step_lls, axis=0),
+        step_log_likelihoods=step_lls,
+        filter_means=None,
+        filter_variances=None,
+        latest_state=last,
+    )

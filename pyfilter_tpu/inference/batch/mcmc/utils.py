@@ -32,12 +32,19 @@ def run_pmmh(
     y: jax.Array,
     size=(),
     mutate_kernel: bool = False,
+    y_padded: jax.Array = None,
+    n_valid=None,
 ) -> PMMHStep:
     r"""One vectorized PMMH update over all lanes (reference utils.py:14-77).
 
     Accept mask from ``diff_proposal + diff_prior + diff_loglik`` vs
     log-uniform; lanes that accept exchange their filter state and context
     values with the proposal side.
+
+    ``y_padded``/``n_valid`` (optional): run the re-filter through the
+    bucketed masked scan instead — SMC2's rejuvenations re-filter a history
+    that grows every trigger, and a fresh XLA compile per length dwarfs the
+    filtering itself (see :func:`pyfilter_tpu.filters.base.pad_observations`).
     """
     k_sample, k_filter, k_accept, k_build = jax.random.split(key, 4)
     constrained = False
@@ -48,7 +55,10 @@ def run_pmmh(
     proposal_filter = filter_.initialize_model(proposal_context)
 
     # full re-filter of the data under the candidate parameters (the hot spot)
-    new_res = proposal_filter.batch_filter(k_filter, y)
+    if y_padded is not None and not proposal_filter.record_states:
+        new_res = proposal_filter.batch_filter_masked(k_filter, y_padded, n_valid)
+    else:
+        new_res = proposal_filter.batch_filter(k_filter, y)
 
     diff_logl = new_res.log_likelihood - state.filter_state.log_likelihood
     diff_prior = proposal_context.eval_priors(constrained=constrained) - context.eval_priors(

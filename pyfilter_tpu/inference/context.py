@@ -84,7 +84,9 @@ class InferenceContext:
             cls._contexts.stack = []
         if cls._contexts.stack:
             return cls._contexts.stack[-1]
-        raise Exception(f"There are currently no active '{cls.__name__}'!")
+        raise Exception(
+            f"no {cls.__name__} is active — enter one with `with make_context() as ctx:`"
+        )
 
     # -- configuration ---------------------------------------------------------
     def set_key(self, key) -> "InferenceContext":
@@ -121,8 +123,7 @@ class InferenceContext:
             if not self._verify_prior or self._prior_dict[name].equivalent_to(prior):
                 return self._value_dict[name]
             raise NotSamePriorError(
-                f"You are trying to register a parameter for '{name}' that already "
-                f"exists, but the priors don't match!"
+                f"parameter '{name}' is already registered under a different prior"
             )
 
         if tuple(prior.batch_shape) != ():
@@ -193,7 +194,8 @@ class InferenceContext:
         )
         if tot_len != x.shape[-1]:
             raise ValueError(
-                "Total length of parameters is different from parameters in context!"
+                f"stacked vector has {x.shape[-1]} elements but the context's "
+                f"registered parameters unstack to {tot_len}"
             )
 
         new = self._clone_registry()
@@ -233,12 +235,25 @@ class InferenceContext:
         return new
 
     def resample(self, indices) -> "InferenceContext":
+        """Gather parameter lanes by ``indices``.
+
+        Lane surgery (``resample``/``exchange``) supports a SINGLE lane axis
+        (dim 0), matching the reference's one-dim ``batch_shape`` limit
+        (reference filters/base.py:116-117); ``named_parameter`` accepts
+        arbitrary batch shapes for sampling, but the sequential algorithms
+        that call this always set a 1-D lane shape (SURVEY.md §8)."""
+        if len(self.batch_shape or ()) != 1:
+            raise ValueError(
+                f"lane resampling needs a 1-D batch shape; context has {self.batch_shape}"
+            )
         new = self._clone_registry()
         for name, v in self._value_dict.items():
             new._value_dict[name] = jnp.take(v, indices, axis=0)
         return new
 
     def exchange(self, other: "InferenceContext", mask) -> "InferenceContext":
+        """Lanes where ``mask`` take ``other``'s values (single lane axis on
+        dim 0 — see :meth:`resample` for the limit)."""
         new = self._clone_registry()
         for name, v in self._value_dict.items():
             other_v = other.get_parameter(name)
@@ -259,7 +274,7 @@ class InferenceContext:
             batch_shapes.add(shape[: len(shape) - ev] if ev else shape)
         if len(batch_shapes) != 1:
             raise ValueError(
-                "All resulting batch shapes not congruent as a result of the parameter transform!"
+                f"the parameter transform produced mismatched batch shapes: {sorted(batch_shapes)}"
             )
 
         new = self.make_new()
@@ -323,7 +338,9 @@ class InferenceContext:
             if len(mine) != len(theirs) or not all(
                 np.allclose(a, b) for a, b in zip(mine, theirs)
             ):
-                raise ValueError(f"Seems that you don't have the same priors for '{k}'!")
+                raise ValueError(
+                    f"checkpoint prior for '{k}' disagrees with this context's prior"
+                )
             self._value_dict[k] = jnp.asarray(state_dict[self._PARAMETER_KEY][k])
 
 

@@ -40,12 +40,14 @@ class TQDMWrapper(DefaultLogger):
     def __init__(self, log_every_iteration: int = 1):
         super().__init__(func=None, log_every_iteration=log_every_iteration)
         self._tqdm = None
+        self._last_iteration = 0
 
     def initialize_hook(self, algorithm, num_iterations: int):
         try:
             from tqdm import tqdm
 
             self._tqdm = tqdm(total=num_iterations, desc=str(algorithm))
+            self._last_iteration = 0
         except ImportError:
             self._tqdm = None
 
@@ -55,5 +57,8 @@ class TQDMWrapper(DefaultLogger):
             self._tqdm = None
 
     def do_log(self, iteration, state):
+        # advance by the iteration delta: the chunked fit loop reports once
+        # per chunk, the per-step loop once per observation
         if self._tqdm is not None:
-            self._tqdm.update(1)
+            self._tqdm.update(iteration - self._last_iteration)
+            self._last_iteration = iteration

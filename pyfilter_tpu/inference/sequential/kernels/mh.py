@@ -14,6 +14,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ....filters.base import pad_observations
 from ....resampling import systematic
 from ...batch.mcmc.proposals import BaseProposal, SymmetricMH
 from ...batch.mcmc.utils import run_pmmh
@@ -59,6 +60,9 @@ class ParticleMetropolisHastings:
         k_resample, key = jax.random.split(key)
 
         y = state.parsed_data_array
+        # bucketed padding: the history grows every rejuvenation, and a fresh
+        # XLA compile per length costs far more than the re-filter itself
+        y_padded, n_valid = pad_observations(y)
 
         indices = self._resampler(k_resample, state.normalized_weights(), normalized=True)
         k_build, key = jax.random.split(key)
@@ -87,6 +91,8 @@ class ParticleMetropolisHastings:
                 y,
                 size=size,
                 mutate_kernel=False,
+                y_padded=y_padded,
+                n_valid=n_valid,
             )
             context = step.context
             state.filter_state = step.filter_state
@@ -123,7 +129,8 @@ class ParticleMetropolisHastings:
         new_filter = filter_.initialize_model(context).increase_particles(2)
 
         y = state.parsed_data_array
-        new_res = new_filter.batch_filter(key, y)
+        y_padded, n_valid = pad_observations(y)
+        new_res = new_filter.batch_filter_masked(key, y_padded, n_valid)
         weight = new_res.log_likelihood - state.filter_state.log_likelihood
 
         new_state = SMC2State(

@@ -23,7 +23,12 @@ class RunningFilterResult:
     """Accumulating per-lane filter record for online algorithms — the role
     the reference's mutable ``FilterResult`` plays inside sequential
     algorithms (result.py:119-133): latest corrected state + running
-    log-likelihood (+ optional recorded moments)."""
+    log-likelihood (+ optional recorded moments).
+
+    Lane surgery (:meth:`resample`/:meth:`exchange`) assumes a SINGLE lane
+    axis, the same limit the reference imposes on ``batch_shape``
+    (filters/base.py:116-117); filters themselves accept arbitrary lane rank,
+    but the sequential algorithms always run one lane dim (SURVEY.md §8)."""
 
     def __init__(
         self,
@@ -82,7 +87,7 @@ class RunningFilterResult:
     @classmethod
     def from_filter_result(cls, result: FilterResult, record_moments: bool = True) -> "RunningFilterResult":
         new = cls(result.latest_state, result.log_likelihood, record_moments)
-        if record_moments:
+        if record_moments and result.filter_means is not None:
             new.filter_means = [m for m in result.filter_means]
             new.filter_variances = [v for v in result.filter_variances]
         return new

@@ -1,12 +1,14 @@
-"""TPU-optimized kernels for the SMC hot ops."""
+"""TPU-optimized kernels for the SMC hot ops.
+
+(The round-1 fused observation-step kernel was retired: XLA already fuses
+the elementwise scan body to parity — measured speed-neutral, PERF.md — and
+the resample fire it could not touch is now the Pallas expansion kernel.)
+"""
 
 from .expand import systematic_expand
-from .fused import fused_bootstrap_filter, fused_propagate_weight_step
 from .resample import systematic_counts
 
 __all__ = [
     "systematic_counts",
     "systematic_expand",
-    "fused_bootstrap_filter",
-    "fused_propagate_weight_step",
 ]

@@ -299,16 +299,19 @@ def test_ness_recovers_parameters():
 @pytest.mark.slow
 def test_nessmc2_and_smc2fw_recover():
     """Hybrid algorithms (SMC2 -> NESS/FixedWidthNESS after the switch) must
-    still recover the identifiable parameters."""
+    recover EVERY free parameter within stated tolerances — the same
+    full-posterior bar as the SMC2/NESS tests (SURVEY §4 point 7; the
+    reference only smoke-tests these, test_sequential.py:37)."""
     for cls in (inf.NESSMC2, inf.SMC2FW):
         post, state, ctx, _ = run_sequential(
             lambda f, p, c: cls(f, p, switch=50, context=c, key=jax.random.PRNGKey(4)),
-            n_obs=200,
+            n_obs=300,
         )
         kappa, gamma, sigma = post
         assert np.isfinite(post).all()
-        assert abs(gamma - TRUE_GAMMA) < 0.25, (cls.__name__, post)
-        assert abs(sigma - TRUE_SIGMA) < 0.1, (cls.__name__, post)
+        assert abs(kappa - TRUE_KAPPA) < 0.4, (cls.__name__, post)
+        assert abs(gamma - TRUE_GAMMA) < 0.2, (cls.__name__, post)
+        assert abs(sigma - TRUE_SIGMA) < 0.05, (cls.__name__, post)
 
 
 def test_smc2_particle_increase():
