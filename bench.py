@@ -57,7 +57,9 @@ def _simulate_obs(n_obs):
     return np.asarray(ys, np.float32)
 
 
-def bench_jax(y):
+def bench_jax(y, profile_dir=None):
+    import contextlib
+
     import jax
 
     # rbg is substantially faster than threefry on TPU for bulk normal draws
@@ -78,13 +80,19 @@ def bench_jax(y):
     res = filt.batch_filter(key, y, unroll=4)
     ll = float(res.log_likelihood)
 
+    # attributable regressions, not just timed ones: `--profile DIR` wraps
+    # the measured runs in a jax.profiler trace (open with xprof/tensorboard)
+    trace = (
+        jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
+    )
     times = []
-    for i in range(3):
-        k = jax.random.PRNGKey(i + 1)
-        t0 = time.perf_counter()
-        res = filt.batch_filter(k, y, unroll=4)
-        ll = float(res.log_likelihood)
-        times.append(time.perf_counter() - t0)
+    with trace:
+        for i in range(3):
+            k = jax.random.PRNGKey(i + 1)
+            t0 = time.perf_counter()
+            res = filt.batch_filter(k, y, unroll=4)
+            ll = float(res.log_likelihood)
+            times.append(time.perf_counter() - t0)
 
     elapsed = min(times)
     hidden_steps = y.shape[0] * OES
@@ -389,15 +397,32 @@ def get_torch_baseline(y):
 
 
 def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--profile",
+        nargs="?",
+        const="/tmp/pyfilter_tpu_trace",
+        default=None,
+        help="write a jax.profiler trace of the measured runs to this directory",
+    )
+    parser.add_argument(
+        "--skip-smc2", action="store_true", help="headline metric only"
+    )
+    args = parser.parse_args()
+
     y = _simulate_obs(N_OBS)
     baseline = get_torch_baseline(y)
-    value, _ll = bench_jax(y)
+    value, _ll = bench_jax(y, profile_dir=args.profile)
     vs_baseline = (value / baseline) if baseline else None
 
     y2 = _simulate_obs(SMC2_T)
-    smc2_torch = get_smc2_torch_baseline(y2)
+    smc2_torch = None if args.skip_smc2 else get_smc2_torch_baseline(y2)
     smc2_extra = []
     try:
+        if args.skip_smc2:
+            raise RuntimeError("skipped")
         smc2_sec, _post = bench_smc2_jax(y2)
         smc2_extra = [
             {

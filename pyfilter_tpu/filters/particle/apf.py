@@ -8,7 +8,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ...ops.expand import systematic_expand
 from ...utils import batched_gather, log_likelihood
 from ..state import ParticleFilterCorrection, ParticleFilterPrediction
 from .base import ParticleFilter
@@ -42,7 +41,7 @@ class APF(ParticleFilter):
         if self._use_fused_resample(ts_state.value):
             # fused Pallas resample+gather (ops/expand.py) pulls the state
             # values AND the pre-weights through one streaming expansion
-            (res_vals, res_prew), indices = systematic_expand(
+            (res_vals, res_prew), indices = self._fused_resample(
                 k_resample, resample_weights, (ts_state.value, pre_weights)
             )
         else:

@@ -93,19 +93,30 @@ class ParticleFilter(BaseFilter):
 
     def _use_fused_resample(self, value: jax.Array) -> bool:
         """Trace-time decision: route the resample+gather through the fused
-        Pallas expansion kernel (ops/expand.py). Only single-lane f32 clouds
-        qualify; the auto mode additionally requires a TPU backend, a
-        systematic-family resampler, and a cloud large enough that the XLA
-        scatter/gather floor dominates."""
-        if self.batch_shape or value.dtype != jnp.float32:
+        Pallas expansion kernel (ops/expand.py — the lane-batched variant when
+        ``batch_shape`` is set). f32 clouds only; the auto mode additionally
+        requires a TPU backend, a systematic-family resampler, and a total
+        cloud large enough that the XLA scatter/gather floor dominates."""
+        total = self.n_particles
+        for dim in self.batch_shape:
+            total *= int(dim)
+        if value.dtype != jnp.float32 or total >= 1 << 24:
             return False
         if self.fused_resample is not None:
             return bool(self.fused_resample)
         return (
             jax.default_backend() == "tpu"
-            and self.n_particles >= 16384
+            and total >= 16384
             and self.resampler in (systematic_counts, resampling.systematic)
         )
+
+    def _fused_resample(self, key, weights, values, normalized: bool = False):
+        """Dispatch to the single-lane or lane-batched expansion kernel."""
+        from ...ops.expand import systematic_expand, systematic_expand_lanes
+
+        if self.batch_shape:
+            return systematic_expand_lanes(key, weights, values, normalized=normalized)
+        return systematic_expand(key, weights, values, normalized=normalized)
 
     # -- reference aliases -----------------------------------------------------
     @property

@@ -40,7 +40,15 @@ class SISR(ParticleFilter):
 
         def resample_lanes(key):
             # per-lane gates: always-compute + per-lane where
-            fresh_idx = self.resampler(key, normalized, normalized=True)
+            if self._use_fused_resample(ts_state.value):
+                resampled_vals, fresh_idx = self._fused_resample(
+                    key, normalized, ts_state.value, normalized=True
+                )
+            else:
+                fresh_idx = self.resampler(key, normalized, normalized=True)
+                resampled_vals = batched_gather(
+                    ts_state.value, fresh_idx, ts_state.event_ndim
+                )
             mask = ess < self.resample_threshold
             mask_p = mask[None]  # broadcast over particle axis
             indices = jnp.where(mask_p, fresh_idx, identity)
@@ -48,7 +56,6 @@ class SISR(ParticleFilter):
             new_weights = jnp.where(mask_p, 0.0, weights)
             new_normalized = jnp.where(mask_p, 1.0 / self.n_particles, normalized)
 
-            resampled_vals = batched_gather(ts_state.value, indices, ts_state.event_ndim)
             new_vals = jnp.where(
                 mask.reshape((1,) + mask.shape + (1,) * ts_state.event_ndim),
                 resampled_vals,

@@ -5,10 +5,11 @@ the elementwise scan body to parity — measured speed-neutral, PERF.md — and
 the resample fire it could not touch is now the Pallas expansion kernel.)
 """
 
-from .expand import systematic_expand
+from .expand import systematic_expand, systematic_expand_lanes
 from .resample import systematic_counts
 
 __all__ = [
     "systematic_counts",
     "systematic_expand",
+    "systematic_expand_lanes",
 ]

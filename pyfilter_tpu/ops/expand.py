@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import normalize
 
-__all__ = ["systematic_expand"]
+__all__ = ["systematic_expand", "systematic_expand_lanes"]
 
 # Output block of B positions reads a window of window_blocks*B sources; work
 # scales as n * window, so the narrow window runs unless its span check
@@ -204,6 +204,26 @@ def systematic_expand(
 
     counts = _counts_from_probs(probs, u)
 
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    vals2d, idx = _expand_from_counts(counts, v2d, interpret)
+
+    outs = []
+    col = 0
+    for v, shape in zip(vals_in, shapes):
+        width = 1
+        for dim in shape[1:]:
+            width *= int(dim)
+        outs.append(vals2d[:, col : col + width].reshape(shape).astype(v.dtype))
+        col += width
+    return (outs[0] if single else tuple(outs)), idx
+
+
+def _expand_from_counts(counts: jax.Array, v2d: jax.Array, interpret: bool):
+    """The expansion core, shared by the single-lane and lane-flattened entry
+    points: ``counts`` is any monotone copy-count boundary array over ``n``
+    sources and ``n`` output positions."""
+    n = counts.shape[0]
     gb = _GROUP * _B
     n_out_pad = max(gb, ((n + gb - 1) // gb) * gb)
     n_blocks = n_out_pad // _B
@@ -224,9 +244,6 @@ def systematic_expand(
     r_starts = s_groups[:, 0]
     rel0 = s_groups - r_starts[:, None]
     valid = bounds < n
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
     def make_branch(window_blocks: int):
         window = window_blocks * _B
@@ -251,19 +268,92 @@ def systematic_expand(
         idx = _invert_counts(counts)
         return jnp.take(v2d, idx, axis=0), idx
 
-    vals2d, idx = jax.lax.cond(
+    return jax.lax.cond(
         ok_narrow,
         run_narrow,
         lambda op: jax.lax.cond(ok_wide, run_wide, fallback, op),
         None,
     )
 
+
+def systematic_expand_lanes(
+    key: jax.Array | None,
+    weights: jax.Array,
+    values,
+    normalized: bool = False,
+    u: jax.Array | None = None,
+    interpret: bool | None = None,
+):
+    """Lane-batched fused systematic resample + gather.
+
+    ``weights``: ``(N, *batch)`` log-weights (particle axis first, the
+    package-wide layout). Each lane resamples independently with its own
+    shared uniform — exactly ``ops.systematic_counts`` semantics — but the
+    whole batch runs through ONE expansion: lane ``l``'s copy-count
+    boundaries are offset by ``l*N``, which keeps the concatenated counts
+    array monotone, so the single-lane streaming kernel applies verbatim to
+    the ``(L*N,)``-flattened problem. This replaces the per-step XLA
+    scatter+gather floor that dominates the nested-SMC re-filters
+    (PERF.md; reference hot path resampling.py:24-52 over the lane batch).
+
+    Returns ``(resampled_values, indices)`` with shapes matching the inputs
+    (indices are per-lane, in ``[0, N)``).
+    """
+    w = jnp.asarray(weights)
+    if w.ndim < 2:
+        raise ValueError("use systematic_expand for single-lane weights")
+    probs = w if normalized else normalize(w, axis=0)
+    probs = probs.astype(jnp.float32)
+    n = probs.shape[0]
+    batch_shape = probs.shape[1:]
+    n_lanes = 1
+    for dim in batch_shape:
+        n_lanes *= int(dim)
+    if n * n_lanes >= 1 << 24:
+        raise ValueError("total particle count must stay below 2**24 for exact f32 indexing")
+
+    single = not isinstance(values, (tuple, list))
+    vals_in = (values,) if single else tuple(values)
+    shapes = [v.shape for v in vals_in]
+    # (N, *batch, *event) -> (L*N, D): lanes-major, particles within a lane
+    flat_cols = []
+    for v in vals_in:
+        v = jnp.asarray(v, jnp.float32)
+        ev_shape = v.shape[1 + len(batch_shape):]
+        width = 1
+        for dim in ev_shape:
+            width *= int(dim)
+        v2 = v.reshape((n, n_lanes, width))
+        flat_cols.append(jnp.moveaxis(v2, 0, 1).reshape(n_lanes * n, width))
+    v2d = jnp.concatenate(flat_cols, axis=1)
+
+    if u is None:
+        if key is None:
+            raise ValueError("either key or u must be provided")
+        u = jax.random.uniform(key, batch_shape, dtype=probs.dtype)
+    u = jnp.broadcast_to(jnp.asarray(u, probs.dtype), batch_shape).reshape(n_lanes)
+
+    # per-lane counts, then offset lane l by l*N: stays monotone end-to-end
+    probs_t = probs.reshape(n, n_lanes).T  # (L, N)
+    cumw = jnp.cumsum(probs_t, axis=1)
+    cumw = cumw.at[:, -1].set(1.0)
+    counts = jnp.clip(jnp.ceil(n * cumw - u[:, None]), 0, n).astype(jnp.int32)
+    offsets = (jnp.arange(n_lanes, dtype=jnp.int32) * n)[:, None]
+    counts_global = (counts + offsets).reshape(-1)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    vals2d, idx_global = _expand_from_counts(counts_global, v2d, interpret)
+    idx = (idx_global.reshape(n_lanes, n) - offsets).T.reshape((n, *batch_shape))
+
     outs = []
     col = 0
     for v, shape in zip(vals_in, shapes):
         width = 1
-        for dim in shape[1:]:
+        for dim in shape[1 + len(batch_shape):]:
             width *= int(dim)
-        outs.append(vals2d[:, col : col + width].reshape(shape).astype(v.dtype))
+        lane_first = vals2d[:, col : col + width].reshape(n_lanes, n, width)
+        back = jnp.moveaxis(lane_first, 0, 1).reshape(shape)
+        outs.append(back.astype(v.dtype))
         col += width
     return (outs[0] if single else tuple(outs)), idx

@@ -12,6 +12,15 @@ from pyfilter_tpu.ops import systematic_counts, systematic_expand
 from pyfilter_tpu.utils import batched_gather
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    # Same LLVM-compile segfault mitigation as test_variational.py: the
+    # interpret-mode Pallas expansion programs are among the suite's largest
+    # compiles, and XLA's CPU backend is unstable compiling/deserializing
+    # them after hundreds of prior in-process compilations on this host.
+    jax.clear_caches()
+
+
 def _model():
     return examples.stochastic_volatility_model(0.1, 1.0, 0.05, 0.0, 0.0, 1.0, dt=0.2)
 
@@ -74,28 +83,47 @@ def test_systematic_expand_zero_count_runs(key):
 
 
 @pytest.mark.parametrize("cls", [pf.SISR, pf.APF])
-def test_fused_resample_filter_bit_identical(key, cls):
-    """A filter with the fused Pallas resample must produce the exact same
-    run as the standard counts-inversion path (same keys, same u)."""
+@pytest.mark.parametrize("batch_shape", [(), (4,)])
+def test_fused_resample_filter_bit_identical(key, cls, batch_shape):
+    """A filter with the fused Pallas resample (single-lane or lane-batched)
+    must produce the exact same run as the standard counts-inversion path
+    (same keys, same u)."""
     model = _model()
     rng = np.random.default_rng(3)
     y = jnp.asarray(rng.normal(0.0, 0.5, 12).astype(np.float32))
 
-    # low ESS threshold argument not needed: SISR resamples whenever gated;
-    # use enough observations that resampling fires.
-    base = cls(model, 512, record_states=True, fused_resample=False)
-    fused = cls(model, 512, record_states=True, fused_resample=True)
+    base = cls(model, 512, record_states=True, fused_resample=False, batch_shape=batch_shape)
+    fused = cls(model, 512, record_states=True, fused_resample=True, batch_shape=batch_shape)
 
     r1 = base.batch_filter(key, y)
     r2 = fused.batch_filter(key, y)
-    np.testing.assert_allclose(
-        float(r1.log_likelihood), float(r2.log_likelihood), rtol=0, atol=0
+    np.testing.assert_array_equal(
+        np.asarray(r1.log_likelihood), np.asarray(r2.log_likelihood)
     )
     np.testing.assert_array_equal(
         np.asarray(r1.states.values), np.asarray(r2.states.values)
     )
     np.testing.assert_array_equal(
         np.asarray(r1.states.prev_indices), np.asarray(r2.states.prev_indices)
+    )
+
+
+def test_systematic_expand_lanes_matches_counts_resampler(key):
+    from pyfilter_tpu.ops import systematic_expand_lanes
+
+    n, batch = 400, (16,)
+    k_w, k_v, k_u = jax.random.split(key, 3)
+    lw = jax.random.normal(k_w, (n, *batch))
+    vals = jax.random.normal(k_v, (n, *batch, 2))
+    u = jax.random.uniform(k_u, batch)
+    ref_idx = systematic_counts(None, lw, u=u)
+    (out_vals, out_w), idx = systematic_expand_lanes(None, lw, (vals, lw), u=u)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_array_equal(
+        np.asarray(out_vals), np.asarray(batched_gather(vals, ref_idx, 1))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_w), np.asarray(batched_gather(lw, ref_idx, 0))
     )
 
 
