@@ -17,6 +17,7 @@ import functools
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node
 
@@ -239,6 +240,13 @@ def pad_observations(y: jax.Array, bucket: int = None):
         bucket = 1 << max(t - 1, 0).bit_length()
     if bucket < t:
         raise ValueError(f"bucket {bucket} shorter than the sequence {t}")
+    if isinstance(y, np.ndarray):
+        # host path: numpy pad + one device_put — a device-side concatenate
+        # would compile a fresh XLA program for every distinct history length
+        # (measured ~0.8 s per length on the rejuvenation path)
+        out = np.zeros((bucket,) + y.shape[1:], y.dtype)
+        out[:t] = y
+        return jnp.asarray(out), t
     pad = jnp.zeros((bucket - t,) + y.shape[1:], y.dtype)
     return jnp.concatenate([y, pad], axis=0), t
 

@@ -30,6 +30,20 @@ from ..logging import TQDMWrapper
 from ..state import RunningFilterResult, SequentialAlgorithmState
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _split_chain(key, n: int):
+    """``n`` sequential ``jax.random.split`` steps in ONE device call —
+    bit-identical to the per-step loop's key stream, without paying one
+    host->device round-trip per observation (the axon tunnel makes each
+    eager split a multi-ms round-trip)."""
+
+    def body(k, _):
+        k, sub = jax.random.split(k)
+        return k, sub
+
+    return jax.lax.scan(body, key, None, length=n)
+
+
 @jax.jit
 def _chunk_scan(filt, corr, w, ll, ys, keys, lo, hi):
     """Advance the filter over steps ``i`` in the traced window ``[lo, hi)``
@@ -196,6 +210,16 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
         logging = logging or TQDMWrapper()
         y = jnp.asarray(y)
 
+        # one re-filter bucket for the whole fit: the rejuvenation kernel pads
+        # every history to the full dataset's power-of-two length, so the
+        # masked re-filter compiles once per run, not once per bucket
+        planned = 1 << max(int(y.shape[0]) - 1, 0).bit_length()
+        for alg in (self, getattr(self, "_first", None), getattr(self, "_second", None)):
+            kernel = getattr(alg, "_kernel", None)
+            if kernel is not None and hasattr(kernel, "bucket_hint"):
+                if kernel.bucket_hint is None or kernel.bucket_hint < planned:
+                    kernel.bucket_hint = planned
+
         if chunk_size is None:
             chunk_size = (
                 self._default_chunk_size
@@ -232,13 +256,14 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
 
     def _fit_chunked(self, y, state, logging, chunk: int) -> SequentialAlgorithmState:
         n_total = int(y.shape[0])
+        y_host = np.asarray(y)  # one fetch: history rows append host-side
 
         # the first observation runs alone: ``first_step=True`` is a static
         # structural flag (sub-step count), so it cannot live inside the scan
         corr0 = self._filter.step(
             self._next_key(), y[0], state.filter_state.latest_state, first_step=True
         )
-        self._on_data_consumed(state, y[0:1])
+        self._on_data_consumed(state, y_host[0:1])
         state.append(corr0)
         state.bump_iteration()
         trig = self._chunk_trigger(
@@ -257,10 +282,10 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
             if n_eff < chunk:  # static chunk shape: one compile for all chunks
                 pad = jnp.broadcast_to(ys_c[-1:], (chunk - n_eff,) + ys_c.shape[1:])
                 ys_c = jnp.concatenate([ys_c, pad], axis=0)
-            # one _next_key per observation — the same key stream the per-step
-            # loop consumes, so both paths are bit-identical up to the first
-            # rejuvenation
-            keys = jnp.stack([self._next_key() for _ in range(chunk)])
+            # one split per observation — the same key stream the per-step
+            # loop consumes (so both paths are bit-identical up to the first
+            # rejuvenation), chained inside a single device call
+            self._key, keys = _split_chain(self._key, chunk)
 
             lo = 0
             while lo < n_eff:
@@ -285,7 +310,7 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
                     )
 
                 self._absorb_chunk(state, carry_out, outs, lo, hi)
-                self._on_data_consumed(state, y[t : t + (hi - lo)])
+                self._on_data_consumed(state, y_host[t : t + (hi - lo)])
                 t += hi - lo
                 lo = hi
                 if trig is not None:

@@ -51,18 +51,30 @@ class ParticleMetropolisHastings:
         self._max_increases = int(max_increases)
         self._increases = 0
         self._resampler = resampler
+        #: when set (SMC2.fit sets it to the padded full-dataset length), every
+        #: rejuvenation re-filter uses this single bucket — one XLA compile for
+        #: the whole run instead of one per power-of-two history length.
+        #: Inactive steps pass through a scalar ``lax.cond``, so over-padding
+        #: costs only scan-step overhead.
+        self.bucket_hint: int | None = None
 
     @property
     def proposal(self) -> BaseProposal:
         return self._proposal
 
+    def _bucket_for(self, y) -> int | None:
+        if self.bucket_hint is not None and self.bucket_hint >= y.shape[0]:
+            return self.bucket_hint
+        return None
+
     def update(self, key, context, filter_, state: SMC2State) -> MHUpdate:
         k_resample, key = jax.random.split(key)
 
-        y = state.parsed_data_array
-        # bucketed padding: the history grows every rejuvenation, and a fresh
-        # XLA compile per length costs far more than the re-filter itself
-        y_padded, n_valid = pad_observations(y)
+        y_host = state.parsed_data_host
+        # bucketed padding (host-side): the history grows every rejuvenation,
+        # and a fresh XLA compile per length costs far more than the re-filter
+        y_padded, n_valid = pad_observations(y_host, bucket=self._bucket_for(y_host))
+        y = jnp.asarray(y_host)
 
         indices = self._resampler(k_resample, state.normalized_weights(), normalized=True)
         k_build, key = jax.random.split(key)
@@ -128,8 +140,8 @@ class ParticleMetropolisHastings:
 
         new_filter = filter_.initialize_model(context).increase_particles(2)
 
-        y = state.parsed_data_array
-        y_padded, n_valid = pad_observations(y)
+        y_host = state.parsed_data_host
+        y_padded, n_valid = pad_observations(y_host, bucket=self._bucket_for(y_host))
         new_res = new_filter.batch_filter_masked(key, y_padded, n_valid)
         weight = new_res.log_likelihood - state.filter_state.log_likelihood
 

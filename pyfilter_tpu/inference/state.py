@@ -178,14 +178,22 @@ class SMC2State(SequentialAlgorithmState):
 
     def __init__(self, w, filter_state, parsed_data: Optional[list] = None):
         super().__init__(w, filter_state)
-        self.parsed_data: List[jax.Array] = list(parsed_data or [])
+        # rows are kept HOST-side (numpy): ``parsed_data_array`` is then one
+        # device_put instead of a t-operand jnp.stack, which XLA would compile
+        # as a fresh program for every distinct history length the
+        # rejuvenations hit (measured seconds of per-run compile time)
+        self.parsed_data: List[np.ndarray] = [np.asarray(y) for y in (parsed_data or [])]
 
     def append_data(self, y):
-        self.parsed_data.append(jnp.asarray(y))
+        self.parsed_data.append(np.asarray(y))
+
+    @property
+    def parsed_data_host(self) -> np.ndarray:
+        return np.stack(self.parsed_data, axis=0)
 
     @property
     def parsed_data_array(self) -> jax.Array:
-        return jnp.stack(self.parsed_data, axis=0)
+        return jnp.asarray(self.parsed_data_host)
 
     def state_dict(self) -> dict:
         res = super().state_dict()
@@ -194,4 +202,4 @@ class SMC2State(SequentialAlgorithmState):
 
     def load_state_dict(self, state_dict: dict):
         super().load_state_dict(state_dict)
-        self.parsed_data = [jnp.asarray(y) for y in state_dict["parsed_data"]]
+        self.parsed_data = [np.asarray(y) for y in state_dict["parsed_data"]]

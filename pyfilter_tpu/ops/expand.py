@@ -56,6 +56,10 @@ _GROUP = 32
 _WINDOW_BLOCKS = (2, 4)  # narrow, wide
 _DRIFT_BLOCKS = 4
 
+# The lane-BLOCKED kernel (small n per lane, many lanes) keeps everything in
+# the package-native (N, lanes) layout: lanes ride the hardware lane axis.
+_LANE = 128
+
 
 def _counts_from_probs(probs: jax.Array, u: jax.Array) -> jax.Array:
     """Copy-count boundaries: counts[j] = #{i : (i+u)/n < cumw[j]} (see
@@ -276,6 +280,102 @@ def _expand_from_counts(counts: jax.Array, v2d: jax.Array, interpret: bool):
     )
 
 
+def _expand_lane_block_kernel(cshift_ref, counts_ref, vals_ref, out_ref, *, d: int):
+    """One grid step: ALL outputs for a block of 128 lanes (small-n regime).
+
+    Layout is the package-native one — lanes on the hardware lane axis, the
+    particle index on sublanes — so no transposes or flattening feed this
+    kernel. Exactness comes from the monotone-counts identities: with
+    ``M_j(i) = (counts[j] <= i)`` (per lane),
+
+        ancestor index  idx[i] = sum_j M_j(i)                  (exact f32 ints)
+        one-hot         hot_j(i) = (cshift[j] <= i) & ~M_j(i)  (cshift[j] = counts[j-1])
+
+    — and the selected value is copied bit-exactly (select+add, exactly one
+    hot row per output position). Accumulation goes straight into the output
+    refs: Mosaic cannot legalize fori_loop with wide vector carries.
+
+    cshift_ref/counts_ref: (n_pad, LANE) int32 VMEM — per-lane boundaries,
+    ascending; rows >= n are padded with the final boundary n (whose ``M``
+    and ``hot`` are identically 0, so the padding contributes nothing).
+    vals_ref: (d, n_pad, LANE) f32 VMEM — value planes.
+    out_ref: (d + 1, n_pad, LANE) f32 VMEM — expanded planes + idx plane.
+    """
+    n_pad = counts_ref.shape[0]
+    i_grid = jax.lax.broadcasted_iota(jnp.int32, (n_pad, _LANE), 0)
+    ones = jnp.ones((n_pad, _LANE), jnp.float32)
+    zeros = jnp.zeros((n_pad, _LANE), jnp.float32)
+
+    for dd in range(d + 1):
+        out_ref[dd] = zeros
+
+    def chunk(c, _):
+        tile_hi = counts_ref[pl.ds(c * 8, 8), :]  # aligned (8, LANE) tiles
+        tile_lo = cshift_ref[pl.ds(c * 8, 8), :]
+        vtiles = [vals_ref[dd, pl.ds(c * 8, 8), :] for dd in range(d)]
+        for k in range(8):
+            m = tile_hi[k : k + 1, :] <= i_grid  # (n_pad, LANE)
+            hot = (tile_lo[k : k + 1, :] <= i_grid) & (~m)
+            out_ref[d] += jnp.where(m, ones, zeros)
+            for dd in range(d):
+                out_ref[dd] += jnp.where(hot, vtiles[dd][k : k + 1, :], zeros)
+        return 0
+
+    jax.lax.fori_loop(0, n_pad // 8, chunk, 0)
+
+
+def _expand_lanes_blocked(counts_nl: jax.Array, planes: jax.Array, interpret: bool):
+    """Lane-blocked expansion: ``counts_nl`` (n, L) per-lane copy-count
+    boundaries, ``planes`` (d, n, L) value planes. Returns ((d, n, L)
+    expanded planes, (n, L) int32 ancestor indices)."""
+    d, n, n_lanes = planes.shape
+    n_pad = ((n + 7) // 8) * 8
+    l_pad = ((n_lanes + _LANE - 1) // _LANE) * _LANE
+
+    counts_f = counts_nl.astype(jnp.int32)
+    if n_pad != n:
+        # pad sources with the final boundary (= n): identically-zero M rows
+        counts_f = jnp.concatenate(
+            [counts_f, jnp.broadcast_to(counts_f[-1:], (n_pad - n, n_lanes))], axis=0
+        )
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((d, n_pad - n, n_lanes), jnp.float32)], axis=1
+        )
+    if l_pad != n_lanes:
+        counts_f = jnp.pad(counts_f, ((0, 0), (0, l_pad - n_lanes)))
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, l_pad - n_lanes)))
+
+    cshift = jnp.concatenate(
+        [jnp.zeros((1, l_pad), jnp.int32), counts_f[:-1]], axis=0
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_expand_lane_block_kernel, d=d),
+        out_shape=jax.ShapeDtypeStruct((d + 1, n_pad, l_pad), jnp.float32),
+        grid=(l_pad // _LANE,),
+        in_specs=[
+            pl.BlockSpec((n_pad, _LANE), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, _LANE), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (d, n_pad, _LANE), lambda g: (0, 0, g), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (d + 1, n_pad, _LANE), lambda g: (0, 0, g), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(cshift, counts_f, planes)
+
+    vals = out[:d, :n, :n_lanes]
+    idx = out[d, :n, :n_lanes].astype(jnp.int32)
+    return vals, idx
+
+
+# VMEM budget gate for the lane-blocked kernel: in/out blocks plus the loop
+# carries are ~(3d + 4) planes of (n_pad, 128) f32 per grid step.
+_LANE_BLOCK_VMEM_BUDGET = 6 * 1024 * 1024
+
+
 def systematic_expand_lanes(
     key: jax.Array | None,
     weights: jax.Array,
@@ -309,23 +409,17 @@ def systematic_expand_lanes(
     n_lanes = 1
     for dim in batch_shape:
         n_lanes *= int(dim)
-    if n * n_lanes >= 1 << 24:
-        raise ValueError("total particle count must stay below 2**24 for exact f32 indexing")
 
     single = not isinstance(values, (tuple, list))
     vals_in = (values,) if single else tuple(values)
     shapes = [v.shape for v in vals_in]
-    # (N, *batch, *event) -> (L*N, D): lanes-major, particles within a lane
-    flat_cols = []
-    for v in vals_in:
-        v = jnp.asarray(v, jnp.float32)
-        ev_shape = v.shape[1 + len(batch_shape):]
+    widths = []
+    for shape in shapes:
         width = 1
-        for dim in ev_shape:
+        for dim in shape[1 + len(batch_shape):]:
             width *= int(dim)
-        v2 = v.reshape((n, n_lanes, width))
-        flat_cols.append(jnp.moveaxis(v2, 0, 1).reshape(n_lanes * n, width))
-    v2d = jnp.concatenate(flat_cols, axis=1)
+        widths.append(width)
+    d_total = sum(widths)
 
     if u is None:
         if key is None:
@@ -333,27 +427,61 @@ def systematic_expand_lanes(
         u = jax.random.uniform(key, batch_shape, dtype=probs.dtype)
     u = jnp.broadcast_to(jnp.asarray(u, probs.dtype), batch_shape).reshape(n_lanes)
 
-    # per-lane counts, then offset lane l by l*N: stays monotone end-to-end
+    # per-lane copy-count boundaries (same arithmetic as ops.systematic_counts)
     probs_t = probs.reshape(n, n_lanes).T  # (L, N)
     cumw = jnp.cumsum(probs_t, axis=1)
     cumw = cumw.at[:, -1].set(1.0)
     counts = jnp.clip(jnp.ceil(n * cumw - u[:, None]), 0, n).astype(jnp.int32)
-    offsets = (jnp.arange(n_lanes, dtype=jnp.int32) * n)[:, None]
-    counts_global = (counts + offsets).reshape(-1)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    n_pad = ((n + 7) // 8) * 8
+    if (3 * d_total + 4) * n_pad * 512 <= _LANE_BLOCK_VMEM_BUDGET:
+        # small-n regime: the lane-blocked kernel works in the native (N, L)
+        # layout — no flattening, no global offsets, lanes on the lane axis
+        planes = jnp.concatenate(
+            [
+                jnp.moveaxis(
+                    jnp.asarray(v, jnp.float32).reshape(n, n_lanes, w), 2, 0
+                )
+                for v, w in zip(vals_in, widths)
+            ],
+            axis=0,
+        )  # (d, n, L)
+        out_planes, idx_nl = _expand_lanes_blocked(counts.T, planes, interpret)
+        idx = idx_nl.reshape((n, *batch_shape))
+        outs = []
+        col = 0
+        for v, shape, w in zip(vals_in, shapes, widths):
+            plane = jnp.moveaxis(out_planes[col : col + w], 0, 2)  # (n, L, w)
+            outs.append(plane.reshape(shape).astype(v.dtype))
+            col += w
+        return (outs[0] if single else tuple(outs)), idx
+
+    # large-n regime: flatten lanes into one global monotone counts array and
+    # run the windowed streaming kernel on the (L*N,) problem
+    if n * n_lanes >= 1 << 24:
+        raise ValueError(
+            "total particle count must stay below 2**24 for exact f32 indexing"
+        )
+    flat_cols = []
+    for v, w in zip(vals_in, widths):
+        v2 = jnp.asarray(v, jnp.float32).reshape((n, n_lanes, w))
+        flat_cols.append(jnp.moveaxis(v2, 0, 1).reshape(n_lanes * n, w))
+    v2d = jnp.concatenate(flat_cols, axis=1)
+
+    offsets = (jnp.arange(n_lanes, dtype=jnp.int32) * n)[:, None]
+    counts_global = (counts + offsets).reshape(-1)
+
     vals2d, idx_global = _expand_from_counts(counts_global, v2d, interpret)
     idx = (idx_global.reshape(n_lanes, n) - offsets).T.reshape((n, *batch_shape))
 
     outs = []
     col = 0
-    for v, shape in zip(vals_in, shapes):
-        width = 1
-        for dim in shape[1 + len(batch_shape):]:
-            width *= int(dim)
-        lane_first = vals2d[:, col : col + width].reshape(n_lanes, n, width)
+    for v, shape, w in zip(vals_in, shapes, widths):
+        lane_first = vals2d[:, col : col + w].reshape(n_lanes, n, w)
         back = jnp.moveaxis(lane_first, 0, 1).reshape(shape)
         outs.append(back.astype(v.dtype))
-        col += width
+        col += w
     return (outs[0] if single else tuple(outs)), idx

@@ -108,10 +108,18 @@ def test_fused_resample_filter_bit_identical(key, cls, batch_shape):
     )
 
 
-def test_systematic_expand_lanes_matches_counts_resampler(key):
+@pytest.mark.parametrize(
+    "n,batch",
+    [
+        (400, (16,)),   # lane-blocked kernel, aligned n
+        (257, (5,)),    # lane-blocked kernel, padded sources AND lanes
+        (400, (4, 3)),  # multi-dim lane batch
+        (3000, (3,)),   # exceeds the VMEM budget -> global windowed path
+    ],
+)
+def test_systematic_expand_lanes_matches_counts_resampler(key, n, batch):
     from pyfilter_tpu.ops import systematic_expand_lanes
 
-    n, batch = 400, (16,)
     k_w, k_v, k_u = jax.random.split(key, 3)
     lw = jax.random.normal(k_w, (n, *batch))
     vals = jax.random.normal(k_v, (n, *batch, 2))
