@@ -145,19 +145,23 @@ class BaseFilter:
         keys = jax.random.split(key, n_sub + 2)
         prediction = self.predict(keys[0], state)
         inters = []
-        for i in range(n_sub):
-            # sub-steps only advance the hidden state: pure propagation leaves
-            # the weights (and hence the normalized weights, the ESS gate and
-            # the ancestry) untouched, so re-deriving them per sub-step — as
-            # the reference's create_state/predict chain does,
-            # filters/base.py:204-210 — is redundant recomputation, not
-            # different math.
-            x_new = self.model.hidden.propagate(keys[1 + i], prediction.x)
+        # sub-steps only advance the hidden state: pure propagation leaves
+        # the weights (and hence the normalized weights, the ESS gate and
+        # the ancestry) untouched, so re-deriving them per sub-step — as
+        # the reference's create_state/predict chain does,
+        # filters/base.py:204-210 — is redundant recomputation, not
+        # different math.
+        if n_sub and not return_intermediaries:
+            x_new = self._propagate_substeps(keys[1], prediction.x, n_sub)
             prediction = prediction._replace(x=x_new)
-            if return_intermediaries:
-                inters.append(
-                    (x_new.time_index, x_new.value, prediction.log_weights, prediction.indices)
-                )
+        else:
+            for i in range(n_sub):
+                x_new = self.model.hidden.propagate(keys[1 + i], prediction.x)
+                prediction = prediction._replace(x=x_new)
+                if return_intermediaries:
+                    inters.append(
+                        (x_new.time_index, x_new.value, prediction.log_weights, prediction.indices)
+                    )
 
         k_correct = keys[-1]
         y = jnp.asarray(y)
@@ -178,6 +182,11 @@ class BaseFilter:
             inter = tuple(jnp.stack(parts) for parts in zip(*inters)) if inters else None
             return correction, inter
         return correction
+
+    def _propagate_substeps(self, key, x, n_sub: int):
+        """Hook for the sub-step block; particle filters may route it through
+        the fused Pallas kernel (ops/propagate.py)."""
+        return self.model.hidden.propagate_substeps(key, x, n_sub)
 
     def _impute(self, key, y, prediction) -> jax.Array:
         """Fill NaN observation components with the weighted predicted

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
-from ..distributions import Distribution
+from ..distributions import Distribution, Independent, Normal
 from .affine import affine_transform
 from .state import StateSpacePath, TimeseriesState
 
@@ -74,6 +74,16 @@ class StructuralStochasticProcess:
         """Sample x_{t+1} ~ p(. | x_t); time advances by one step."""
         value = self.build_density(x).sample(key)
         return x.propagate_from(values=value, time_increment=1.0)
+
+    def propagate_substeps(self, key, x: TimeseriesState, n: int) -> TimeseriesState:
+        """``n`` propagation steps (the ``observe_every_step`` sub-step loop,
+        reference filters/base.py:204-210). Law-equal to ``n`` calls of
+        :meth:`propagate`; affine subclasses batch the noise draws."""
+        if n <= 0:
+            return x
+        for k in jax.random.split(key, n):
+            x = self.propagate(k, x)
+        return x
 
     def sample_states(self, key, num_steps: int, x_0: TimeseriesState | None = None) -> StateSpacePath:
         """Simulate a trajectory of ``num_steps`` transitions via ``lax.scan``."""
@@ -148,10 +158,38 @@ class AffineProcess(StructuralStochasticProcess):
         loc, scale = self.mean_scale(x)
         return affine_transform(self.increment_distribution, loc, scale)
 
+    def propagate_substeps(self, key, x: TimeseriesState, n: int) -> TimeseriesState:
+        """Affine fast path: ONE batched draw of all ``n`` increments, then
+        ``loc + scale * eps`` per sub-step — law-equal to ``n`` separate
+        ``propagate`` calls (the pushforward of an elementwise-Normal
+        increment IS ``loc + scale * eps``), at one PRNG kernel instead of
+        ``n``. Matrix-scale MVN increments keep the generic loop."""
+        inc = self.increment_distribution
+        elementwise = isinstance(inc, Normal) or (
+            isinstance(inc, Independent) and isinstance(inc.base_dist, Normal)
+        )
+        if n <= 0 or not elementwise:
+            return super().propagate_substeps(key, x, n)
+
+        loc, scale = self.mean_scale(x)
+        bs_es = tuple(inc.batch_shape) + tuple(inc.event_shape)
+        target = jnp.broadcast_shapes(jnp.shape(loc), jnp.shape(scale), bs_es)
+        prefix = target[: len(target) - len(bs_es)]
+        eps = inc.sample(key, (n,) + prefix)
+
+        x = x.propagate_from(values=loc + scale * eps[0], time_increment=1.0)
+        for i in range(1, n):
+            loc, scale = self.mean_scale(x)
+            x = x.propagate_from(values=loc + scale * eps[i], time_increment=1.0)
+        return x
+
     def copy_with(self, parameters: tuple) -> "AffineProcess":
-        """Same process with new parameter leaves (functional parameter update)."""
+        """Same process with new parameter leaves (functional parameter update).
+
+        ``parameters`` is always the FIRST pytree child, for the base class
+        and for model subclasses that flatten to ``(parameters,)`` alone."""
         children, aux = self.tree_flatten()
-        new_children = (tuple(parameters), children[1], children[2])
+        new_children = (tuple(parameters),) + tuple(children[1:])
         return type(self).tree_unflatten(aux, new_children)
 
 

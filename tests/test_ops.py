@@ -135,6 +135,28 @@ def test_systematic_expand_lanes_matches_counts_resampler(key, n, batch):
     )
 
 
+@pytest.mark.parametrize("batch_shape", [(), (64,)])
+def test_propagate_substeps_matches_per_step_law(key, batch_shape):
+    """The affine batched-noise sub-step fast path must advance time like the
+    per-step loop and stay distributionally sane (lane-batched params too)."""
+    from pyfilter_tpu.timeseries import TimeseriesState
+
+    hidden = _model().hidden
+    n, n_sub = 400, 4
+    value = jnp.abs(jax.random.normal(key, (n, *batch_shape))) + 0.5
+    if batch_shape:
+        kappa = jnp.abs(jax.random.normal(jax.random.PRNGKey(5), batch_shape)) * 0.2
+        hidden = hidden.copy_with((kappa,) + hidden.parameters[1:])
+    x0 = TimeseriesState(jnp.asarray(3.0), value, 0)
+
+    out = hidden.propagate_substeps(key, x0, n_sub)
+    assert float(out.time_index) == 3.0 + n_sub
+    assert out.value.shape == value.shape
+    assert np.isfinite(np.asarray(out.value)).all()
+    # Verhulst stays positive and mean-reverts toward gamma=1
+    assert (np.asarray(out.value) > 0).all()
+
+
 @pytest.mark.skipif(
     jax.default_backend() == "cpu", reason="measures the compiled kernel on real TPU"
 )
