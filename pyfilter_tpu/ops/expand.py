@@ -81,13 +81,15 @@ def _invert_counts(counts: jax.Array) -> jax.Array:
     return jnp.cumsum(scat) - 1
 
 
-def _expand_kernel(rel_ref, s_ref, regions_ref, out_ref, *, n_cols: int, window: int):
+def _expand_kernel(rel_ref, s_ref, regions_ref, *out_refs, n_cols: int, window: int):
     """One grid step: GROUP output blocks expanded from one VMEM region.
 
     rel_ref/s_ref: SMEM (n_groups, GROUP) int32 — window start relative to
     the region / absolute. regions_ref: VMEM (1, region, 2 + D) with columns
-    [cshift, counts, values...]. out_ref: VMEM (GROUP*B, D + 1) with columns
-    [values..., ancestor index].
+    [cshift, counts, values...]. out_refs: D + 1 separate (GROUP, B)
+    ROW-layout planes — the payloads plus the ancestor-index plane (aligned
+    row stores; a columns-of-(GROUP*B, D+1) layout measured ~1.5 ms of extra
+    slicing per fire at N=1e6).
     """
     g = pl.program_id(0)
     d = n_cols - 2
@@ -109,13 +111,12 @@ def _expand_kernel(rel_ref, s_ref, regions_ref, out_ref, *, n_cols: int, window:
         hot = c_lo & (~c_hi)
         for col in range(d):
             v = jnp.where(hot, w[:, 2 + col : 3 + col], 0.0)
-            out_ref[pl.ds(b * _B, _B), col] = jnp.sum(v, axis=0)
+            out_refs[col][b, :] = jnp.sum(v, axis=0)
 
         # ancestor index: idx[i] = S + #{j in window : counts[j] <= i}
-        idx = s_ref[g, b].astype(jnp.float32) + jnp.sum(
+        out_refs[d][b, :] = s_ref[g, b].astype(jnp.float32) + jnp.sum(
             c_hi.astype(jnp.float32), axis=0
         )
-        out_ref[pl.ds(b * _B, _B), d:] = idx[:, None]
 
 
 def _expand_pallas(
@@ -141,9 +142,12 @@ def _expand_pallas(
     )(r_starts)
 
     n_groups = n_out_pad // (_GROUP * _B)
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_expand_kernel, n_cols=d + 2, window=window),
-        out_shape=jax.ShapeDtypeStruct((n_out_pad, d + 1), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_groups * _GROUP, _B), jnp.float32)
+            for _ in range(d + 1)
+        ],
         grid=(n_groups,),
         in_specs=[
             # whole offset tables in SMEM (indexed by program_id): per-group
@@ -154,15 +158,20 @@ def _expand_pallas(
                 (1, region, d + 2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (_GROUP * _B, d + 1), lambda g: (g, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=[
+            pl.BlockSpec((_GROUP, _B), lambda g: (g, 0), memory_space=pltpu.VMEM)
+            for _ in range(d + 1)
+        ],
+        # XLA likes to pin the separated output planes in VMEM (they fit);
+        # allow it — the default 16 MB scoped limit rejects the combination
+        # at N=1e6 even though the chip has plenty
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(rel, s_groups, regions)
 
-    vals = out[:n, :d]
-    idx = out[:n, d].astype(jnp.int32)
-    return vals, idx
+    planes = [o.reshape(n_out_pad)[:n] for o in outs[:d]]
+    idx = outs[d].reshape(n_out_pad)[:n].astype(jnp.int32)
+    return planes, idx
 
 
 def systematic_expand(
@@ -210,7 +219,7 @@ def systematic_expand(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    vals2d, idx = _expand_from_counts(counts, v2d, interpret)
+    planes, idx = _expand_from_counts(counts, v2d, interpret)
 
     outs = []
     col = 0
@@ -218,7 +227,12 @@ def systematic_expand(
         width = 1
         for dim in shape[1:]:
             width *= int(dim)
-        outs.append(vals2d[:, col : col + width].reshape(shape).astype(v.dtype))
+        block = (
+            planes[col]
+            if width == 1
+            else jnp.stack(planes[col : col + width], axis=-1)
+        )
+        outs.append(block.reshape(shape).astype(v.dtype))
         col += width
     return (outs[0] if single else tuple(outs)), idx
 
@@ -226,7 +240,8 @@ def systematic_expand(
 def _expand_from_counts(counts: jax.Array, v2d: jax.Array, interpret: bool):
     """The expansion core, shared by the single-lane and lane-flattened entry
     points: ``counts`` is any monotone copy-count boundary array over ``n``
-    sources and ``n`` output positions."""
+    sources and ``n`` output positions. Returns ``(planes, idx)`` with
+    ``planes`` PLANE-major, shape ``(d, n)``."""
     n = counts.shape[0]
     gb = _GROUP * _B
     n_out_pad = max(gb, ((n + gb - 1) // gb) * gb)
@@ -270,7 +285,8 @@ def _expand_from_counts(counts: jax.Array, v2d: jax.Array, interpret: bool):
 
     def fallback(_):
         idx = _invert_counts(counts)
-        return jnp.take(v2d, idx, axis=0), idx
+        taken = jnp.take(v2d, idx, axis=0)
+        return [taken[:, i] for i in range(v2d.shape[1])], idx
 
     return jax.lax.cond(
         ok_narrow,
@@ -474,13 +490,15 @@ def systematic_expand_lanes(
     offsets = (jnp.arange(n_lanes, dtype=jnp.int32) * n)[:, None]
     counts_global = (counts + offsets).reshape(-1)
 
-    vals2d, idx_global = _expand_from_counts(counts_global, v2d, interpret)
+    planes_out, idx_global = _expand_from_counts(counts_global, v2d, interpret)
     idx = (idx_global.reshape(n_lanes, n) - offsets).T.reshape((n, *batch_shape))
 
     outs = []
     col = 0
     for v, shape, w in zip(vals_in, shapes, widths):
-        lane_first = vals2d[:, col : col + w].reshape(n_lanes, n, w)
+        lane_first = jnp.stack(
+            [p.reshape(n_lanes, n) for p in planes_out[col : col + w]], axis=-1
+        )  # (L, n, w)
         back = jnp.moveaxis(lane_first, 0, 1).reshape(shape)
         outs.append(back.astype(v.dtype))
         col += w

@@ -31,6 +31,16 @@ def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running statistical tests")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state_per_module():
+    # XLA's CPU backend aborts/segfaults inside LLVM after hundreds of
+    # in-process compilations on this single-core host (observed in test_ops,
+    # then test_parallel once test_ops was shielded). Clearing the in-process
+    # caches at every module boundary keeps the compile count per LLVM
+    # context bounded; the persistent disk cache makes the re-misses cheap.
+    jax.clear_caches()
+
+
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(123)

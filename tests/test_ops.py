@@ -12,15 +12,6 @@ from pyfilter_tpu.ops import systematic_counts, systematic_expand
 from pyfilter_tpu.utils import batched_gather
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compile_state():
-    # Same LLVM-compile segfault mitigation as test_variational.py: the
-    # interpret-mode Pallas expansion programs are among the suite's largest
-    # compiles, and XLA's CPU backend is unstable compiling/deserializing
-    # them after hundreds of prior in-process compilations on this host.
-    jax.clear_caches()
-
-
 def _model():
     return examples.stochastic_volatility_model(0.1, 1.0, 0.05, 0.0, 0.0, 1.0, dt=0.2)
 
