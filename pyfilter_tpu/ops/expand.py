@@ -63,11 +63,17 @@ _LANE = 128
 
 def _counts_from_probs(probs: jax.Array, u: jax.Array) -> jax.Array:
     """Copy-count boundaries: counts[j] = #{i : (i+u)/n < cumw[j]} (see
-    ops/resample.py — identical arithmetic, so indices match bit-for-bit)."""
+    ops/resample.py — identical arithmetic, so indices match bit-for-bit).
+
+    The final boundary is pinned to ``n``: ``jax.random.uniform`` can round
+    to exactly 1.0 in f32, which would leave the last boundary at ``n - 1``
+    and the last output position selecting NOTHING in the expansion (the
+    counts-inversion resampler self-clamps to the same last-source copy)."""
     n = probs.shape[0]
     cumw = jnp.cumsum(probs)
     cumw = cumw.at[-1].set(1.0)
-    return jnp.clip(jnp.ceil(n * cumw - u), 0, n).astype(jnp.int32)
+    counts = jnp.clip(jnp.ceil(n * cumw - u), 0, n).astype(jnp.int32)
+    return counts.at[-1].set(n)
 
 
 def _invert_counts(counts: jax.Array) -> jax.Array:
@@ -81,7 +87,9 @@ def _invert_counts(counts: jax.Array) -> jax.Array:
     return jnp.cumsum(scat) - 1
 
 
-def _expand_kernel(rel_ref, s_ref, regions_ref, *out_refs, n_cols: int, window: int):
+def _expand_kernel(
+    rel_ref, s_ref, regions_ref, *out_refs, n_cols: int, window: int, blocked_tables: bool
+):
     """One grid step: GROUP output blocks expanded from one VMEM region.
 
     rel_ref/s_ref: SMEM (n_groups, GROUP) int32 — window start relative to
@@ -92,12 +100,15 @@ def _expand_kernel(rel_ref, s_ref, regions_ref, *out_refs, n_cols: int, window: 
     slicing per fire at N=1e6).
     """
     g = pl.program_id(0)
+    # blocked mode: the SMEM tables ride in (8, GROUP) blocks shared by 8
+    # groups; whole-table mode (small n_groups) indexes by g directly
+    gr = (g % 8) if blocked_tables else g
     d = n_cols - 2
     base = (g * _GROUP * _B).astype(jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, _B), 1).astype(jnp.float32)
 
     for b in range(_GROUP):
-        rel = pl.multiple_of(rel_ref[g, b], 8)
+        rel = pl.multiple_of(rel_ref[gr, b], 8)
         w = regions_ref[0, pl.ds(rel, window), :]  # (window, 2 + D)
         i_row = base + (b * _B) + iota  # (1, B) output positions
 
@@ -114,7 +125,7 @@ def _expand_kernel(rel_ref, s_ref, regions_ref, *out_refs, n_cols: int, window: 
             out_refs[col][b, :] = jnp.sum(v, axis=0)
 
         # ancestor index: idx[i] = S + #{j in window : counts[j] <= i}
-        out_refs[d][b, :] = s_ref[g, b].astype(jnp.float32) + jnp.sum(
+        out_refs[d][b, :] = s_ref[gr, b].astype(jnp.float32) + jnp.sum(
             c_hi.astype(jnp.float32), axis=0
         )
 
@@ -142,18 +153,37 @@ def _expand_pallas(
     )(r_starts)
 
     n_groups = n_out_pad // (_GROUP * _B)
+    # whole tables in SMEM while they fit (fastest); past ~1024 groups the
+    # 1 MB SMEM would overflow (observed at a 6.4M-particle doubled run), so
+    # large runs swap (8, GROUP) table blocks shared by 8 consecutive groups
+    # (the block shape satisfies the (8, .) tiling rule; the kernel picks the
+    # row with program_id % 8)
+    blocked_tables = n_groups > 1024
+    if blocked_tables:
+        g_pad = ((n_groups + 7) // 8) * 8
+        if g_pad != n_groups:
+            rel = jnp.pad(rel, ((0, g_pad - n_groups), (0, 0)))
+            s_groups = jnp.pad(s_groups, ((0, g_pad - n_groups), (0, 0)))
+        table_specs = [
+            pl.BlockSpec((8, _GROUP), lambda g: (g // 8, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, _GROUP), lambda g: (g // 8, 0), memory_space=pltpu.SMEM),
+        ]
+    else:
+        table_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
     outs = pl.pallas_call(
-        functools.partial(_expand_kernel, n_cols=d + 2, window=window),
+        functools.partial(
+            _expand_kernel, n_cols=d + 2, window=window, blocked_tables=blocked_tables
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((n_groups * _GROUP, _B), jnp.float32)
             for _ in range(d + 1)
         ],
         grid=(n_groups,),
-        in_specs=[
-            # whole offset tables in SMEM (indexed by program_id): per-group
-            # blocking of skinny int arrays trips the (8, 128) tiling rule
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+        in_specs=table_specs
+        + [
             pl.BlockSpec(
                 (1, region, d + 2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -163,9 +193,11 @@ def _expand_pallas(
             for _ in range(d + 1)
         ],
         # XLA likes to pin the separated output planes in VMEM (they fit);
-        # allow it — the default 16 MB scoped limit rejects the combination
-        # at N=1e6 even though the chip has plenty
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        # allow it — the default 16 MB scoped limit rejects the N=1e6
+        # combination even though the chip has plenty. 48 MB, not higher: at
+        # very large n (e.g. a particle-doubled 6.4M-cloud run) a generous
+        # limit lets XLA pin ~75 MB of output planes and the compile OOMs.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(rel, s_groups, regions)
 
@@ -443,11 +475,13 @@ def systematic_expand_lanes(
         u = jax.random.uniform(key, batch_shape, dtype=probs.dtype)
     u = jnp.broadcast_to(jnp.asarray(u, probs.dtype), batch_shape).reshape(n_lanes)
 
-    # per-lane copy-count boundaries (same arithmetic as ops.systematic_counts)
+    # per-lane copy-count boundaries (same arithmetic as ops.systematic_counts;
+    # the final boundary is pinned to n — see _counts_from_probs on u == 1.0)
     probs_t = probs.reshape(n, n_lanes).T  # (L, N)
     cumw = jnp.cumsum(probs_t, axis=1)
     cumw = cumw.at[:, -1].set(1.0)
     counts = jnp.clip(jnp.ceil(n * cumw - u[:, None]), 0, n).astype(jnp.int32)
+    counts = counts.at[:, -1].set(n)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -126,6 +126,38 @@ def test_systematic_expand_lanes_matches_counts_resampler(key, n, batch):
     )
 
 
+def test_systematic_expand_u_one_edge(key):
+    """``jax.random.uniform`` can round to exactly 1.0 in f32; the last
+    copy-count boundary must stay pinned to n or the final output position
+    selects nothing (observed as a silently-zeroed particle at 6.4M).
+    Both expansion paths must match the self-clamping counts inversion."""
+    from pyfilter_tpu.ops import systematic_expand_lanes
+
+    n = 512
+    k_w, k_v = jax.random.split(key)
+    lw = jax.random.normal(k_w, (n,))
+    vals = jax.random.normal(k_v, (n,))
+    u1 = jnp.asarray(1.0)
+    ref = systematic_counts(None, lw, u=u1)
+    assert int(np.asarray(ref).max()) < n
+    out, idx = systematic_expand(None, lw, vals, u=u1)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(vals)[np.asarray(ref)]
+    )
+
+    batch = (4,)
+    lw_b = jax.random.normal(k_w, (n, *batch))
+    vals_b = jax.random.normal(k_v, (n, *batch))
+    u_b = jnp.ones(batch)
+    ref_b = systematic_counts(None, lw_b, u=u_b)
+    out_b, idx_b = systematic_expand_lanes(None, lw_b, vals_b, u=u_b)
+    np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(ref_b))
+    np.testing.assert_array_equal(
+        np.asarray(out_b), np.asarray(batched_gather(vals_b, ref_b, 0))
+    )
+
+
 @pytest.mark.parametrize("batch_shape", [(), (64,)])
 def test_propagate_substeps_matches_per_step_law(key, batch_shape):
     """The affine batched-noise sub-step fast path must advance time like the
