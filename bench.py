@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import sys
 import time
 
 N_PARTICLES = 1_000_000
@@ -417,24 +418,32 @@ def main():
     value, _ll = bench_jax(y, profile_dir=args.profile)
     vs_baseline = (value / baseline) if baseline else None
 
-    y2 = _simulate_obs(SMC2_T)
-    smc2_torch = None if args.skip_smc2 else get_smc2_torch_baseline(y2)
     smc2_extra = []
-    try:
-        if args.skip_smc2:
-            raise RuntimeError("skipped")
-        smc2_sec, _post = bench_smc2_jax(y2)
-        smc2_extra = [
-            {
-                "metric": "smc2_stochvol_wallclock_t200_n400_k1000",
-                "value": smc2_sec,
-                "unit": "s",
-                "vs_baseline": (smc2_torch / smc2_sec) if smc2_torch else None,
-                "torch_cpu_sec": smc2_torch,
-            }
-        ]
-    except Exception:
-        pass
+    if not args.skip_smc2:
+        y2 = _simulate_obs(SMC2_T)
+        smc2_torch = get_smc2_torch_baseline(y2)
+        try:
+            smc2_sec, _post = bench_smc2_jax(y2)
+            smc2_extra = [
+                {
+                    "metric": "smc2_stochvol_wallclock_t200_n400_k1000",
+                    "value": smc2_sec,
+                    "unit": "s",
+                    "vs_baseline": (smc2_torch / smc2_sec) if smc2_torch else None,
+                    "torch_cpu_sec": smc2_torch,
+                }
+            ]
+        except Exception as exc:  # record the failure — a silent drop reads as a skip
+            print(f"SMC2 benchmark FAILED: {exc!r}", file=sys.stderr)
+            smc2_extra = [
+                {
+                    "metric": "smc2_stochvol_wallclock_t200_n400_k1000",
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "error": repr(exc),
+                }
+            ]
 
     print(
         json.dumps(

@@ -184,8 +184,9 @@ class BaseFilter:
         return correction
 
     def _propagate_substeps(self, key, x, n_sub: int):
-        """Hook for the sub-step block; particle filters may route it through
-        the fused Pallas kernel (ops/propagate.py)."""
+        """Hook for the sub-step block (overridable by filter subclasses;
+        XLA already fuses the elementwise sub-step chain — see PERF.md
+        "Measured out")."""
         return self.model.hidden.propagate_substeps(key, x, n_sub)
 
     def _impute(self, key, y, prediction) -> jax.Array:

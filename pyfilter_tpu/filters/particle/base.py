@@ -95,8 +95,11 @@ class ParticleFilter(BaseFilter):
         """Trace-time decision: route the resample+gather through the fused
         Pallas expansion kernel (ops/expand.py — the lane-batched variant when
         ``batch_shape`` is set). f32 clouds only; the auto mode additionally
-        requires a TPU backend, a systematic-family resampler, and a total
-        cloud large enough that the XLA scatter/gather floor dominates."""
+        requires a TPU backend, the default counts-inversion systematic
+        resampler, and a total cloud large enough that the XLA scatter/gather
+        floor dominates. An explicit ``resampling.systematic`` (the
+        reference-exact search-based variant) is honored as-is — opt in to
+        the kernel with ``fused_resample=True``."""
         total = self.n_particles
         for dim in self.batch_shape:
             total *= int(dim)
@@ -107,7 +110,7 @@ class ParticleFilter(BaseFilter):
         return (
             jax.default_backend() == "tpu"
             and total >= 16384
-            and self.resampler in (systematic_counts, resampling.systematic)
+            and self.resampler is systematic_counts
         )
 
     def _fused_resample(self, key, weights, values, normalized: bool = False):

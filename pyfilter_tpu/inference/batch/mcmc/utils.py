@@ -55,7 +55,9 @@ def run_pmmh(
     proposal_filter = filter_.initialize_model(proposal_context)
 
     # full re-filter of the data under the candidate parameters (the hot spot)
-    if y_padded is not None and not proposal_filter.record_states:
+    if y_padded is not None and not (
+        proposal_filter.record_states or proposal_filter.record_intermediary
+    ):
         new_res = proposal_filter.batch_filter_masked(k_filter, y_padded, n_valid)
     else:
         new_res = proposal_filter.batch_filter(k_filter, y)

@@ -82,6 +82,12 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
     #: :meth:`_chunk_trigger` opt in to the chunked (host-sync-free) fit loop.
     _chunk_supported: bool = False
     _default_chunk_size: int = 16
+    #: True when ``_chunk_trigger`` translates a *pre-step* condition
+    #: ("rejuvenate before step t+1") into an after-step-t event. A trigger
+    #: on the final observation then corresponds to a step that never
+    #: happens, and the chunked fit must not fire it (the per-step loop
+    #: wouldn't).
+    _prestep_trigger: bool = False
 
     def __init__(
         self,
@@ -271,7 +277,7 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
             np.asarray(state.ess[-1])[None],
             np.asarray(~jnp.isfinite(state.w).all())[None],
         )
-        if trig is not None:
+        if trig is not None and not (self._prestep_trigger and n_total == 1):
             state = self._do_rejuvenate(state)
         logging.do_log(state.current_iteration, state)
 
@@ -313,7 +319,9 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
                 self._on_data_consumed(state, y_host[t : t + (hi - lo)])
                 t += hi - lo
                 lo = hi
-                if trig is not None:
+                # a pre-step trigger on the final observation addresses a
+                # step that never happens — the per-step loop wouldn't fire it
+                if trig is not None and not (self._prestep_trigger and t >= n_total):
                     state = self._do_rejuvenate(state)
             logging.do_log(state.current_iteration, state)
         return state

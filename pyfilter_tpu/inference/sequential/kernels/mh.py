@@ -141,8 +141,20 @@ class ParticleMetropolisHastings:
         new_filter = filter_.initialize_model(context).increase_particles(2)
 
         y_host = state.parsed_data_host
-        y_padded, n_valid = pad_observations(y_host, bucket=self._bucket_for(y_host))
-        new_res = new_filter.batch_filter_masked(key, y_padded, n_valid)
+        if (
+            new_filter.record_states
+            or new_filter.record_intermediary
+            or state.filter_state.record_moments
+        ):
+            # the doubled filter replaces the whole running result, so any
+            # recorded history (states / intermediaries / moments) must be
+            # regenerated — only the full batch_filter produces it. Increases
+            # change the particle shape and force a recompile anyway, so the
+            # bucketed masked fast path buys nothing here.
+            new_res = new_filter.batch_filter(key, jnp.asarray(y_host))
+        else:
+            y_padded, n_valid = pad_observations(y_host, bucket=self._bucket_for(y_host))
+            new_res = new_filter.batch_filter_masked(key, y_padded, n_valid)
         weight = new_res.log_likelihood - state.filter_state.log_likelihood
 
         new_state = SMC2State(

@@ -19,9 +19,11 @@ class BaseOnlineAlgorithm(SequentialParticleAlgorithm):
 
     The chunked ``fit`` expresses the same pre-step trigger as an
     after-previous-step trigger: "rejuvenate before step t+1" and
-    "rejuvenate after step t" are the same event."""
+    "rejuvenate after step t" are the same event — except after the final
+    observation, where step t+1 never happens (``_prestep_trigger``)."""
 
     _chunk_supported = True
+    _prestep_trigger = True
 
     def __init__(self, filter_, particles, kernel=None, discrete: bool = False, context=None, key=None, **kwargs):
         super().__init__(filter_, particles, context=context, key=key, **kwargs)

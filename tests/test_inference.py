@@ -395,6 +395,60 @@ def test_chunked_fit_matches_per_step_triggers():
     np.testing.assert_allclose(ess_ps[:first], ess_ch[:first], rtol=1e-5)
 
 
+def test_increase_states_preserves_history_and_recording():
+    """Particle doubling must regenerate the recorded moment history and must
+    not crash for state-recording filters (regression: the bucketed masked
+    re-filter can do neither, so the doubling path falls back to the full
+    ``batch_filter``)."""
+    y = simulate(12)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(
+            build_model,
+            5,
+            proposal=proposals.LinearGaussianObservations(),
+            record_states=True,
+        )
+        alg = inf.SMC2(filt, 50, context=ctx, key=jax.random.PRNGKey(2))
+        state = alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=1)
+        upd = alg.kernel._increase_states(
+            jax.random.PRNGKey(9), alg.context, alg.filter, state
+        )
+    assert upd.filter_.n_particles == 10
+    # the doubled re-filter repopulates the moment history for all 12 steps
+    assert len(upd.state.filter_state.filter_means) == 12
+    assert len(upd.state.filter_state.filter_variances) == 12
+    assert np.isfinite(np.asarray(upd.state.filter_state.log_likelihood)).all()
+
+
+def test_ness_chunked_no_rejuvenation_after_final_step():
+    """NESS's trigger is pre-step ("jitter before step t+1"): a low parameter
+    ESS after the LAST observation addresses a step that never happens, so the
+    chunked fit must fire exactly as many rejuvenations as the per-step loop."""
+    y = simulate(10, seed=7)
+
+    def run(chunk_size):
+        fired = 0
+        with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+            filt = pf.APF(build_model, 30, proposal=proposals.LinearGaussianObservations())
+            # threshold 1.0: every post-step ESS check triggers
+            alg = inf.NESS(filt, 50, threshold=1.0, context=ctx, key=jax.random.PRNGKey(2))
+            orig = alg._do_rejuvenate
+
+            def spy(state):
+                nonlocal fired
+                fired += 1
+                return orig(state)
+
+            alg._do_rejuvenate = spy
+            alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=chunk_size)
+        return fired
+
+    per_step = run(1)
+    chunked = run(8)
+    assert per_step == 9  # before steps 1..9, never before step 0 or after step 9
+    assert chunked == per_step
+
+
 def test_sequential_with_collectors():
     y = simulate(40)
     with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:

@@ -194,3 +194,28 @@ def test_systematic_expand_tpu_accuracy(key):
     out, idx = systematic_expand(None, lw, vals, u=u)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(vals)[np.asarray(ref_idx)])
+
+
+def test_auto_fused_resample_honors_explicit_systematic(monkeypatch):
+    """Auto mode routes through the expansion kernel only for the default
+    counts-inversion resampler; an explicit ``resampling.systematic`` (the
+    reference-exact search-based variant) must never be silently rerouted
+    (regression). ``fused_resample=True`` remains the explicit opt-in."""
+    from pyfilter_tpu import resampling
+    from pyfilter_tpu.ops import systematic_counts
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    n = 1 << 15
+    w = jnp.zeros((n,), jnp.float32)
+
+    auto = pf.SISR(_model(), n)
+    assert auto.resampler is systematic_counts
+    assert auto._use_fused_resample(w)
+
+    exact = pf.SISR(_model(), n, resampling_method=resampling.systematic)
+    assert not exact._use_fused_resample(w)
+
+    forced = pf.SISR(
+        _model(), n, resampling_method=resampling.systematic, fused_resample=True
+    )
+    assert forced._use_fused_resample(w)
