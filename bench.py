@@ -42,6 +42,23 @@ MU, NU, TAU = 0.0, 0.0, 1.0
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_torch_baseline.json")
 
 
+def _enable_compile_cache():
+    """Persist XLA compiles across bench runs. The fused inference
+    transitions compile once per (shape, config); without the cache a rare
+    mid-run particle doubling pays a fresh ~50 s compile at the doubled
+    shape on every process start."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_bench_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # cache support varies by backend plugin
+        print(f"compile cache unavailable: {exc!r}", file=sys.stderr)
+
+
 def _simulate_obs(n_obs):
     """Host-side data simulation (numpy) shared by both implementations."""
     import numpy as np
@@ -413,6 +430,7 @@ def main():
     )
     args = parser.parse_args()
 
+    _enable_compile_cache()
     y = _simulate_obs(N_OBS)
     baseline = get_torch_baseline(y)
     value, _ll = bench_jax(y, profile_dir=args.profile)

@@ -436,8 +436,16 @@ def _jitted_single_step(filt, key, y, state, first_step):
 
 @jax.jit
 def _jitted_masked_batch_filter(filt, key, y, n_valid):
-    """Scan over a padded observation buffer, active only for steps below the
-    traced ``n_valid`` (first step assumed valid)."""
+    """Filter the padded observation buffer up to the traced ``n_valid``.
+
+    A ``fori_loop`` with a traced trip count runs ONLY the valid steps.  The
+    previous design (full-length scan, per-step ``lax.cond`` pass-through)
+    priced every padded position at ~half an active step — the carried
+    particle cloud flows through the cond either way — which at SMC2's early
+    rejuvenations (short history, full bucket) was ~85% of the re-filter
+    fire (PERF.md).  The key stream matches the scan version exactly
+    (``split(k_scan, n_steps - 1)`` indexed per step), so results are
+    bit-identical for any ``n_valid``."""
     k_init, k_first, k_scan = jax.random.split(key, 3)
     state0 = filt.initialize(k_init)
     state1 = filt.filter(k_first, y[0], state0, first_step=True)
@@ -452,22 +460,19 @@ def _jitted_masked_batch_filter(filt, key, y, n_valid):
             latest_state=state1,
         )
 
-    def step(state, inp):
-        k, y_t, i = inp
-
-        def active(s):
-            new = filt.filter(k, y_t, s)
-            return new, new.log_likelihood
-
-        def passive(s):
-            return s, jnp.zeros_like(s.log_likelihood)
-
-        return jax.lax.cond(i < n_valid, active, passive, state)
-
     keys = jax.random.split(k_scan, n_steps - 1)
-    idx = jnp.arange(1, n_steps, dtype=jnp.int32)
-    last, lls = jax.lax.scan(step, state1, (keys, y[1:], idx))
-    step_lls = jnp.concatenate([state1.log_likelihood[None], lls], axis=0)
+    step_lls0 = (
+        jnp.zeros((n_steps,) + state1.log_likelihood.shape, state1.log_likelihood.dtype)
+        .at[0]
+        .set(state1.log_likelihood)
+    )
+
+    def body(i, carry):
+        state, lls = carry
+        new = filt.filter(keys[i - 1], y[i], state)
+        return new, lls.at[i].set(new.log_likelihood)
+
+    last, step_lls = jax.lax.fori_loop(1, n_valid, body, (state1, step_lls0))
     return FilterResult(
         log_likelihood=jnp.sum(step_lls, axis=0),
         step_log_likelihoods=step_lls,

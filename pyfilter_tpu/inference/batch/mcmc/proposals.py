@@ -22,6 +22,25 @@ class BaseProposal:
     """Builds candidate kernels :math:`q(\\theta^* | \\theta)`
     (reference proposals/base.py)."""
 
+    #: True when ``build``/``exchange`` are pure jnp functions of the context
+    #: values and lane weights, so the whole PMMH transition can run as one
+    #: compiled call (utils._run_pmmh_masked_core). Proposals that need host
+    #: state or recorded filter histories must set this False.
+    jit_compatible = True
+
+    # Proposals ride through jit as STATIC arguments, so equality must be
+    # structural: every fit builds a fresh proposal instance, and identity
+    # hashing would force a full recompile of the fused PMMH transition per
+    # run (~16 s measured for the SMC2 flagship).
+    def _config(self):
+        return tuple(sorted(self.__dict__.items()))
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self._config() == other._config()
+
+    def __hash__(self):
+        return hash((type(self), self._config()))
+
     def build(self, context, state, filter_, y, key=None):
         raise NotImplementedError
 
@@ -76,6 +95,8 @@ class GradientBasedProposal(RandomWalk):
     r"""MALA-style proposal: :math:`\theta^* \sim N(\theta + \epsilon \nabla S(\theta), \sigma)`
     with :math:`S` the FFBS-smoothed joint log-likelihood plus log-prior
     (reference gradient.py). Requires the filter to record states."""
+
+    jit_compatible = False  # reads the recorded state history (FFBS smoothing)
 
     def __init__(self, scale: float = 1e-2, use_second_order: bool = False):
         if use_second_order:

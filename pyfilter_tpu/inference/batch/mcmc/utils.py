@@ -9,10 +9,14 @@ the updated objects.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from ...context import InferenceContext
+from ...state import RunningFilterResult, SequentialAlgorithmState
 
 
 class PMMHStep(NamedTuple):
@@ -20,6 +24,68 @@ class PMMHStep(NamedTuple):
     context: object
     filter_state: object
     proposal_kernel: object
+    #: scalar mean acceptance (set by the jitted fast path so callers fetch
+    #: one scalar instead of reducing the lane mask eagerly)
+    accept_rate: object = None
+
+
+@functools.partial(jax.jit, static_argnames=("proposal", "size", "mutate_kernel"))
+def _run_pmmh_masked_core(
+    key,
+    context,
+    w,
+    latest_state,
+    loglik,
+    proposal_kernel,
+    filt,
+    y_padded,
+    n_valid,
+    proposal,
+    size,
+    mutate_kernel,
+):
+    """The whole PMMH transition as ONE compiled call (context is a pytree).
+
+    Eagerly, a transition is ~80 small device ops (sample, per-parameter
+    unstack/exchange, prior evals, MVN refit) and on the bench host each
+    eager dispatch pays ~5 ms of TPU-tunnel latency — the re-filter itself
+    was only a minority of the measured ~540 ms per rejuvenation (PERF.md).
+    Compiled, the transition is one dispatch. Mirrors the eager body of
+    :func:`run_pmmh` exactly."""
+    k_sample, k_filter, k_accept, k_build = jax.random.split(key, 4)
+
+    rvs = proposal_kernel.sample(k_sample, size)
+    proposal_context = context.unstack_parameters(rvs, constrained=False)
+    proposal_filter = filt.initialize_model(proposal_context)
+    new_res = proposal_filter.batch_filter_masked(k_filter, y_padded, n_valid)
+
+    diff_logl = new_res.log_likelihood - loglik
+    diff_prior = proposal_context.eval_priors(constrained=False) - context.eval_priors(
+        constrained=False
+    )
+
+    # the proposal is refit on the candidate cloud with uniform weights —
+    # the same zero-weight replica the eager path builds via state.replicate
+    shim = SequentialAlgorithmState(jnp.zeros_like(w), None)
+    new_prop_kernel = proposal.build(
+        proposal_context, shim, proposal_filter, y_padded, key=k_build
+    )
+    params_as_tensor = context.stack_parameters(constrained=False)
+    diff_prop = new_prop_kernel.log_prob(params_as_tensor) - proposal_kernel.log_prob(rvs)
+
+    log_acc_prob = diff_prop + diff_prior + diff_logl
+    log_u = jnp.log(jax.random.uniform(k_accept, jnp.shape(log_acc_prob)))
+    accepted = log_u < log_acc_prob
+
+    new_latest = latest_state.exchange(new_res.latest_state, accepted)
+    new_ll = jnp.where(accepted, new_res.log_likelihood, loglik)
+    new_context = context.exchange(proposal_context, accepted)
+
+    kernel = proposal_kernel
+    if mutate_kernel:
+        kernel = proposal.exchange(proposal_kernel, new_prop_kernel, accepted)
+    rate = jnp.mean(accepted.astype(jnp.float32))
+    return accepted, rate, new_context, new_latest, new_ll, kernel
 
 
 def run_pmmh(
@@ -46,8 +112,41 @@ def run_pmmh(
     that grows every trigger, and a fresh XLA compile per length dwarfs the
     filtering itself (see :func:`pyfilter_tpu.filters.base.pad_observations`).
     """
-    k_sample, k_filter, k_accept, k_build = jax.random.split(key, 4)
     constrained = False
+
+    # fast path: the whole transition as one compiled call — eligible when
+    # the bucketed masked re-filter applies, the context is the plain pytree
+    # kind, and the proposal builder is traceable (see _run_pmmh_masked_core)
+    if (
+        y_padded is not None
+        and not (filter_.record_states or filter_.record_intermediary)
+        and type(context) is InferenceContext
+        and getattr(proposal, "jit_compatible", False)
+        and isinstance(state.filter_state, RunningFilterResult)
+        and hasattr(state, "w")
+    ):
+        accepted, rate, new_context, new_latest, new_ll, kernel = _run_pmmh_masked_core(
+            key,
+            context,
+            state.w,
+            state.filter_state.latest_state,
+            state.filter_state.log_likelihood,
+            proposal_kernel,
+            filter_,
+            y_padded,
+            jnp.int32(n_valid),
+            proposal,
+            tuple(size),
+            bool(mutate_kernel),
+        )
+        new_filter_state = RunningFilterResult(
+            new_latest, new_ll, state.filter_state.record_moments
+        )
+        new_filter_state.filter_means = list(state.filter_state.filter_means)
+        new_filter_state.filter_variances = list(state.filter_state.filter_variances)
+        return PMMHStep(accepted, new_context, new_filter_state, kernel, rate)
+
+    k_sample, k_filter, k_accept, k_build = jax.random.split(key, 4)
 
     # sample candidate parameters and rebuild the proposal model
     rvs = proposal_kernel.sample(k_sample, tuple(size))

@@ -378,3 +378,48 @@ def make_context(use_quasi: bool = False, randomize: bool = True, key=None) -> I
     if use_quasi:
         return QuasiInferenceContext(key=key, randomize=randomize)
     return InferenceContext(key=key)
+
+
+# -- pytree registration -------------------------------------------------------
+# The plain context is a pytree (values + priors + key are leaves; the
+# registry layout is static aux), so whole inference transitions — PMMH's
+# resample/rebuild/re-filter/exchange — can run as ONE jitted device call
+# instead of ~100 eager dispatches (each paying ~5 ms of tunnel latency on
+# the bench host; see kernels/mh.py). Functional methods only inside jit:
+# ``absorb`` and the context-manager stack remain host-side.
+# ``QuasiInferenceContext`` is deliberately NOT registered — its Sobol engine
+# is host state — and jitted fast paths must guard on
+# ``type(context) is InferenceContext``.
+
+
+def _context_flatten(ctx: InferenceContext):
+    names = tuple(ctx._prior_dict)
+    children = (
+        tuple(ctx._value_dict[n] for n in names),
+        tuple(ctx._prior_dict[n] for n in names),
+        ctx._key,
+    )
+    aux = (
+        names,
+        tuple(ctx._shape_dict[n] for n in names),
+        tuple(ctx._unconstrained_shape_dict[n] for n in names),
+        ctx.batch_shape,
+    )
+    return children, aux
+
+
+def _context_unflatten(aux, children):
+    values, priors, key = children
+    names, shapes, u_shapes, batch_shape = aux
+    ctx = InferenceContext.__new__(InferenceContext)
+    ctx._prior_dict = OrderedDict(zip(names, priors))
+    ctx._value_dict = OrderedDict(zip(names, values))
+    ctx._shape_dict = OrderedDict(zip(names, shapes))
+    ctx._unconstrained_shape_dict = OrderedDict(zip(names, u_shapes))
+    ctx.batch_shape = batch_shape
+    ctx._key = key
+    ctx._verify_prior = True
+    return ctx
+
+
+jax.tree_util.register_pytree_node(InferenceContext, _context_flatten, _context_unflatten)

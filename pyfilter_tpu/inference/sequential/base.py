@@ -46,32 +46,46 @@ def _split_chain(key, n: int):
 
 @jax.jit
 def _chunk_scan(filt, corr, w, ll, ys, keys, lo, hi):
-    """Advance the filter over steps ``i`` in the traced window ``[lo, hi)``
-    (passthrough outside it), bumping the parameter lane weights. Returns the
-    final ``(correction, w, log_likelihood)`` carry plus per-step trigger
-    signals (parameter ESS, any-non-finite) and — when the filter records
-    moments — the per-step filter means/variances."""
+    """Advance the filter over steps ``i`` in the traced window ``[lo, hi)``,
+    bumping the parameter lane weights. Returns the final ``(correction, w,
+    log_likelihood)`` carry plus per-step trigger signals (parameter ESS,
+    any-non-finite) and — when the filter records moments — the per-step
+    filter means/variances. Output rows outside ``[lo, hi)`` are zero (the
+    caller only reads the window).
+
+    A ``fori_loop`` over the traced window runs ONLY the active steps; the
+    previous full-length scan with a per-step ``lax.cond`` paid roughly half
+    an active step per gated-out position (the carried cloud flows through
+    the cond either way), which doubled the cost of every trigger replay."""
     record_moments = getattr(filt, "record_moments", True)
+    chunk = ys.shape[0]
 
-    def body(carry, inp):
-        y_t, k_t, i = inp
-
-        def active(args):
-            corr, w, ll = args
-            new = filt.filter(k_t, y_t, corr, first_step=False)
-            inc = new.log_likelihood
-            return new, w + inc, ll + inc
-
-        corr, w, ll = jax.lax.cond(
-            (i >= lo) & (i < hi), active, lambda args: args, carry
+    ess_buf = jnp.zeros((chunk,), w.dtype)
+    nf_buf = jnp.zeros((chunk,), jnp.bool_)
+    bufs = (ess_buf, nf_buf)
+    if record_moments:
+        bufs = bufs + (
+            jnp.zeros((chunk,) + corr.mean.shape, corr.mean.dtype),
+            jnp.zeros((chunk,) + corr.variance.shape, corr.variance.dtype),
         )
-        outs = (get_ess(w), ~jnp.isfinite(w).all())
-        if record_moments:
-            outs = outs + (corr.mean, corr.variance)
-        return (corr, w, ll), outs
 
-    idx = jnp.arange(ys.shape[0], dtype=jnp.int32)
-    return jax.lax.scan(body, (corr, w, ll), (ys, keys, idx))
+    def body(i, carry):
+        (corr, w, ll), outs = carry
+        new = filt.filter(keys[i], ys[i], corr, first_step=False)
+        inc = new.log_likelihood
+        w = w + inc
+        ll = ll + inc
+        outs = (
+            outs[0].at[i].set(get_ess(w)),
+            outs[1].at[i].set(~jnp.isfinite(w).all()),
+        ) + (
+            (outs[2].at[i].set(new.mean), outs[3].at[i].set(new.variance))
+            if record_moments
+            else ()
+        )
+        return (new, w, ll), outs
+
+    return jax.lax.fori_loop(lo, hi, body, ((corr, w, ll), bufs))
 
 
 class SequentialParticleAlgorithm(BaseAlgorithm):
@@ -81,7 +95,10 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
     #: subclasses that express their rejuvenation trigger via
     #: :meth:`_chunk_trigger` opt in to the chunked (host-sync-free) fit loop.
     _chunk_supported: bool = False
-    _default_chunk_size: int = 16
+    #: 64: the fori_loop chunk scan prices only ACTIVE steps, so larger
+    #: chunks cost nothing extra on trigger replays while quartering the
+    #: per-chunk host syncs (SMC2 flagship: 2.4 s at 16 -> ~1.7 s at 64)
+    _default_chunk_size: int = 64
     #: True when ``_chunk_trigger`` translates a *pre-step* condition
     #: ("rejuvenate before step t+1") into an after-step-t event. A trigger
     #: on the final observation then corresponds to a step that never

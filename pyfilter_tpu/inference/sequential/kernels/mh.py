@@ -9,6 +9,7 @@ below 20% — double the state-particle count and re-filter the entire history
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -16,13 +17,34 @@ import jax.numpy as jnp
 
 from ....filters.base import pad_observations
 from ....resampling import systematic
+from ....utils import normalize
 from ...batch.mcmc.proposals import BaseProposal, SymmetricMH
 from ...batch.mcmc.utils import run_pmmh
-from ...state import RunningFilterResult, SMC2State
+from ...context import InferenceContext
+from ...state import RunningFilterResult, SequentialAlgorithmState, SMC2State
 
 
 class TooManyIncreases(Exception):
     pass
+
+
+@functools.partial(jax.jit, static_argnames=("proposal", "resampler"))
+def _jitted_rejuvenation_prep(key, context, w, latest_state, loglik, proposal, resampler):
+    """Lane resample + proposal-MVN fit as one compiled call.
+
+    Eagerly this is ~20 small device ops (per-parameter takes, weighted
+    mean/cov, Cholesky) and each eager dispatch pays the TPU-tunnel latency
+    (see utils._run_pmmh_masked_core). The proposal kernel is fit on the
+    PRE-resample cloud with the current weights — same order as the eager
+    body of :meth:`ParticleMetropolisHastings.update`."""
+    k_resample, k_build = jax.random.split(key)
+    indices = resampler(k_resample, normalize(w), normalized=True)
+    shim = SequentialAlgorithmState(w, None)
+    dist = proposal.build(context, shim, None, None, key=k_build)
+    new_context = context.resample(indices)
+    new_latest = latest_state.resample(indices)
+    new_ll = jnp.take(loglik, indices, axis=0)
+    return indices, dist, new_context, new_latest, new_ll
 
 
 class MHUpdate(NamedTuple):
@@ -76,18 +98,48 @@ class ParticleMetropolisHastings:
         y_padded, n_valid = pad_observations(y_host, bucket=self._bucket_for(y_host))
         y = jnp.asarray(y_host)
 
-        indices = self._resampler(k_resample, state.normalized_weights(), normalized=True)
-        k_build, key = jax.random.split(key)
-        dist = self._proposal.build(context, state, filter_, y, key=k_build)
+        if (
+            type(context) is InferenceContext
+            and getattr(self._proposal, "jit_compatible", False)
+        ):
+            # fused prep: resample + MVN fit in one device call; the recorded
+            # moment history (host lists) is gathered eagerly below
+            indices, dist, context, new_latest, new_ll = _jitted_rejuvenation_prep(
+                k_resample,
+                context,
+                state.w,
+                state.filter_state.latest_state,
+                state.filter_state.log_likelihood,
+                self._proposal,
+                self._resampler,
+            )
+            fs = RunningFilterResult(
+                new_latest, new_ll, state.filter_state.record_moments
+            )
+            fs.filter_means = [
+                jnp.take(m, indices, axis=0) for m in state.filter_state.filter_means
+            ]
+            fs.filter_variances = [
+                jnp.take(v, indices, axis=0) for v in state.filter_state.filter_variances
+            ]
+            state.filter_state = fs
+        else:
+            indices = self._resampler(
+                k_resample, state.normalized_weights(), normalized=True
+            )
+            k_build, key = jax.random.split(key)
+            dist = self._proposal.build(context, state, filter_, y, key=k_build)
 
-        context = context.resample(indices)
-        state.filter_state = state.filter_state.resample(indices)
+            context = context.resample(indices)
+            state.filter_state = state.filter_state.resample(indices)
 
         size = () if tuple(dist.batch_shape) else (filter_.batch_shape[0],)
 
         # NB: the adaptive early stop is inspired by nchopin/particles
         # (reference mh.py:66)
-        old_params = context.stack_parameters(constrained=False)
+        old_params = (
+            context.stack_parameters(constrained=False) if self._is_adaptive else None
+        )
 
         previous_distance = 0.0
         acceptance_rate = 0.0
@@ -109,7 +161,11 @@ class ParticleMetropolisHastings:
             context = step.context
             state.filter_state = step.filter_state
 
-            rate = float(jnp.mean(step.accepted.astype(jnp.float32)))
+            rate = (
+                float(step.accept_rate)
+                if step.accept_rate is not None
+                else float(jnp.mean(step.accepted.astype(jnp.float32)))
+            )
             acceptance_rate = (rate + i * acceptance_rate) / (i + 1)
 
             # abort early to avoid wasting compute (reference mh.py:90-91)

@@ -475,13 +475,16 @@ def systematic_expand_lanes(
         u = jax.random.uniform(key, batch_shape, dtype=probs.dtype)
     u = jnp.broadcast_to(jnp.asarray(u, probs.dtype), batch_shape).reshape(n_lanes)
 
-    # per-lane copy-count boundaries (same arithmetic as ops.systematic_counts;
-    # the final boundary is pinned to n — see _counts_from_probs on u == 1.0)
-    probs_t = probs.reshape(n, n_lanes).T  # (L, N)
-    cumw = jnp.cumsum(probs_t, axis=1)
-    cumw = cumw.at[:, -1].set(1.0)
-    counts = jnp.clip(jnp.ceil(n * cumw - u[:, None]), 0, n).astype(jnp.int32)
-    counts = counts.at[:, -1].set(n)
+    # per-lane copy-count boundaries in the native (N, L) layout (same
+    # arithmetic as ops.systematic_counts — cumsum is layout-invariant, so
+    # values match the transposed form bit-for-bit; the final boundary is
+    # pinned to n, see _counts_from_probs on u == 1.0). Staying in (N, L)
+    # spares two (N, L) transposes per fire on the blocked-kernel path.
+    probs_nl = probs.reshape(n, n_lanes)
+    cumw = jnp.cumsum(probs_nl, axis=0)
+    cumw = cumw.at[-1, :].set(1.0)
+    counts_nl = jnp.clip(jnp.ceil(n * cumw - u[None, :]), 0, n).astype(jnp.int32)
+    counts_nl = counts_nl.at[-1, :].set(n)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -499,7 +502,7 @@ def systematic_expand_lanes(
             ],
             axis=0,
         )  # (d, n, L)
-        out_planes, idx_nl = _expand_lanes_blocked(counts.T, planes, interpret)
+        out_planes, idx_nl = _expand_lanes_blocked(counts_nl, planes, interpret)
         idx = idx_nl.reshape((n, *batch_shape))
         outs = []
         col = 0
@@ -522,7 +525,7 @@ def systematic_expand_lanes(
     v2d = jnp.concatenate(flat_cols, axis=1)
 
     offsets = (jnp.arange(n_lanes, dtype=jnp.int32) * n)[:, None]
-    counts_global = (counts + offsets).reshape(-1)
+    counts_global = (counts_nl.T + offsets).reshape(-1)
 
     planes_out, idx_global = _expand_from_counts(counts_global, v2d, interpret)
     idx = (idx_global.reshape(n_lanes, n) - offsets).T.reshape((n, *batch_shape))

@@ -450,3 +450,38 @@ def test_bounded_record_states(key):
 
     with pytest.raises(ValueError, match="record_states"):
         SISR(ssm, 300, record_states=500).batch_filter(key, y_in)
+
+
+def test_masked_batch_filter_matches_prefix(key):
+    """``batch_filter_masked`` on a padded buffer must reproduce
+    ``batch_filter`` on the valid prefix bit-for-bit: the fori_loop consumes
+    the identical per-step key stream (``split`` prefixes are stable across
+    lengths), and padded steps contribute exactly nothing."""
+    from pyfilter_tpu.filters.base import pad_observations
+
+    ssm, _ = MODELS["ar"]()
+    _, y = ssm.sample_states(key, 37).get_paths()
+    y = jnp.asarray(y, jnp.float32)
+    filt = SISR(ssm, 300)
+
+    ref = filt.batch_filter(jax.random.PRNGKey(8), y)
+
+    for bucket in (64, 128):
+        y_padded, n_valid = pad_observations(np.asarray(y), bucket=bucket)
+        got = filt.batch_filter_masked(jax.random.PRNGKey(8), y_padded, n_valid)
+        # the total is summed over the padded length (zeros beyond n_valid):
+        # a different reduction tree, so ULP-level only
+        np.testing.assert_allclose(
+            np.asarray(got.log_likelihood), np.asarray(ref.log_likelihood), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.latest_state.x.value), np.asarray(ref.latest_state.x.value)
+        )
+        # padded rows contribute exactly zero step loglik
+        np.testing.assert_array_equal(
+            np.asarray(got.step_log_likelihoods)[37:], 0.0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.step_log_likelihoods)[:37],
+            np.asarray(ref.step_log_likelihoods),
+        )

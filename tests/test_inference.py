@@ -449,6 +449,108 @@ def test_ness_chunked_no_rejuvenation_after_final_step():
     assert chunked == per_step
 
 
+def test_run_pmmh_jitted_core_matches_eager():
+    """The fused single-dispatch PMMH transition must reproduce the eager
+    op-by-op path: same key splits, same proposal refit, same accept masks
+    and exchanged state."""
+    from pyfilter_tpu.filters.base import pad_observations
+    from pyfilter_tpu.inference.batch.mcmc.proposals import SymmetricMH
+    from pyfilter_tpu.inference.batch.mcmc.utils import run_pmmh
+
+    y = simulate(8)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 30, proposal=proposals.LinearGaussianObservations())
+        alg = inf.SMC2(filt, 60, context=ctx, key=jax.random.PRNGKey(2))
+        state = alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=1)
+
+        y_host = state.parsed_data_host
+        y_padded, n_valid = pad_observations(y_host)
+        prop = SymmetricMH()
+        dist = prop.build(ctx, state, alg.filter, jnp.asarray(y_host), key=jax.random.PRNGKey(3))
+        size = () if tuple(dist.batch_shape) else (alg.filter.batch_shape[0],)
+        k = jax.random.PRNGKey(11)
+
+        assert prop.jit_compatible
+        fast = run_pmmh(
+            k, ctx, state, prop, dist, alg.filter, jnp.asarray(y_host),
+            size=size, y_padded=y_padded, n_valid=n_valid,
+        )
+        assert fast.accept_rate is not None  # proves the fused path ran
+
+        prop_eager = SymmetricMH()
+        prop_eager.jit_compatible = False
+        slow = run_pmmh(
+            k, ctx, state, prop_eager, dist, alg.filter, jnp.asarray(y_host),
+            size=size, y_padded=y_padded, n_valid=n_valid,
+        )
+        assert slow.accept_rate is None
+
+    np.testing.assert_array_equal(np.asarray(fast.accepted), np.asarray(slow.accepted))
+    np.testing.assert_allclose(
+        np.asarray(fast.filter_state.log_likelihood),
+        np.asarray(slow.filter_state.log_likelihood),
+        rtol=1e-6,
+    )
+    for name in ("kappa", "gamma", "sigma"):
+        np.testing.assert_allclose(
+            np.asarray(fast.context.get_parameter(name)),
+            np.asarray(slow.context.get_parameter(name)),
+            rtol=1e-6,
+        )
+    np.testing.assert_allclose(
+        float(fast.accept_rate),
+        float(np.mean(np.asarray(slow.accepted, np.float32))),
+        rtol=1e-6,
+    )
+
+
+def test_online_kernel_jitted_matches_eager(monkeypatch):
+    """The fused single-dispatch jitter update must reproduce the eager
+    op-by-op path bit-for-bit (identical key splits and jitter math)."""
+    from pyfilter_tpu.inference.sequential.kernels import online as online_mod
+
+    y = simulate(6)
+
+    def run_update(force_eager):
+        with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+            filt = pf.APF(build_model, 25, proposal=proposals.LinearGaussianObservations())
+            alg = inf.NESS(filt, 40, context=ctx, key=jax.random.PRNGKey(2))
+            state = alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=1)
+            if force_eager:
+                # defeat the fast path's exact-type guard
+                monkeypatch.setattr(
+                    online_mod, "InferenceContext", inf.QuasiInferenceContext
+                )
+            else:
+                monkeypatch.setattr(
+                    online_mod, "InferenceContext", type(ctx)
+                )
+            upd = alg._kernel.update(jax.random.PRNGKey(5), ctx, alg.filter, state)
+        return upd
+
+    fast = run_update(False)
+    slow = run_update(True)
+    # same key splits and jitter math; differences are ULP-level only (jit
+    # fuses multiply-adds the eager per-op path keeps separate)
+    for name in ("kappa", "gamma", "sigma"):
+        np.testing.assert_allclose(
+            np.asarray(fast.context.get_parameter(name)),
+            np.asarray(slow.context.get_parameter(name)),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+    np.testing.assert_allclose(
+        np.asarray(fast.state.filter_state.log_likelihood),
+        np.asarray(slow.state.filter_state.log_likelihood),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.state.filter_state.latest_state.x.value),
+        np.asarray(slow.state.filter_state.latest_state.x.value),
+        rtol=1e-6,
+    )
+
+
 def test_sequential_with_collectors():
     y = simulate(40)
     with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
@@ -474,9 +576,12 @@ def test_sequential_serialize_resume():
         state = alg.fit(y[:split], logging=inf.logging.DefaultLogger())
         alg_sd = state.state_dict()
         ctx_sd = ctx.state_dict()
+        # a rejuvenation may have doubled the particle count mid-fit; the
+        # resuming side must rebuild the filter at the checkpointed size
+        n_resume = alg.filter.n_particles
 
     with inf.make_context(key=jax.random.PRNGKey(9)) as ctx2:
-        filt2 = pf.APF(build_model, 100, proposal=proposals.LinearGaussianObservations())
+        filt2 = pf.APF(build_model, n_resume, proposal=proposals.LinearGaussianObservations())
         alg2 = inf.SMC2(filt2, 150, context=ctx2, key=jax.random.PRNGKey(10))
         new_state = alg2.initialize()
         ctx2.load_state_dict(ctx_sd)
