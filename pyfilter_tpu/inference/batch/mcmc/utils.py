@@ -15,8 +15,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ....filters.result import FilterResult
 from ...context import InferenceContext
-from ...state import RunningFilterResult, SequentialAlgorithmState
+from ...state import FilterAlgorithmState, RunningFilterResult, SequentialAlgorithmState
 
 
 class PMMHStep(NamedTuple):
@@ -29,8 +30,7 @@ class PMMHStep(NamedTuple):
     accept_rate: object = None
 
 
-@functools.partial(jax.jit, static_argnames=("proposal", "size", "mutate_kernel"))
-def _run_pmmh_masked_core(
+def _pmmh_transition_body(
     key,
     context,
     w,
@@ -44,14 +44,10 @@ def _run_pmmh_masked_core(
     size,
     mutate_kernel,
 ):
-    """The whole PMMH transition as ONE compiled call (context is a pytree).
-
-    Eagerly, a transition is ~80 small device ops (sample, per-parameter
-    unstack/exchange, prior evals, MVN refit) and on the bench host each
-    eager dispatch pays ~5 ms of TPU-tunnel latency — the re-filter itself
-    was only a minority of the measured ~540 ms per rejuvenation (PERF.md).
-    Compiled, the transition is one dispatch. Mirrors the eager body of
-    :func:`run_pmmh` exactly."""
+    """Traceable body of one PMMH transition — shared by the single-transition
+    jit wrapper below and the fully-fused rejuvenation
+    (``sequential.kernels.mh._jitted_rejuvenate``). Mirrors the eager body of
+    :func:`run_pmmh` exactly (same key splits)."""
     k_sample, k_filter, k_accept, k_build = jax.random.split(key, 4)
 
     rvs = proposal_kernel.sample(k_sample, size)
@@ -86,6 +82,94 @@ def _run_pmmh_masked_core(
         kernel = proposal.exchange(proposal_kernel, new_prop_kernel, accepted)
     rate = jnp.mean(accepted.astype(jnp.float32))
     return accepted, rate, new_context, new_latest, new_ll, kernel
+
+
+@functools.partial(jax.jit, static_argnames=("proposal", "size", "mutate_kernel"))
+def _run_pmmh_full_core(
+    key,
+    context,
+    filter_state,
+    proposal_kernel,
+    filt,
+    y,
+    proposal,
+    size,
+    mutate_kernel,
+):
+    """One batch-PMMH transition (full re-filter, whole-history exchange) as
+    one compiled call — the per-iteration analogue of the masked core below
+    for :class:`...pmmh.PMMH`'s fit loop, whose chains otherwise pay ~80
+    eager dispatches per sample."""
+    k_sample, k_filter, k_accept, k_build = jax.random.split(key, 4)
+
+    rvs = proposal_kernel.sample(k_sample, size)
+    proposal_context = context.unstack_parameters(rvs, constrained=False)
+    proposal_filter = filt.initialize_model(proposal_context)
+    new_res = proposal_filter.batch_filter(k_filter, y)
+
+    diff_logl = new_res.log_likelihood - filter_state.log_likelihood
+    diff_prior = proposal_context.eval_priors(constrained=False) - context.eval_priors(
+        constrained=False
+    )
+
+    # matches the eager path's state.replicate(new_res) shim
+    shim = FilterAlgorithmState(new_res)
+    new_prop_kernel = proposal.build(
+        proposal_context, shim, proposal_filter, y, key=k_build
+    )
+    params_as_tensor = context.stack_parameters(constrained=False)
+    diff_prop = new_prop_kernel.log_prob(params_as_tensor) - proposal_kernel.log_prob(rvs)
+
+    log_acc_prob = diff_prop + diff_prior + diff_logl
+    log_u = jnp.log(jax.random.uniform(k_accept, jnp.shape(log_acc_prob)))
+    accepted = log_u < log_acc_prob
+
+    new_filter_state = filter_state.exchange(new_res, accepted)
+    new_context = context.exchange(proposal_context, accepted)
+
+    kernel = proposal_kernel
+    if mutate_kernel:
+        kernel = proposal.exchange(proposal_kernel, new_prop_kernel, accepted)
+    rate = jnp.mean(accepted.astype(jnp.float32))
+    return accepted, rate, new_context, new_filter_state, kernel
+
+
+@functools.partial(jax.jit, static_argnames=("proposal", "size", "mutate_kernel"))
+def _run_pmmh_masked_core(
+    key,
+    context,
+    w,
+    latest_state,
+    loglik,
+    proposal_kernel,
+    filt,
+    y_padded,
+    n_valid,
+    proposal,
+    size,
+    mutate_kernel,
+):
+    """One PMMH transition as ONE compiled call (context is a pytree).
+
+    Eagerly, a transition is ~80 small device ops (sample, per-parameter
+    unstack/exchange, prior evals, MVN refit) and on the bench host each
+    eager dispatch pays ~5 ms of TPU-tunnel latency — the re-filter itself
+    was only a minority of the measured ~540 ms per rejuvenation (PERF.md).
+    Compiled, the transition is one dispatch."""
+    return _pmmh_transition_body(
+        key,
+        context,
+        w,
+        latest_state,
+        loglik,
+        proposal_kernel,
+        filt,
+        y_padded,
+        n_valid,
+        proposal,
+        size,
+        mutate_kernel,
+    )
 
 
 def run_pmmh(
@@ -144,6 +228,29 @@ def run_pmmh(
         )
         new_filter_state.filter_means = list(state.filter_state.filter_means)
         new_filter_state.filter_variances = list(state.filter_state.filter_variances)
+        return PMMHStep(accepted, new_context, new_filter_state, kernel, rate)
+
+    # batch-PMMH fast path: full re-filter + whole-history exchange fused
+    # (sequential states carry host-side running results and take the masked
+    # tier above instead)
+    if (
+        y_padded is None
+        and type(context) is InferenceContext
+        and getattr(proposal, "jit_compatible", False)
+        and isinstance(state.filter_state, FilterResult)
+        and not hasattr(state, "w")
+    ):
+        accepted, rate, new_context, new_filter_state, kernel = _run_pmmh_full_core(
+            key,
+            context,
+            state.filter_state,
+            proposal_kernel,
+            filter_,
+            jnp.asarray(y),
+            proposal,
+            tuple(size),
+            bool(mutate_kernel),
+        )
         return PMMHStep(accepted, new_context, new_filter_state, kernel, rate)
 
     k_sample, k_filter, k_accept, k_build = jax.random.split(key, 4)

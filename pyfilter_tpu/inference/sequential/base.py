@@ -320,8 +320,9 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
                 carry_out, outs = _chunk_scan(
                     self._filter, *carry, ys_c, keys, jnp.int32(lo), jnp.int32(n_eff)
                 )
-                ess_np = np.asarray(outs[0])  # the chunk's single host sync
-                nonfin_np = np.asarray(outs[1])
+                # the chunk's single host sync: one batched transfer for both
+                # trigger signals (two np.asarray calls = two tunnel round-trips)
+                ess_np, nonfin_np = jax.device_get((outs[0], outs[1]))
                 # slice row j corresponds to global step t + j
                 trig = self._chunk_trigger(t, ess_np[lo:n_eff], nonfin_np[lo:n_eff])
                 hi = n_eff if trig is None else lo + trig + 1

@@ -19,13 +19,74 @@ from ....filters.base import pad_observations
 from ....resampling import systematic
 from ....utils import normalize
 from ...batch.mcmc.proposals import BaseProposal, SymmetricMH
-from ...batch.mcmc.utils import run_pmmh
+from ...batch.mcmc.utils import _pmmh_transition_body, run_pmmh
 from ...context import InferenceContext
 from ...state import RunningFilterResult, SequentialAlgorithmState, SMC2State
 
 
 class TooManyIncreases(Exception):
     pass
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("proposal", "resampler", "n_steps", "acceptance_threshold"),
+)
+def _jitted_rejuvenate(
+    key,
+    context,
+    w,
+    latest_state,
+    loglik,
+    filt,
+    y_padded,
+    n_valid,
+    proposal,
+    resampler,
+    n_steps,
+    acceptance_threshold,
+):
+    """The ENTIRE rejuvenation — lane resample, proposal-MVN fit, and all
+    ``n_steps`` PMMH transitions with the running-average early abort — as
+    one compiled call. The abort condition (mean acceptance below the
+    threshold) is a device scalar, so the host only fetches the final
+    ``(aborted, rate)`` pair; skipped transitions pass through a scalar
+    ``lax.cond`` and cost nothing. Key splits mirror the host-loop tiers
+    exactly, so trajectories are bit-compatible with the unfused path."""
+    k_resample, key = jax.random.split(key)
+    k_r2, k_build = jax.random.split(k_resample)
+
+    indices = resampler(k_r2, normalize(w), normalized=True)
+    shim = SequentialAlgorithmState(w, None)
+    dist = proposal.build(context, shim, None, None, key=k_build)
+    context = context.resample(indices)
+    latest = latest_state.resample(indices)
+    ll = jnp.take(loglik, indices, axis=0)
+
+    size = () if tuple(dist.batch_shape) else (w.shape[0],)
+
+    aborted = jnp.asarray(False)
+    avg = jnp.asarray(0.0, jnp.float32)
+    for i in range(n_steps):
+        k_step, key = jax.random.split(key)
+
+        def active(op, k_step=k_step):
+            ctx_i, lat_i, ll_i = op
+            _, rate, ctx_o, lat_o, ll_o, _ = _pmmh_transition_body(
+                k_step, ctx_i, w, lat_i, ll_i, dist, filt, y_padded, n_valid,
+                proposal, size, False,
+            )
+            return (ctx_o, lat_o, ll_o), rate
+
+        def passive(op):
+            return op, jnp.asarray(1.0, jnp.float32)
+
+        (context, latest, ll), rate = jax.lax.cond(
+            ~aborted, active, passive, (context, latest, ll)
+        )
+        avg = jnp.where(aborted, avg, (rate + i * avg) / (i + 1))
+        aborted = aborted | (avg < acceptance_threshold)
+    return indices, context, latest, ll, aborted, avg, key
 
 
 @functools.partial(jax.jit, static_argnames=("proposal", "resampler"))
@@ -98,10 +159,55 @@ class ParticleMetropolisHastings:
         y_padded, n_valid = pad_observations(y_host, bucket=self._bucket_for(y_host))
         y = jnp.asarray(y_host)
 
+        fast = type(context) is InferenceContext and getattr(
+            self._proposal, "jit_compatible", False
+        )
+        # state-recording filters cannot take the masked re-filter inside the
+        # fused call; they drop to the prep tier (run_pmmh falls back to the
+        # full batch_filter internally)
         if (
-            type(context) is InferenceContext
-            and getattr(self._proposal, "jit_compatible", False)
+            fast
+            and not self._is_adaptive
+            and not (filter_.record_states or filter_.record_intermediary)
         ):
+            # the whole rejuvenation in one dispatch (prep + n_steps
+            # transitions + device-side early abort); two scalar fetches total
+            indices, new_context, new_latest, new_ll, aborted, rate, key = (
+                _jitted_rejuvenate(
+                    key,
+                    context,
+                    state.w,
+                    state.filter_state.latest_state,
+                    state.filter_state.log_likelihood,
+                    filter_,
+                    y_padded,
+                    jnp.int32(n_valid),
+                    self._proposal,
+                    self._resampler,
+                    self._n_steps,
+                    float(self._acceptance_threshold),
+                )
+            )
+            context = new_context
+            fs = RunningFilterResult(
+                new_latest, new_ll, state.filter_state.record_moments
+            )
+            fs.filter_means = [
+                jnp.take(m, indices, axis=0) for m in state.filter_state.filter_means
+            ]
+            fs.filter_variances = [
+                jnp.take(v, indices, axis=0) for v in state.filter_state.filter_variances
+            ]
+            state.filter_state = fs
+
+            if bool(aborted):
+                return self._increase_states(key, context, filter_, state)
+
+            new_filter = filter_.initialize_model(context)
+            state.w = jnp.zeros_like(state.w)
+            return MHUpdate(context, new_filter, state)
+
+        if fast:
             # fused prep: resample + MVN fit in one device call; the recorded
             # moment history (host lists) is gathered eagerly below
             indices, dist, context, new_latest, new_ll = _jitted_rejuvenation_prep(
