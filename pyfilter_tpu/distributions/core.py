@@ -119,6 +119,12 @@ class Uniform(Distribution):
 
     @property
     def support(self):
+        # priors flow through jit as pytree leaves (inference/context.py), so
+        # the bounds may be tracers; ``biject_to``'s Sigmoid+Affine handles
+        # array bounds fine — only collapse to Python floats when concrete
+        # (nicer constraint reprs / hashability)
+        if isinstance(self.low, jax.core.Tracer) or isinstance(self.high, jax.core.Tracer):
+            return constraints.Interval(self.low, self.high)
         import numpy as np
 
         return constraints.Interval(float(np.min(np.asarray(self.low))), float(np.max(np.asarray(self.high))))

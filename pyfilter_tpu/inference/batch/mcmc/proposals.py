@@ -28,6 +28,11 @@ class BaseProposal:
     #: state or recorded filter histories must set this False.
     jit_compatible = True
 
+    #: True when ``build`` on a quasi context yields an engine-sampled kernel
+    #: (QuasiMultivariateNormal) — tells the fused rejuvenation to pre-draw
+    #: the Sobol uniforms host-side (sequential.kernels.mh).
+    uses_quasi_engine = False
+
     # Proposals ride through jit as STATIC arguments, so equality must be
     # structural: every fit builds a fresh proposal instance, and identity
     # hashing would force a full recompile of the fused PMMH transition per
@@ -74,6 +79,8 @@ class RandomWalk(BaseProposal):
 class SymmetricMH(BaseProposal):
     """Weighted-particle MVN scaled by 1.1, QMC-aware — the SMC2 rejuvenation
     proposal (reference symmetric_mh.py)."""
+
+    uses_quasi_engine = True
 
     def build(self, context, state, filter_, y, key=None):
         values = context.stack_parameters(constrained=False)

@@ -15,6 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ....distributions import Normal
 from ....filters.result import FilterResult
 from ...context import InferenceContext
 from ...state import FilterAlgorithmState, RunningFilterResult, SequentialAlgorithmState
@@ -43,14 +44,30 @@ def _pmmh_transition_body(
     proposal,
     size,
     mutate_kernel,
+    qmc_prob=None,
 ):
     """Traceable body of one PMMH transition — shared by the single-transition
     jit wrapper below and the fully-fused rejuvenation
     (``sequential.kernels.mh._jitted_rejuvenate``). Mirrors the eager body of
-    :func:`run_pmmh` exactly (same key splits)."""
+    :func:`run_pmmh` exactly (same key splits).
+
+    ``qmc_prob`` (optional, ``(*size, dim)``): pre-drawn scrambled-Sobol
+    uniforms for this transition's candidate draw. A quasi context's Sobol
+    engine is host state and cannot run under a trace, so the fused
+    rejuvenation draws the uniforms host-side and the candidate is produced
+    in-trace by the same inversion ``utils.QuasiMultivariateNormal.sample``
+    applies (icdf + Cholesky rotation) — bit-compatible with the eager path.
+    """
     k_sample, k_filter, k_accept, k_build = jax.random.split(key, 4)
 
-    rvs = proposal_kernel.sample(k_sample, size)
+    if qmc_prob is None:
+        rvs = proposal_kernel.sample(k_sample, size)
+    else:
+        probs = qmc_prob.astype(proposal_kernel.loc.dtype)
+        eps = Normal(jnp.zeros_like(probs), 1.0).icdf(probs)
+        rvs = proposal_kernel.loc + jnp.einsum(
+            "...ij,...j->...i", proposal_kernel.scale_tril, eps
+        )
     proposal_context = context.unstack_parameters(rvs, constrained=False)
     proposal_filter = filt.initialize_model(proposal_context)
     new_res = proposal_filter.batch_filter_masked(k_filter, y_padded, n_valid)

@@ -387,9 +387,9 @@ def make_context(use_quasi: bool = False, randomize: bool = True, key=None) -> I
 # instead of ~100 eager dispatches (each paying ~5 ms of tunnel latency on
 # the bench host; see kernels/mh.py). Functional methods only inside jit:
 # ``absorb`` and the context-manager stack remain host-side.
-# ``QuasiInferenceContext`` is deliberately NOT registered — its Sobol engine
-# is host state — and jitted fast paths must guard on
-# ``type(context) is InferenceContext``.
+# ``QuasiInferenceContext`` is registered too, minus its Sobol engine (host
+# state — see ``_quasi_flatten``); fused callers pre-draw the uniforms and
+# reattach the engine to whatever context a jitted call returns.
 
 
 def _context_flatten(ctx: InferenceContext):
@@ -408,10 +408,10 @@ def _context_flatten(ctx: InferenceContext):
     return children, aux
 
 
-def _context_unflatten(aux, children):
+def _context_unflatten(aux, children, cls=InferenceContext):
     values, priors, key = children
     names, shapes, u_shapes, batch_shape = aux
-    ctx = InferenceContext.__new__(InferenceContext)
+    ctx = cls.__new__(cls)
     ctx._prior_dict = OrderedDict(zip(names, priors))
     ctx._value_dict = OrderedDict(zip(names, values))
     ctx._shape_dict = OrderedDict(zip(names, shapes))
@@ -423,3 +423,23 @@ def _context_unflatten(aux, children):
 
 
 jax.tree_util.register_pytree_node(InferenceContext, _context_flatten, _context_unflatten)
+
+
+def _quasi_flatten(ctx: QuasiInferenceContext):
+    children, aux = _context_flatten(ctx)
+    # the Sobol engine is HOST state and stays out of the pytree: fused
+    # transitions pre-draw its uniforms host-side and pass them in as arrays
+    # (kernels/mh.py); inside a trace the reconstructed context carries
+    # ``quasi_engine=None``, which downgrades proposal refits to plain MVNs
+    # — correct, since only their log_prob is consumed in-trace.
+    return children, aux + (ctx._randomize, ctx._seed)
+
+
+def _quasi_unflatten(aux, children):
+    ctx = _context_unflatten(aux[:-2], children, cls=QuasiInferenceContext)
+    ctx.quasi_engine = None
+    ctx._randomize, ctx._seed = aux[-2], aux[-1]
+    return ctx
+
+
+jax.tree_util.register_pytree_node(QuasiInferenceContext, _quasi_flatten, _quasi_unflatten)

@@ -30,6 +30,7 @@ class EngineContainer:
         self._randomize = randomize
         self._rng = np.random.default_rng(None if seed is None else seed + 1)
         self._rotation_vector: np.ndarray | None = None
+        self._num_drawn = 0
 
     def sample(self, shape) -> jnp.ndarray:
         """Draw ``prod(shape)`` points; returns shape ``(*shape, dim)``
@@ -38,6 +39,7 @@ class EngineContainer:
         numel = int(np.prod(shape)) if shape else 1
 
         probs = self._engine.random(numel)
+        self._num_drawn += numel
 
         if numel == 1:
             probs = probs[0]
@@ -51,3 +53,26 @@ class EngineContainer:
         return jnp.asarray(
             safe_probs.reshape(shape + (self.dimension,)), dtype=jnp.float32
         )
+
+    def rewind(self, num_points: int):
+        """Step the sequence position back by ``num_points`` draws.
+
+        Fused rejuvenations (``sequential.kernels.mh``) pre-draw uniforms for
+        all ``n_steps`` PMMH transitions in one block; when the device-side
+        early abort fires after fewer transitions, the unconsumed tail is
+        returned here so the stream position matches what a step-by-step host
+        loop would have consumed. ``Sobol.reset`` keeps the scramble (it is
+        fixed at construction), so replaying to an earlier position is exact.
+        """
+        num_points = int(num_points)
+        if num_points <= 0:
+            return
+        target = self._num_drawn - num_points
+        if target < 0:
+            raise ValueError(
+                f"cannot rewind {num_points} points; only {self._num_drawn} drawn"
+            )
+        self._engine.reset()
+        if target > 0:
+            self._engine.fast_forward(target)
+        self._num_drawn = target

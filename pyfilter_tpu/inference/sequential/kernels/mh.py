@@ -20,8 +20,9 @@ from ....resampling import systematic
 from ....utils import normalize
 from ...batch.mcmc.proposals import BaseProposal, SymmetricMH
 from ...batch.mcmc.utils import _pmmh_transition_body, run_pmmh
-from ...context import InferenceContext
+from ...context import InferenceContext, QuasiInferenceContext
 from ...state import RunningFilterResult, SequentialAlgorithmState, SMC2State
+from ...utils import QuasiMultivariateNormal
 
 
 class TooManyIncreases(Exception):
@@ -41,6 +42,7 @@ def _jitted_rejuvenate(
     filt,
     y_padded,
     n_valid,
+    qmc_probs,
     proposal,
     resampler,
     n_steps,
@@ -52,7 +54,14 @@ def _jitted_rejuvenate(
     threshold) is a device scalar, so the host only fetches the final
     ``(aborted, rate)`` pair; skipped transitions pass through a scalar
     ``lax.cond`` and cost nothing. Key splits mirror the host-loop tiers
-    exactly, so trajectories are bit-compatible with the unfused path."""
+    exactly, so trajectories are bit-compatible with the unfused path.
+
+    ``qmc_probs`` (``(n_steps, B, dim)`` or None): pre-drawn Sobol uniforms
+    for quasi contexts — the engine is host state, so the host draws one
+    block per rejuvenation and transition ``i`` inverts ``qmc_probs[i]``
+    instead of pseudo-random sampling (see ``_pmmh_transition_body``). The
+    returned ``n_done`` lets the caller rewind the engine past the draws an
+    early abort never consumed."""
     k_resample, key = jax.random.split(key)
     k_r2, k_build = jax.random.split(k_resample)
 
@@ -67,14 +76,16 @@ def _jitted_rejuvenate(
 
     aborted = jnp.asarray(False)
     avg = jnp.asarray(0.0, jnp.float32)
+    n_done = jnp.asarray(0, jnp.int32)
     for i in range(n_steps):
         k_step, key = jax.random.split(key)
+        qmc_i = None if qmc_probs is None else qmc_probs[i]
 
-        def active(op, k_step=k_step):
+        def active(op, k_step=k_step, qmc_i=qmc_i):
             ctx_i, lat_i, ll_i = op
             _, rate, ctx_o, lat_o, ll_o, _ = _pmmh_transition_body(
                 k_step, ctx_i, w, lat_i, ll_i, dist, filt, y_padded, n_valid,
-                proposal, size, False,
+                proposal, size, False, qmc_prob=qmc_i,
             )
             return (ctx_o, lat_o, ll_o), rate
 
@@ -84,9 +95,10 @@ def _jitted_rejuvenate(
         (context, latest, ll), rate = jax.lax.cond(
             ~aborted, active, passive, (context, latest, ll)
         )
+        n_done = n_done + jnp.where(aborted, 0, 1).astype(jnp.int32)
         avg = jnp.where(aborted, avg, (rate + i * avg) / (i + 1))
         aborted = aborted | (avg < acceptance_threshold)
-    return indices, context, latest, ll, aborted, avg, key
+    return indices, context, latest, ll, aborted, avg, n_done, key
 
 
 @functools.partial(jax.jit, static_argnames=("proposal", "resampler"))
@@ -159,20 +171,37 @@ class ParticleMetropolisHastings:
         y_padded, n_valid = pad_observations(y_host, bucket=self._bucket_for(y_host))
         y = jnp.asarray(y_host)
 
-        fast = type(context) is InferenceContext and getattr(
-            self._proposal, "jit_compatible", False
+        jit_ok = getattr(self._proposal, "jit_compatible", False)
+        fast = type(context) is InferenceContext and jit_ok
+        # a quasi context rides the same fused tiers: it is a pytree whose
+        # reconstructed in-trace copy carries ``quasi_engine=None`` (the Sobol
+        # engine is host state) — candidate uniforms are pre-drawn host-side
+        # below and the engine is reattached to the returned context
+        quasi_fast = (
+            type(context) is QuasiInferenceContext
+            and context.quasi_engine is not None
+            and jit_ok
         )
+        engine = context.quasi_engine if quasi_fast else None
         # state-recording filters cannot take the masked re-filter inside the
         # fused call; they drop to the prep tier (run_pmmh falls back to the
         # full batch_filter internally)
         if (
-            fast
+            (fast or quasi_fast)
             and not self._is_adaptive
             and not (filter_.record_states or filter_.record_intermediary)
         ):
+            qmc_probs = None
+            if quasi_fast and getattr(self._proposal, "uses_quasi_engine", False):
+                # one Sobol block for all n_steps candidate draws, in the
+                # order the eager loop would consume them (step-major)
+                n_lanes = int(state.w.shape[0])
+                qmc_probs = jnp.stack(
+                    [engine.sample((n_lanes,)) for _ in range(self._n_steps)]
+                )
             # the whole rejuvenation in one dispatch (prep + n_steps
             # transitions + device-side early abort); two scalar fetches total
-            indices, new_context, new_latest, new_ll, aborted, rate, key = (
+            indices, new_context, new_latest, new_ll, aborted, rate, n_done, key = (
                 _jitted_rejuvenate(
                     key,
                     context,
@@ -182,6 +211,7 @@ class ParticleMetropolisHastings:
                     filter_,
                     y_padded,
                     jnp.int32(n_valid),
+                    qmc_probs,
                     self._proposal,
                     self._resampler,
                     self._n_steps,
@@ -189,6 +219,8 @@ class ParticleMetropolisHastings:
                 )
             )
             context = new_context
+            if quasi_fast:
+                context.quasi_engine = engine
             fs = RunningFilterResult(
                 new_latest, new_ll, state.filter_state.record_moments
             )
@@ -201,13 +233,20 @@ class ParticleMetropolisHastings:
             state.filter_state = fs
 
             if bool(aborted):
+                if qmc_probs is not None:
+                    # the abort skipped the remaining transitions; return the
+                    # unconsumed Sobol draws so the stream position matches a
+                    # step-by-step host loop
+                    engine.rewind(
+                        (self._n_steps - int(n_done)) * int(qmc_probs.shape[1])
+                    )
                 return self._increase_states(key, context, filter_, state)
 
             new_filter = filter_.initialize_model(context)
             state.w = jnp.zeros_like(state.w)
             return MHUpdate(context, new_filter, state)
 
-        if fast:
+        if fast or quasi_fast:
             # fused prep: resample + MVN fit in one device call; the recorded
             # moment history (host lists) is gathered eagerly below
             indices, dist, context, new_latest, new_ll = _jitted_rejuvenation_prep(
@@ -219,6 +258,15 @@ class ParticleMetropolisHastings:
                 self._proposal,
                 self._resampler,
             )
+            if quasi_fast:
+                # the in-trace build could not see the host engine: reattach
+                # it and promote the fitted MVN back to its QMC-sampled form
+                # for the eager transition loop below
+                context.quasi_engine = engine
+                if getattr(self._proposal, "uses_quasi_engine", False):
+                    dist = QuasiMultivariateNormal(
+                        engine, dist.loc, scale_tril=dist.scale_tril
+                    )
             fs = RunningFilterResult(
                 new_latest, new_ll, state.filter_state.record_moments
             )

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ....resampling import systematic
 from ....utils import normalize
-from ...context import InferenceContext
+from ...context import InferenceContext, QuasiInferenceContext
 from ...state import RunningFilterResult
 from .jittering import JitterKernel, NonShrinkingKernel
 
@@ -67,7 +67,11 @@ class OnlineKernel:
         self._resampler = resampler
 
     def update(self, key, context, filter_, state) -> OnlineUpdate:
-        if type(context) is InferenceContext and isinstance(
+        # jittering never touches the Sobol engine, so a quasi context rides
+        # the fused path too (it is a pytree minus the engine — reattached to
+        # the returned context below)
+        quasi = type(context) is QuasiInferenceContext and context.quasi_engine is not None
+        if (type(context) is InferenceContext or quasi) and isinstance(
             state.filter_state, RunningFilterResult
         ):
             new_context, new_latest, new_ll = _jitted_online_update(
@@ -80,6 +84,8 @@ class OnlineKernel:
                 self._resampler,
                 self._disc,
             )
+            if quasi:
+                new_context.quasi_engine = context.quasi_engine
             # entire_history=False semantics: the recorded moment history is
             # carried over un-resampled (same as the eager path below)
             fs = RunningFilterResult(

@@ -257,6 +257,74 @@ def test_quasi_mvn_sampling(key):
     assert abs(float(s.mean())) < 0.1
 
 
+def test_engine_rewind():
+    """``rewind`` replays the scrambled sequence to an earlier position
+    exactly (used by the fused rejuvenation's early abort)."""
+    engine = inf.EngineContainer(2, randomize=True, seed=3)
+    engine.sample((8,))
+    second = np.asarray(engine.sample((8,)))
+    engine.rewind(8)
+    np.testing.assert_array_equal(np.asarray(engine.sample((8,))), second)
+    with pytest.raises(ValueError):
+        engine.rewind(100)
+
+
+def test_quasi_fused_candidate_matches_quasimvn(key):
+    """The fused PMMH transition inverts pre-drawn uniforms in-trace
+    (icdf + Cholesky rotation); twin engines must give the same candidates
+    as engine-side QuasiMultivariateNormal sampling."""
+    chol = jnp.asarray([[1.0, 0.0, 0.0], [0.3, 0.8, 0.0], [-0.2, 0.1, 0.5]])
+    loc = jnp.asarray([0.5, -1.0, 2.0])
+
+    engine_a = inf.EngineContainer(3, randomize=True, seed=7)
+    expected = inf.QuasiMultivariateNormal(engine_a, loc, scale_tril=chol).sample(
+        key, (64,)
+    )
+
+    engine_b = inf.EngineContainer(3, randomize=True, seed=7)
+    probs = engine_b.sample((64,))
+    eps = dist.Normal(jnp.zeros_like(probs), 1.0).icdf(probs)
+    got = loc + jnp.einsum("...ij,...j->...i", chol, eps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-6)
+
+
+def test_context_jit_with_uniform_prior():
+    """Inside fused transitions the context pytree carries priors as traced
+    leaves; Uniform's interval support must biject without concretizing
+    (regression: the lorenz NESS example crashed the fused jitter update)."""
+    ctx = inf.make_context(key=jax.random.PRNGKey(0))
+    ctx.set_batch_shape((8,))
+    ctx.named_parameter("r", dist.Uniform(0.5, 2.5))
+
+    @jax.jit
+    def roundtrip(c):
+        u = c.stack_parameters(constrained=False)
+        return c.unstack_parameters(u, constrained=False).get_parameter("r")
+
+    out = roundtrip(ctx)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ctx.get_parameter("r")), rtol=1e-5
+    )
+
+
+def test_quasi_context_pytree_roundtrip():
+    """QuasiInferenceContext flows through jit as a pytree; the Sobol engine
+    (host state) drops out and the registry/values survive."""
+    ctx = inf.make_context(use_quasi=True, key=jax.random.PRNGKey(6))
+    ctx.set_batch_shape((16,))
+    ctx.named_parameter("a", dist.Normal(0.0, 1.0))
+    ctx.initialize_parameters()
+
+    leaves, treedef = jax.tree_util.tree_flatten(ctx)
+    ctx2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert type(ctx2) is inf.QuasiInferenceContext
+    assert ctx2.quasi_engine is None
+    assert ctx2._randomize == ctx._randomize and ctx2._seed == ctx._seed
+    np.testing.assert_array_equal(
+        np.asarray(ctx2.get_parameter("a")), np.asarray(ctx.get_parameter("a"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # full algorithms — statistical assertions
 # ---------------------------------------------------------------------------
@@ -642,13 +710,44 @@ def test_pmmh_gradient_proposal_runs():
     assert all(np.isfinite(v).all() for v in arr.values())
 
 
-def test_smc2_with_quasi_context():
+def test_smc2_with_quasi_context(monkeypatch):
+    """A quasi context takes the fully-fused rejuvenation tier: every firing
+    pre-draws the Sobol block host-side, and the engine is reattached to the
+    context the jitted call returns (its traced copy carries engine=None)."""
+    from pyfilter_tpu.inference.sequential.kernels import mh as mh_mod
+
+    qmc_flags = []
+    orig = mh_mod._jitted_rejuvenate
+
+    def spy(*args, **kwargs):
+        qmc_flags.append(args[8] is not None)  # the qmc_probs argument
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(mh_mod, "_jitted_rejuvenate", spy)
+
     y = simulate(40)
     with inf.make_context(use_quasi=True, key=jax.random.PRNGKey(1)) as ctx:
         filt = pf.APF(build_model, 100, proposal=proposals.LinearGaussianObservations())
         alg = inf.SMC2(filt, 128, context=ctx, key=jax.random.PRNGKey(2))
         state = alg.fit(y, logging=inf.logging.DefaultLogger())
     assert np.isfinite(np.asarray(state.w)).all()
+
+    assert qmc_flags and all(qmc_flags)
+    assert ctx.quasi_engine is not None
+    # Sobol accounting: one batch at initialization + one per fused firing
+    assert ctx.quasi_engine._num_drawn == 128 * (1 + len(qmc_flags))
+
+
+def test_ness_with_quasi_context():
+    """NESS jittering never consumes the Sobol engine; a quasi context rides
+    the fused online-kernel path and keeps its engine."""
+    y = simulate(30)
+    with inf.make_context(use_quasi=True, key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 50, proposal=proposals.LinearGaussianObservations())
+        alg = inf.NESS(filt, 64, context=ctx, key=jax.random.PRNGKey(2))
+        state = alg.fit(y, logging=inf.logging.DefaultLogger())
+    assert np.isfinite(np.asarray(state.w)).all()
+    assert ctx.quasi_engine is not None
 
 
 def test_plot_posterior_grid():
