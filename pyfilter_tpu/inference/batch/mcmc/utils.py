@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ....distributions import Normal
 from ....filters.result import FilterResult
-from ...context import InferenceContext
+from ...context import InferenceContext, QuasiInferenceContext
 from ...state import FilterAlgorithmState, RunningFilterResult, SequentialAlgorithmState
 
 
@@ -215,13 +215,23 @@ def run_pmmh(
     """
     constrained = False
 
+    # a quasi context is a pytree too (minus its host-side Sobol engine) and
+    # can ride the fused tiers whenever the proposal never consumes the
+    # engine (RandomWalk & co.); engine-sampling proposals (SymmetricMH)
+    # stay eager here — the fully-fused SMC2 rejuvenation handles those with
+    # pre-drawn uniforms (sequential.kernels.mh)
+    pytree_ctx = type(context) is InferenceContext or (
+        type(context) is QuasiInferenceContext
+        and not getattr(proposal, "uses_quasi_engine", False)
+    )
+
     # fast path: the whole transition as one compiled call — eligible when
-    # the bucketed masked re-filter applies, the context is the plain pytree
+    # the bucketed masked re-filter applies, the context is a pytree
     # kind, and the proposal builder is traceable (see _run_pmmh_masked_core)
     if (
         y_padded is not None
         and not (filter_.record_states or filter_.record_intermediary)
-        and type(context) is InferenceContext
+        and pytree_ctx
         and getattr(proposal, "jit_compatible", False)
         and isinstance(state.filter_state, RunningFilterResult)
         and hasattr(state, "w")
@@ -240,6 +250,8 @@ def run_pmmh(
             tuple(size),
             bool(mutate_kernel),
         )
+        if type(context) is QuasiInferenceContext:
+            new_context.quasi_engine = context.quasi_engine
         new_filter_state = RunningFilterResult(
             new_latest, new_ll, state.filter_state.record_moments
         )
@@ -252,7 +264,7 @@ def run_pmmh(
     # tier above instead)
     if (
         y_padded is None
-        and type(context) is InferenceContext
+        and pytree_ctx
         and getattr(proposal, "jit_compatible", False)
         and isinstance(state.filter_state, FilterResult)
         and not hasattr(state, "w")
@@ -268,6 +280,8 @@ def run_pmmh(
             tuple(size),
             bool(mutate_kernel),
         )
+        if type(context) is QuasiInferenceContext:
+            new_context.quasi_engine = context.quasi_engine
         return PMMHStep(accepted, new_context, new_filter_state, kernel, rate)
 
     k_sample, k_filter, k_accept, k_build = jax.random.split(key, 4)

@@ -9,6 +9,8 @@ jnp arrays.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -38,7 +40,12 @@ class EngineContainer:
         shape = tuple(int(s) for s in shape)
         numel = int(np.prod(shape)) if shape else 1
 
-        probs = self._engine.random(numel)
+        with warnings.catch_warnings():
+            # lane counts are rarely powers of two; scipy's balance-property
+            # warning would fire on every draw (torch's SobolEngine, which
+            # the reference samples the same way, does not warn)
+            warnings.simplefilter("ignore", UserWarning)
+            probs = self._engine.random(numel)
         self._num_drawn += numel
 
         if numel == 1:

@@ -738,6 +738,44 @@ def test_smc2_with_quasi_context(monkeypatch):
     assert ctx.quasi_engine._num_drawn == 128 * (1 + len(qmc_flags))
 
 
+def test_pmmh_with_quasi_context_fused():
+    """Batch PMMH with a quasi context and an engine-free proposal
+    (RandomWalk) takes the fused full-re-filter tier. (PMMH's prior-mean
+    initializer never builds the Sobol engine — quasi-ness only matters for
+    ``initialize_parameters``-driven flows — so the context must still be
+    jit-safe with ``quasi_engine=None``.)"""
+    from pyfilter_tpu.inference.batch.mcmc import utils as mcmc_utils
+
+    rates = []
+    orig = mcmc_utils._run_pmmh_full_core
+
+    def spy(*args, **kwargs):
+        out = orig(*args, **kwargs)
+        rates.append(out[1])
+        return out
+
+    y = simulate(25)
+    with inf.make_context(use_quasi=True, key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 50, proposal=proposals.LinearGaussianObservations())
+        alg = inf.PMMH(
+            filt,
+            num_samples=6,
+            num_chains=2,
+            proposal=inf.RandomWalk(scale=5e-2),
+            context=ctx,
+            key=jax.random.PRNGKey(2),
+        )
+        try:
+            mcmc_utils._run_pmmh_full_core = spy
+            res = alg.fit(y, logging=inf.logging.DefaultLogger())
+        finally:
+            mcmc_utils._run_pmmh_full_core = orig
+
+    assert len(rates) == 6  # every sample took the fused tier
+    arr = res.as_arrays()
+    assert all(np.isfinite(v).all() for v in arr.values())
+
+
 def test_ness_with_quasi_context():
     """NESS jittering never consumes the Sobol engine; a quasi context rides
     the fused online-kernel path and keeps its engine."""
