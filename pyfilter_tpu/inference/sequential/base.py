@@ -8,11 +8,12 @@ rejuvenation kernels rebuild the model functionally.
 The reference's fit loop (sequential/base.py:93-102) — and round 1 of this
 package — synced device to host after every observation to evaluate the
 rejuvenation trigger. Here ``fit`` runs jitted **scan chunks** instead: one
-compiled ``lax.scan`` advances ``chunk_size`` observations and returns the
-per-step parameter-ESS/non-finite trigger signals; the host inspects them
-once per chunk and, when a step inside the chunk fired, replays the chunk up
-to the trigger (the scan body is gated on a traced ``[lo, hi)`` window, so
-every replay reuses the same compiled program) before rejuvenating.
+compiled ``lax.while_loop`` advances up to ``chunk_size`` observations and
+stops ON the first rejuvenation trigger, evaluated device-side from
+host-precomputed per-step trigger rows (every thresholder schedule reduces
+to an ESS-threshold vector plus a force-boolean vector). The host syncs once
+per segment — stop position, trigger flag, ESS rows — rejuvenates when a
+trigger fired, and resumes the same compiled scan at the stop position.
 """
 
 from __future__ import annotations
@@ -45,47 +46,55 @@ def _split_chain(key, n: int):
 
 
 @jax.jit
-def _chunk_scan(filt, corr, w, ll, ys, keys, lo, hi):
+def _chunk_scan(filt, corr, w, ll, ys, keys, lo, hi, thr, force):
     """Advance the filter over steps ``i`` in the traced window ``[lo, hi)``,
-    bumping the parameter lane weights. Returns the final ``(correction, w,
-    log_likelihood)`` carry plus per-step trigger signals (parameter ESS,
-    any-non-finite) and — when the filter records moments — the per-step
-    filter means/variances. Output rows outside ``[lo, hi)`` are zero (the
-    caller only reads the window).
+    bumping the parameter lane weights, and STOP at the first rejuvenation
+    trigger: after each step the body evaluates ``nonfinite | ess < thr[i] |
+    force[i]`` (``thr``/``force`` are the host-precomputed per-step trigger
+    rows — every thresholder schedule reduces to them). Returns the
+    ``(correction, w, log_likelihood)`` carry at the stop position, the
+    per-step ESS buffer (plus filter means/variances when the filter records
+    moments; rows outside the executed window are zero), the stop index
+    (first unexecuted step), and whether a trigger fired.
 
-    A ``fori_loop`` over the traced window runs ONLY the active steps; the
-    previous full-length scan with a per-step ``lax.cond`` paid roughly half
-    an active step per gated-out position (the carried cloud flows through
-    the cond either way), which doubled the cost of every trigger replay."""
+    Stopping ON the trigger replaces the earlier run-whole-window-then-replay
+    protocol, which executed up to a full chunk of discarded post-trigger
+    steps per rejuvenation (the carried cloud was already rejuvenation-stale)
+    and then re-ran the prefix to recover the carry — measured at roughly a
+    third of SMC2's steady-state wall-clock on the flagship config."""
     record_moments = getattr(filt, "record_moments", True)
     chunk = ys.shape[0]
 
-    ess_buf = jnp.zeros((chunk,), w.dtype)
-    nf_buf = jnp.zeros((chunk,), jnp.bool_)
-    bufs = (ess_buf, nf_buf)
+    bufs = (jnp.zeros((chunk,), w.dtype),)
     if record_moments:
         bufs = bufs + (
             jnp.zeros((chunk,) + corr.mean.shape, corr.mean.dtype),
             jnp.zeros((chunk,) + corr.variance.shape, corr.variance.dtype),
         )
 
-    def body(i, carry):
-        (corr, w, ll), outs = carry
+    def cond(carry):
+        _, i, trig, _ = carry
+        return (i < hi) & ~trig
+
+    def body(carry):
+        (corr, w, ll), i, _, outs = carry
         new = filt.filter(keys[i], ys[i], corr, first_step=False)
         inc = new.log_likelihood
         w = w + inc
         ll = ll + inc
-        outs = (
-            outs[0].at[i].set(get_ess(w)),
-            outs[1].at[i].set(~jnp.isfinite(w).all()),
-        ) + (
-            (outs[2].at[i].set(new.mean), outs[3].at[i].set(new.variance))
+        ess = get_ess(w)
+        trig = ~jnp.isfinite(w).all() | (ess < thr[i]) | force[i]
+        outs = (outs[0].at[i].set(ess),) + (
+            (outs[1].at[i].set(new.mean), outs[2].at[i].set(new.variance))
             if record_moments
             else ()
         )
-        return (new, w, ll), outs
+        return (new, w, ll), i + 1, trig, outs
 
-    return jax.lax.fori_loop(lo, hi, body, ((corr, w, ll), bufs))
+    carry_out, stop, trig, outs = jax.lax.while_loop(
+        cond, body, ((corr, w, ll), lo, jnp.asarray(False), bufs)
+    )
+    return carry_out, outs, stop, trig
 
 
 class SequentialParticleAlgorithm(BaseAlgorithm):
@@ -260,11 +269,25 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
             return state
 
     # -- chunked fit (host-sync once per chunk) --------------------------------
+    def _trigger_rows(self, t0: int, n: int):
+        """Per-step trigger rows for global steps ``t0 .. t0+n-1``: an ESS
+        threshold vector ``thr`` (rejuvenate after step ``t0+j`` when
+        ``ess < thr[j]``) and a boolean ``force`` schedule. Non-finite
+        weights always trigger. Every subclass trigger (thresholder
+        schedules, NESS's constant, FixedWidthNESS's block schedule) reduces
+        to this form, which is what lets the chunk scan stop device-side."""
+        raise NotImplementedError
+
     def _chunk_trigger(self, t0: int, ess, nonfinite) -> Optional[int]:
         """First local index ``j`` such that rejuvenation must run AFTER global
         step ``t0 + j`` (``ess[j]``/``nonfinite[j]`` describe the parameter
-        weights after that step), or None. Host-side, NumPy inputs."""
-        raise NotImplementedError
+        weights after that step), or None. Host-side, NumPy inputs — the
+        per-step fit path's view of :meth:`_trigger_rows`."""
+        thr, force = self._trigger_rows(t0, len(ess))
+        for j, (e, nf) in enumerate(zip(ess, nonfinite)):
+            if nf or e < thr[j] or force[j]:
+                return j
+        return None
 
     def _do_rejuvenate(self, state):
         """Run the algorithm's rejuvenation kernel and absorb its results
@@ -309,6 +332,10 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
             # loop consumes (so both paths are bit-identical up to the first
             # rejuvenation), chained inside a single device call
             self._key, keys = _split_chain(self._key, chunk)
+            # trigger rows for this chunk window: row j <-> global step t + j
+            thr_np, force_np = self._trigger_rows(t, chunk)
+            thr = jnp.asarray(np.asarray(thr_np, np.float32))
+            force = jnp.asarray(np.asarray(force_np, np.bool_))
 
             lo = 0
             while lo < n_eff:
@@ -317,44 +344,45 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
                     state.w,
                     state.filter_state.log_likelihood,
                 )
-                carry_out, outs = _chunk_scan(
-                    self._filter, *carry, ys_c, keys, jnp.int32(lo), jnp.int32(n_eff)
+                carry_out, outs, stop, trig = _chunk_scan(
+                    self._filter,
+                    *carry,
+                    ys_c,
+                    keys,
+                    jnp.int32(lo),
+                    jnp.int32(n_eff),
+                    thr,
+                    force,
                 )
-                # the chunk's single host sync: one batched transfer for both
-                # trigger signals (two np.asarray calls = two tunnel round-trips)
-                ess_np, nonfin_np = jax.device_get((outs[0], outs[1]))
-                # slice row j corresponds to global step t + j
-                trig = self._chunk_trigger(t, ess_np[lo:n_eff], nonfin_np[lo:n_eff])
-                hi = n_eff if trig is None else lo + trig + 1
-                if trig is not None and hi < n_eff:
-                    # replay the prefix up to the trigger — same compiled scan,
-                    # the window bounds are traced scalars
-                    carry_out, outs = _chunk_scan(
-                        self._filter, *carry, ys_c, keys, jnp.int32(lo), jnp.int32(hi)
-                    )
+                # the chunk's single host sync: one batched transfer for the
+                # stop position, the trigger flag, and the ESS history rows
+                stop_np, trig_np, ess_np = jax.device_get((stop, trig, outs[0]))
+                hi = int(stop_np)
 
-                self._absorb_chunk(state, carry_out, outs, lo, hi)
+                self._absorb_chunk(state, carry_out, outs, lo, hi, ess_np)
                 self._on_data_consumed(state, y_host[t : t + (hi - lo)])
                 t += hi - lo
                 lo = hi
                 # a pre-step trigger on the final observation addresses a
                 # step that never happens — the per-step loop wouldn't fire it
-                if trig is not None and not (self._prestep_trigger and t >= n_total):
+                if bool(trig_np) and not (self._prestep_trigger and t >= n_total):
                     state = self._do_rejuvenate(state)
             logging.do_log(state.current_iteration, state)
         return state
 
-    def _absorb_chunk(self, state, carry_out, outs, lo: int, hi: int):
-        """Fold a consumed scan window ``[lo, hi)`` into the running state."""
+    def _absorb_chunk(self, state, carry_out, outs, lo: int, hi: int, ess_np=None):
+        """Fold a consumed scan window ``[lo, hi)`` into the running state.
+        ``ess_np`` (optional): the already-fetched host copy of the ESS rows —
+        appending from it avoids one tiny device dispatch per observation."""
         corr, w, ll = carry_out
         state.w = w
         state.filter_state.latest_state = corr
         state.filter_state.log_likelihood = ll
-        ess = outs[0]
+        ess = outs[0] if ess_np is None else ess_np
         for j in range(lo, hi):
             state.ess.append(ess[j])
-        if self.record_moments and len(outs) > 2:
-            means, variances = outs[2], outs[3]
+        if self.record_moments and len(outs) > 1:
+            means, variances = outs[1], outs[2]
             for j in range(lo, hi):
                 state.filter_state.filter_means.append(means[j])
                 state.filter_state.filter_variances.append(variances[j])

@@ -7,6 +7,7 @@ Re-design of the reference's ``pyfilter/inference/sequential/ness.py``
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..state import SequentialAlgorithmState
 from .base import SequentialParticleAlgorithm
@@ -51,11 +52,8 @@ class NESS(BaseOnlineAlgorithm):
         triggered = state.current_iteration > 0 and float(ess[-1]) < self._threshold
         return triggered or bool(~jnp.isfinite(state.w).all())
 
-    def _chunk_trigger(self, t0, ess, nonfinite):
-        for j, (e, nf) in enumerate(zip(ess, nonfinite)):
-            if nf or e < self._threshold:
-                return j
-        return None
+    def _trigger_rows(self, t0, n):
+        return np.full(n, self._threshold, np.float32), np.zeros(n, np.bool_)
 
 
 class FixedWidthNESS(BaseOnlineAlgorithm):
@@ -72,10 +70,8 @@ class FixedWidthNESS(BaseOnlineAlgorithm):
             ~jnp.isfinite(state.w).all()
         )
 
-    def _chunk_trigger(self, t0, ess, nonfinite):
+    def _trigger_rows(self, t0, n):
         # the reference triggers before 1-based step i when i % block_len == 0,
         # i.e. after 0-based global step j when (j + 2) % block_len == 0
-        for j, nf in enumerate(nonfinite):
-            if nf or (t0 + j + 2) % self._bl == 0:
-                return j
-        return None
+        force = np.asarray([(t0 + j + 2) % self._bl == 0 for j in range(n)], np.bool_)
+        return np.full(n, -np.inf, np.float32), force

@@ -8,6 +8,7 @@ from __future__ import annotations
 from typing import Union
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..state import SMC2State
 from .base import SequentialParticleAlgorithm
@@ -68,14 +69,15 @@ class SMC2(SequentialParticleAlgorithm):
             state = self._do_rejuvenate(state)
         return state
 
-    def _chunk_trigger(self, t0, ess, nonfinite):
+    def _trigger_rows(self, t0, n):
         """Rejuvenate after global step ``t0 + j`` when the parameter ESS
-        falls below the (scheduled) threshold or any weight is non-finite."""
+        falls below the (scheduled) threshold; non-finite weights always
+        trigger (handled by the scan itself)."""
         k = self.num_particles
-        for j, (e, nf) in enumerate(zip(ess, nonfinite)):
-            if nf or e < self._threshold.get_threshold(t0 + j) * k:
-                return j
-        return None
+        thr = np.asarray(
+            [self._threshold.get_threshold(t0 + j) * k for j in range(n)], np.float32
+        )
+        return thr, np.zeros(n, np.bool_)
 
     def _on_data_consumed(self, state: SMC2State, y_rows):
         # every consumed observation joins the re-filtering history
