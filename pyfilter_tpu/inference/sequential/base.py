@@ -104,10 +104,11 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
     #: subclasses that express their rejuvenation trigger via
     #: :meth:`_chunk_trigger` opt in to the chunked (host-sync-free) fit loop.
     _chunk_supported: bool = False
-    #: 64: the fori_loop chunk scan prices only ACTIVE steps, so larger
-    #: chunks cost nothing extra on trigger replays while quartering the
-    #: per-chunk host syncs (SMC2 flagship: 2.4 s at 16 -> ~1.7 s at 64)
-    _default_chunk_size: int = 64
+    #: 128: the while_loop chunk scan prices only EXECUTED steps and stops on
+    #: triggers, so larger chunks cost nothing extra on rejuvenations while
+    #: halving the per-chunk host syncs (SMC2 flagship: 2.4 s at 16 ->
+    #: ~1.7 s at 64 -> 1.38 s; 1.08 s at 128 with stop-at-trigger; 256 flat)
+    _default_chunk_size: int = 128
     #: True when ``_chunk_trigger`` translates a *pre-step* condition
     #: ("rejuvenate before step t+1") into an after-step-t event. A trigger
     #: on the final observation then corresponds to a step that never
@@ -241,16 +242,7 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
         reference-style loop)."""
         logging = logging or TQDMWrapper()
         y = jnp.asarray(y)
-
-        # one re-filter bucket for the whole fit: the rejuvenation kernel pads
-        # every history to the full dataset's power-of-two length, so the
-        # masked re-filter compiles once per run, not once per bucket
-        planned = 1 << max(int(y.shape[0]) - 1, 0).bit_length()
-        for alg in (self, getattr(self, "_first", None), getattr(self, "_second", None)):
-            kernel = getattr(alg, "_kernel", None)
-            if kernel is not None and hasattr(kernel, "bucket_hint"):
-                if kernel.bucket_hint is None or kernel.bucket_hint < planned:
-                    kernel.bucket_hint = planned
+        self._plan_buckets(int(y.shape[0]))
 
         if chunk_size is None:
             chunk_size = (
@@ -267,6 +259,17 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
                 state = self.step(yt, state)
                 logging.do_log(state.current_iteration, state)
             return state
+
+    def _plan_buckets(self, n_total: int):
+        """One re-filter bucket for the whole fit: the rejuvenation kernel pads
+        every history to the full dataset's power-of-two length, so the masked
+        re-filter compiles once per run, not once per bucket."""
+        planned = 1 << max(n_total - 1, 0).bit_length()
+        for alg in (self, getattr(self, "_first", None), getattr(self, "_second", None)):
+            kernel = getattr(alg, "_kernel", None)
+            if kernel is not None and hasattr(kernel, "bucket_hint"):
+                if kernel.bucket_hint is None or kernel.bucket_hint < planned:
+                    kernel.bucket_hint = planned
 
     # -- chunked fit (host-sync once per chunk) --------------------------------
     def _trigger_rows(self, t0: int, n: int):
@@ -302,14 +305,13 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
 
     def _fit_chunked(self, y, state, logging, chunk: int) -> SequentialAlgorithmState:
         n_total = int(y.shape[0])
-        y_host = np.asarray(y)  # one fetch: history rows append host-side
 
         # the first observation runs alone: ``first_step=True`` is a static
         # structural flag (sub-step count), so it cannot live inside the scan
         corr0 = self._filter.step(
             self._next_key(), y[0], state.filter_state.latest_state, first_step=True
         )
-        self._on_data_consumed(state, y_host[0:1])
+        self._on_data_consumed(state, np.asarray(y[0])[None])
         state.append(corr0)
         state.bump_iteration()
         trig = self._chunk_trigger(
@@ -321,7 +323,35 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
             state = self._do_rejuvenate(state)
         logging.do_log(state.current_iteration, state)
 
-        t = 1
+        return self._advance_chunked(y, state, logging, chunk, t=1, offset=0)
+
+    def _continue_chunked(self, y, state, logging, chunk: int):
+        """Resume a chunked fit mid-stream (the filter cloud is already past
+        its first step): used by :class:`CombinedSequentialParticleAlgorithm`
+        when the second algorithm takes over at the switch point. ``y`` is the
+        remaining tail; trigger-row step indices restart at 0 — matching the
+        per-step path, where the second algorithm's schedule (e.g.
+        FixedWidthNESS's block counter) counts its OWN steps from the switch."""
+        if int(y.shape[0]) == 0:
+            return state
+        # the handover boundary: a pre-step trigger before this algorithm's
+        # local step 0 is an after-step--1 event in trigger-row coordinates
+        trig = self._chunk_trigger(
+            -1,
+            np.asarray(state.ess[-1])[None],
+            np.asarray(~jnp.isfinite(state.w).all())[None],
+        )
+        if trig is not None:
+            state = self._do_rejuvenate(state)
+        return self._advance_chunked(y, state, logging, chunk, t=0, offset=0)
+
+    def _advance_chunked(self, y, state, logging, chunk: int, t: int, offset: int):
+        """Advance over ``y[t:]`` in compiled stop-at-trigger chunks. Row ``j``
+        of a chunk starting at position ``p`` maps to the algorithm-local step
+        ``offset + p + j`` in :meth:`_trigger_rows` coordinates."""
+        n_total = int(y.shape[0])
+        y_host = np.asarray(y)  # one fetch: history rows append host-side
+
         while t < n_total:
             n_eff = min(chunk, n_total - t)
             ys_c = y[t : t + n_eff]
@@ -332,8 +362,9 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
             # loop consumes (so both paths are bit-identical up to the first
             # rejuvenation), chained inside a single device call
             self._key, keys = _split_chain(self._key, chunk)
-            # trigger rows for this chunk window: row j <-> global step t + j
-            thr_np, force_np = self._trigger_rows(t, chunk)
+            # trigger rows for this chunk window: row j <-> local step
+            # offset + t + j (offset is 0 except mid-stream continuations)
+            thr_np, force_np = self._trigger_rows(offset + t, chunk)
             thr = jnp.asarray(np.asarray(thr_np, np.float32))
             force = jnp.asarray(np.asarray(force_np, np.bool_))
 
@@ -402,11 +433,19 @@ class CombinedSequentialParticleAlgorithm(SequentialParticleAlgorithm):
         second_kw: Dict[str, Any] = None,
         context=None,
         key=None,
+        **kwargs,
     ):
-        super().__init__(filter_, num_particles, context=context, key=key)
+        """``kwargs`` (``record_moments``, ``mesh``, ``lane_axis``,
+        ``particle_axis``, ...) apply to BOTH stages; per-stage
+        ``first_kw``/``second_kw`` entries override them."""
+        super().__init__(filter_, num_particles, context=context, key=key, **kwargs)
 
-        self._first = self.make_first(filter_, self.context, num_particles, **(first_kw or {}))
-        self._second = self.make_second(filter_, self.context, num_particles, **(second_kw or {}))
+        self._first = self.make_first(
+            filter_, self.context, num_particles, **{**kwargs, **(first_kw or {})}
+        )
+        self._second = self.make_second(
+            filter_, self.context, num_particles, **{**kwargs, **(second_kw or {})}
+        )
         self._first.set_key(self._next_key())
         self._second.set_key(self._next_key())
 
@@ -424,6 +463,41 @@ class CombinedSequentialParticleAlgorithm(SequentialParticleAlgorithm):
 
     def initialize(self):
         return self._first.initialize()
+
+    def fit(self, y, logging=None, chunk_size: int | None = None):
+        """Chunked hybrid fit: the first algorithm's chunked loop consumes the
+        first ``switch + 1`` observations, the switch hands the rebound
+        filter/context to the second (whose pre-step trigger is checked at the
+        boundary), and the second's chunked loop consumes the tail. Falls back
+        to the per-step loop when either stage doesn't support chunking, when
+        callbacks are registered, or when ``chunk_size=1`` is forced."""
+        chunkable = (
+            self._first._chunk_supported
+            and self._second._chunk_supported
+            and not (self._callbacks or self._first._callbacks or self._second._callbacks)
+        )
+        if chunk_size is None:
+            chunk_size = self._first._default_chunk_size if chunkable else 1
+        if not chunkable or int(chunk_size) <= 1:
+            return super().fit(y, logging=logging, chunk_size=1)
+
+        logging = logging or TQDMWrapper()
+        y = jnp.asarray(y)
+        n_total = int(y.shape[0])
+        self._plan_buckets(n_total)
+        chunk = int(chunk_size)
+
+        with logging.initialize(self, n_total):
+            state = self.initialize()
+            n1 = min(self._when_to_switch + 1, n_total)
+            state = self._first._fit_chunked(y[:n1], state, logging, chunk)
+            if n1 < n_total:
+                self._is_switched = True
+                state = self.do_on_switch(self._first, self._second, state)
+                self._second.context = self._first.context
+                self._second.filter = self._first.filter
+                state = self._second._continue_chunked(y[n1:], state, logging, chunk)
+            return state
 
     def _step(self, y, state):
         if not self._is_switched:

@@ -24,6 +24,7 @@ class NESSMC2(CombinedSequentialParticleAlgorithm):
         ness_kw: Dict[str, Any] = None,
         context=None,
         key=None,
+        **kwargs,
     ):
         super().__init__(
             filter_,
@@ -33,6 +34,7 @@ class NESSMC2(CombinedSequentialParticleAlgorithm):
             second_kw=ness_kw,
             context=context,
             key=key,
+            **kwargs,
         )
 
     def make_first(self, filter_, context, particles, **kwargs):

@@ -382,6 +382,48 @@ def test_nessmc2_and_smc2fw_recover():
         assert abs(sigma - TRUE_SIGMA) < 0.05, (cls.__name__, post)
 
 
+def test_hybrid_chunked_matches_per_step_triggers():
+    """The hybrid chunked fit (first stage's chunk loop -> handover -> second
+    stage's continuation loop) must fire the second stage's rejuvenations at
+    exactly the per-step loop's iterations. SMC2FW's FixedWidthNESS block
+    schedule is deterministic, so the trigger steps compare exactly across
+    both paths (ESS-gated SMC2 triggers diverge after the first rejuvenation
+    because the key streams do — by design)."""
+    y = simulate(60)
+
+    def run(chunk_size):
+        fired = []
+        with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+            filt = pf.APF(
+                build_model, 30, proposal=proposals.LinearGaussianObservations()
+            )
+            alg = inf.SMC2FW(
+                filt,
+                60,
+                switch=20,
+                ness_kw={"block_len": 10},
+                context=ctx,
+                key=jax.random.PRNGKey(4),
+            )
+            orig = alg._second._do_rejuvenate
+
+            def spy(state):
+                fired.append(int(state.current_iteration))
+                return orig(state)
+
+            alg._second._do_rejuvenate = spy
+            state = alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=chunk_size)
+            w = np.asarray(state.normalized_weights())
+            params = np.asarray(ctx.stack_parameters(True))
+        return fired, w, params
+
+    fired_chunked, w_c, p_c = run(None)  # default chunk (128) exercises padding
+    fired_step, w_s, p_s = run(1)  # the per-step reference-style loop
+    assert fired_chunked == fired_step and len(fired_chunked) > 0
+    assert np.isfinite(w_c).all() and np.isfinite(p_c).all()
+    assert np.isfinite(w_s).all() and np.isfinite(p_s).all()
+
+
 def test_smc2_particle_increase():
     """Few state particles + a forcing acceptance threshold must trigger the
     particle-doubling path (reference test_sequential.py:46-50, mh.py:110-140)."""
