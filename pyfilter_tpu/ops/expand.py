@@ -46,15 +46,20 @@ from ..utils import normalize
 
 __all__ = ["systematic_expand", "systematic_expand_lanes"]
 
-# Output block of B positions reads a window of window_blocks*B sources; work
-# scales as n * window, so the narrow window runs unless its span check
-# fails. GROUP output blocks share one grid step (one VMEM-resident region)
-# to amortize dispatch; DRIFT_BLOCKS of slack absorb the random-walk drift of
-# window starts across a group.
+# Output block of B positions reads a window of `window` sources; work scales
+# as n * window, so the narrow window runs unless its span check fails. GROUP
+# output blocks share one grid step (one VMEM-resident region) to amortize
+# dispatch; DRIFT_BLOCKS of slack absorb the random-walk drift of window
+# starts across a group. Window starts are STRIDE-aligned lower bounds — a
+# coarser stride shrinks the start-finding merge (the dominant prep cost at
+# N=1e6: an 8-stride merge sorted ~141k keys for 2.0 ms/fire; 64-stride
+# sorts ~23k) at the price of up to 2*(STRIDE-8) rows of window slack,
+# absorbed by widening the windows.
 _B = 128
 _GROUP = 32
-_WINDOW_BLOCKS = (2, 4)  # narrow, wide
-_DRIFT_BLOCKS = 4
+_STRIDE = 64
+_WINDOWS = (320, 640)  # rows: narrow, wide (multiples of 8)
+_DRIFT_BLOCKS = 5
 
 # The lane-BLOCKED kernel (small n per lane, many lanes) keeps everything in
 # the package-native (N, lanes) layout: lanes ride the hardware lane axis.
@@ -94,10 +99,14 @@ def _expand_kernel(
 
     rel_ref/s_ref: SMEM (n_groups, GROUP) int32 — window start relative to
     the region / absolute. regions_ref: VMEM (1, region, 2 + D) with columns
-    [cshift, counts, values...]. out_refs: D + 1 separate (GROUP, B)
-    ROW-layout planes — the payloads plus the ancestor-index plane (aligned
-    row stores; a columns-of-(GROUP*B, D+1) layout measured ~1.5 ms of extra
-    slicing per fire at N=1e6).
+    [cshift, counts, values...]. out_refs: D + 1 separate FLAT (GROUP * B,)
+    planes — the payloads plus the ancestor-index plane, written as 128-lane
+    rows at 128-aligned offsets. Flat planes match the caller's particle
+    vector layout exactly: a columns-of-(GROUP*B, D+1) layout measured
+    ~1.5 ms of extra slicing per fire at N=1e6, and (GROUP, B) row planes
+    showed a ~0.94 ms post-kernel relayout copy in the device trace (the
+    end-to-end fire measured the same either way — the copy cost moves,
+    it does not vanish — so flat stays for being the caller's own layout).
     """
     g = pl.program_id(0)
     # blocked mode: the SMEM tables ride in (8, GROUP) blocks shared by 8
@@ -122,10 +131,10 @@ def _expand_kernel(
         hot = c_lo & (~c_hi)
         for col in range(d):
             v = jnp.where(hot, w[:, 2 + col : 3 + col], 0.0)
-            out_refs[col][b, :] = jnp.sum(v, axis=0)
+            out_refs[col][pl.ds(b * _B, _B)] = jnp.sum(v, axis=0)
 
         # ancestor index: idx[i] = S + #{j in window : counts[j] <= i}
-        out_refs[d][b, :] = s_ref[gr, b].astype(jnp.float32) + jnp.sum(
+        out_refs[d][pl.ds(b * _B, _B)] = s_ref[gr, b].astype(jnp.float32) + jnp.sum(
             c_hi.astype(jnp.float32), axis=0
         )
 
@@ -178,8 +187,7 @@ def _expand_pallas(
             _expand_kernel, n_cols=d + 2, window=window, blocked_tables=blocked_tables
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_groups * _GROUP, _B), jnp.float32)
-            for _ in range(d + 1)
+            jax.ShapeDtypeStruct((n_out_pad,), jnp.float32) for _ in range(d + 1)
         ],
         grid=(n_groups,),
         in_specs=table_specs
@@ -188,8 +196,11 @@ def _expand_pallas(
                 (1, region, d + 2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
+        # 1-D output planes in the caller's own layout (the (n_groups*GROUP,
+        # B) row-plane form traced a ~0.94 ms/fire relayout copy at N=1e6;
+        # flat planes measured end-to-end neutral but skip the reshape)
         out_specs=[
-            pl.BlockSpec((_GROUP, _B), lambda g: (g, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((_GROUP * _B,), lambda g: (g,), memory_space=pltpu.VMEM)
             for _ in range(d + 1)
         ],
         # XLA likes to pin the separated output planes in VMEM (they fit);
@@ -201,8 +212,8 @@ def _expand_pallas(
         interpret=interpret,
     )(rel, s_groups, regions)
 
-    planes = [o.reshape(n_out_pad)[:n] for o in outs[:d]]
-    idx = outs[d].reshape(n_out_pad)[:n].astype(jnp.int32)
+    planes = [o[:n] for o in outs[:d]]
+    idx = outs[d][:n].astype(jnp.int32)
     return planes, idx
 
 
@@ -279,26 +290,27 @@ def _expand_from_counts(counts: jax.Array, v2d: jax.Array, interpret: bool):
     n_out_pad = max(gb, ((n + gb - 1) // gb) * gb)
     n_blocks = n_out_pad // _B
 
-    bounds = jnp.arange(n_blocks, dtype=jnp.int32) * _B
-    # Window starts from an 8-strided subsample of block maxima: with
-    # M = #{m : counts[8m+7] <= q}, the exact rank r = #{j : counts[j] <= q}
-    # satisfies 8M <= r < 8M + 8, so 8M IS the 8-aligned window start
-    # (identical to (searchsorted(counts, q) // 8) * 8) and 8M + 8 bounds the
-    # last source from above. One sort-based merge over ~n/8 + n/64 keys
-    # replaces two binary searches over n (20 sequential gather rounds each).
-    sub = counts[7::8]
-    queries = jnp.concatenate([bounds, bounds + (_B - 1)])
-    ranks = jnp.searchsorted(sub, queries, side="right", method="sort").astype(jnp.int32)
-    starts = 8 * ranks[:n_blocks]
-    last_src = 8 * ranks[n_blocks:] + 8  # conservative upper bound
+    bounds = jnp.arange(n_blocks + 1, dtype=jnp.int32) * _B
+    # Window starts from a STRIDE-strided subsample of count boundaries: with
+    # M = #{m : counts[STRIDE*m + STRIDE-1] <= q}, the exact rank
+    # r = #{j : counts[j] <= q} satisfies STRIDE*M <= r < STRIDE*M + STRIDE,
+    # so STRIDE*M is a STRIDE-aligned window start. One sort-based merge over
+    # ~n/STRIDE + n/B keys replaces binary searches over n (20 sequential
+    # gather rounds each). The extra bound at n_blocks*B serves double duty:
+    # ranks are monotone, so block b's last source is bounded above by the
+    # NEXT block's start plus the stride — no second query set needed.
+    sub = counts[_STRIDE - 1 :: _STRIDE]
+    ranks = jnp.searchsorted(sub, bounds, side="right", method="sort").astype(jnp.int32)
+    starts_ext = _STRIDE * ranks
+    starts = starts_ext[:n_blocks]
+    last_src = jnp.minimum(starts_ext[1:] + _STRIDE, n)
     s_groups = starts.reshape(-1, _GROUP)
     r_starts = s_groups[:, 0]
     rel0 = s_groups - r_starts[:, None]
-    valid = bounds < n
+    valid = bounds[:n_blocks] < n
 
-    def make_branch(window_blocks: int):
-        window = window_blocks * _B
-        region = (_GROUP - 1 + window_blocks + _DRIFT_BLOCKS) * _B
+    def make_branch(window: int):
+        region = (_GROUP - 1 + _DRIFT_BLOCKS) * _B + window
         fits = (last_src <= starts + window) & (
             (rel0 + window <= region).reshape(-1)
         )
@@ -312,8 +324,8 @@ def _expand_from_counts(counts: jax.Array, v2d: jax.Array, interpret: bool):
 
         return ok, run
 
-    ok_narrow, run_narrow = make_branch(_WINDOW_BLOCKS[0])
-    ok_wide, run_wide = make_branch(_WINDOW_BLOCKS[1])
+    ok_narrow, run_narrow = make_branch(_WINDOWS[0])
+    ok_wide, run_wide = make_branch(_WINDOWS[1])
 
     def fallback(_):
         idx = _invert_counts(counts)
