@@ -414,6 +414,30 @@ def get_torch_baseline(y):
         return None
 
 
+def _probe_backend(deadline_sec: float = 240.0) -> str | None:
+    """Return an error string when the accelerator backend cannot initialize.
+
+    The TPU tunnel has been observed to WEDGE (device init hangs forever in
+    ``jax.devices()``, see CLAUDE.md). Probing in a subprocess with a deadline
+    turns that hang into an explicit, recorded failure — the benchmark then
+    prints its JSON line with an ``error`` field instead of never returning.
+    Healthy init through the tunnel takes well under a minute."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=deadline_sec,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"backend init did not respond within {deadline_sec:.0f}s (wedged tunnel?)"
+    if proc.returncode != 0:
+        return f"backend init failed: {proc.stderr.strip()[-400:]}"
+    return None
+
+
 def main():
     import argparse
 
@@ -429,6 +453,22 @@ def main():
         "--skip-smc2", action="store_true", help="headline metric only"
     )
     args = parser.parse_args()
+
+    err = _probe_backend()
+    if err is not None:
+        print(f"benchmark aborted: {err}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "sisr_stochvol_particle_steps_per_sec_n1e6",
+                    "value": None,
+                    "unit": "particle-steps/s",
+                    "vs_baseline": None,
+                    "error": err,
+                }
+            )
+        )
+        return
 
     _enable_compile_cache()
     y = _simulate_obs(N_OBS)
