@@ -371,14 +371,21 @@ def _expand_lane_block_kernel(cshift_ref, counts_ref, vals_ref, out_ref, *, d: i
 
     def chunk(c, _):
         tile_hi = counts_ref[pl.ds(c * 8, 8), :]  # aligned (8, LANE) tiles
-        tile_lo = cshift_ref[pl.ds(c * 8, 8), :]
         vtiles = [vals_ref[dd, pl.ds(c * 8, 8), :] for dd in range(d)]
+        # hot_j = (cshift[j] <= i) & ~(counts[j] <= i) and cshift[j] =
+        # counts[j-1], so hot_j = M_{j-1} & ~M_j: the previous row's mask
+        # carries through the unrolled loop and only the chunk's FIRST
+        # boundary needs a cshift load+compare (the fori_loop body cannot
+        # carry the (n_pad, LANE) mask across chunks — wide vector carries
+        # don't legalize — so the boundary row re-derives it)
+        m_prev = cshift_ref[pl.ds(c * 8, 1), :] <= i_grid  # (n_pad, LANE)
         for k in range(8):
             m = tile_hi[k : k + 1, :] <= i_grid  # (n_pad, LANE)
-            hot = (tile_lo[k : k + 1, :] <= i_grid) & (~m)
+            hot = m_prev & (~m)
             out_ref[d] += jnp.where(m, ones, zeros)
             for dd in range(d):
                 out_ref[dd] += jnp.where(hot, vtiles[dd][k : k + 1, :], zeros)
+            m_prev = m
         return 0
 
     jax.lax.fori_loop(0, n_pad // 8, chunk, 0)
