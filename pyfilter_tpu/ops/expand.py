@@ -93,13 +93,18 @@ def _invert_counts(counts: jax.Array) -> jax.Array:
 
 
 def _expand_kernel(
-    rel_ref, s_ref, regions_ref, *out_refs, n_cols: int, window: int, blocked_tables: bool
+    rel_ref, s_ref, c0_ref, regions_ref, *out_refs, n_cols: int, window: int, blocked_tables: bool
 ):
     """One grid step: GROUP output blocks expanded from one VMEM region.
 
-    rel_ref/s_ref: SMEM (n_groups, GROUP) int32 — window start relative to
-    the region / absolute. regions_ref: VMEM (1, region, 2 + D) with columns
-    [cshift, counts, values...]. out_refs: D + 1 separate FLAT (GROUP * B,)
+    rel_ref/s_ref/c0_ref: SMEM (n_groups, GROUP) int32 — window start
+    relative to the region / absolute / the boundary just below the window
+    (``counts[start - 1]``, 0 at start 0). regions_ref: VMEM
+    (1, region, 1 + D) with columns [counts, values...] — NO cshift column:
+    since ``cshift[j] = counts[j-1]``, the lower boundaries are the counts
+    column shifted down one row with ``c0`` filling row 0, an in-register
+    (window, 1) shuffle that spares a full region column of VMEM loads and
+    pre-gather traffic. out_refs: D + 1 separate FLAT (GROUP * B,)
     planes — the payloads plus the ancestor-index plane, written as 128-lane
     rows at 128-aligned offsets. Flat planes match the caller's particle
     vector layout exactly: a columns-of-(GROUP*B, D+1) layout measured
@@ -112,13 +117,13 @@ def _expand_kernel(
     # blocked mode: the SMEM tables ride in (8, GROUP) blocks shared by 8
     # groups; whole-table mode (small n_groups) indexes by g directly
     gr = (g % 8) if blocked_tables else g
-    d = n_cols - 2
+    d = n_cols - 1
     base = (g * _GROUP * _B).astype(jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, _B), 1).astype(jnp.float32)
 
     for b in range(_GROUP):
         rel = pl.multiple_of(rel_ref[gr, b], 8)
-        w = regions_ref[0, pl.ds(rel, window), :]  # (window, 2 + D)
+        w = regions_ref[0, pl.ds(rel, window), :]  # (window, 1 + D)
         i_row = base + (b * _B) + iota  # (1, B) output positions
 
         # one-hot[j, i] = 1{cshift[j] <= i < counts[j]} — difference of steps.
@@ -126,11 +131,15 @@ def _expand_kernel(
         # output lane, so the sum IS the gathered value (bit-exact; also
         # measured faster than per-block MXU dots, whose tiny-N latency
         # dominates at 7812 matmuls per resample).
-        c_lo = w[:, 0:1] <= i_row  # (window, B) bool
-        c_hi = w[:, 1:2] <= i_row
+        ccol = w[:, 0:1]  # (window, 1) counts boundaries
+        clo_col = jnp.concatenate(
+            [jnp.full((1, 1), c0_ref[gr, b], ccol.dtype), ccol[:-1]], axis=0
+        )
+        c_lo = clo_col <= i_row  # (window, B) bool
+        c_hi = ccol <= i_row
         hot = c_lo & (~c_hi)
         for col in range(d):
-            v = jnp.where(hot, w[:, 2 + col : 3 + col], 0.0)
+            v = jnp.where(hot, w[:, 1 + col : 2 + col], 0.0)
             out_refs[col][pl.ds(b * _B, _B)] = jnp.sum(v, axis=0)
 
         # ancestor index: idx[i] = S + #{j in window : counts[j] <= i}
@@ -146,19 +155,26 @@ def _expand_pallas(
     n_src_pad = n + region
 
     counts_f = counts.astype(jnp.float32)
-    cshift_f = jnp.concatenate([jnp.zeros(1, jnp.float32), counts_f[:-1]])
-    win = jnp.concatenate([cshift_f[:, None], counts_f[:, None], v2d], axis=1)
+    win = jnp.concatenate([counts_f[:, None], v2d], axis=1)
     sentinel = jnp.concatenate(
-        [jnp.full((1, 2), float(n), jnp.float32), jnp.zeros((1, d), jnp.float32)],
+        [jnp.full((1, 1), float(n), jnp.float32), jnp.zeros((1, d), jnp.float32)],
         axis=1,
     )
     win = jnp.concatenate(
-        [win, jnp.broadcast_to(sentinel, (n_src_pad - n, d + 2))], axis=0
+        [win, jnp.broadcast_to(sentinel, (n_src_pad - n, d + 1))], axis=0
     )
+
+    # the boundary just below each window (cshift[start] = counts[start-1]):
+    # one tiny gather of n_blocks scalars replaces the region table's whole
+    # cshift column (the kernel re-derives rows 1.. by shifting counts)
+    starts_flat = s_groups.reshape(-1)
+    c0_groups = jnp.where(
+        starts_flat > 0, counts[jnp.maximum(starts_flat - 1, 0)], 0
+    ).reshape(s_groups.shape)
 
     # contiguous-rows pre-gather of each group's region (copy-speed)
     regions = jax.vmap(
-        lambda r: jax.lax.dynamic_slice(win, (r, 0), (region, d + 2))
+        lambda r: jax.lax.dynamic_slice(win, (r, 0), (region, d + 1))
     )(r_starts)
 
     n_groups = n_out_pad // (_GROUP * _B)
@@ -173,18 +189,16 @@ def _expand_pallas(
         if g_pad != n_groups:
             rel = jnp.pad(rel, ((0, g_pad - n_groups), (0, 0)))
             s_groups = jnp.pad(s_groups, ((0, g_pad - n_groups), (0, 0)))
+            c0_groups = jnp.pad(c0_groups, ((0, g_pad - n_groups), (0, 0)))
         table_specs = [
-            pl.BlockSpec((8, _GROUP), lambda g: (g // 8, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, _GROUP), lambda g: (g // 8, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, _GROUP), lambda g: (g // 8, 0), memory_space=pltpu.SMEM)
+            for _ in range(3)
         ]
     else:
-        table_specs = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ]
+        table_specs = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(3)]
     outs = pl.pallas_call(
         functools.partial(
-            _expand_kernel, n_cols=d + 2, window=window, blocked_tables=blocked_tables
+            _expand_kernel, n_cols=d + 1, window=window, blocked_tables=blocked_tables
         ),
         out_shape=[
             jax.ShapeDtypeStruct((n_out_pad,), jnp.float32) for _ in range(d + 1)
@@ -193,7 +207,7 @@ def _expand_pallas(
         in_specs=table_specs
         + [
             pl.BlockSpec(
-                (1, region, d + 2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+                (1, region, d + 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         # 1-D output planes in the caller's own layout (the (n_groups*GROUP,
@@ -210,7 +224,7 @@ def _expand_pallas(
         # limit lets XLA pin ~75 MB of output planes and the compile OOMs.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(rel, s_groups, regions)
+    )(rel, s_groups, c0_groups, regions)
 
     planes = [o[:n] for o in outs[:d]]
     idx = outs[d][:n].astype(jnp.int32)
