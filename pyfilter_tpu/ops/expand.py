@@ -60,6 +60,10 @@ _GROUP = 32
 _STRIDE = 64
 _WINDOWS = (320, 640)  # rows: narrow, wide (multiples of 8)
 _DRIFT_BLOCKS = 5
+# past this many groups the whole-table SMEM layout would overflow the 1 MB
+# SMEM; larger runs swap (8, GROUP) table blocks (tests shrink it to cover
+# the blocked path at interpret-mode-friendly sizes)
+_BLOCKED_MIN_GROUPS = 1024
 
 # The lane-BLOCKED kernel (small n per lane, many lanes) keeps everything in
 # the package-native (N, lanes) layout: lanes ride the hardware lane axis.
@@ -183,7 +187,7 @@ def _expand_pallas(
     # large runs swap (8, GROUP) table blocks shared by 8 consecutive groups
     # (the block shape satisfies the (8, .) tiling rule; the kernel picks the
     # row with program_id % 8)
-    blocked_tables = n_groups > 1024
+    blocked_tables = n_groups > _BLOCKED_MIN_GROUPS
     if blocked_tables:
         g_pad = ((n_groups + 7) // 8) * 8
         if g_pad != n_groups:

@@ -73,6 +73,28 @@ def test_systematic_expand_zero_count_runs(key):
     np.testing.assert_array_equal(np.asarray(out_vals), np.asarray(ref_idx, np.float32))
 
 
+def test_systematic_expand_blocked_tables(key, monkeypatch):
+    """The blocked-SMEM-table regime (real threshold: clouds past ~4M, where
+    whole tables would overflow SMEM) exercised at an interpret-mode-friendly
+    size by shrinking the threshold: 3 groups forces the (8, GROUP) table
+    blocks AND the group-padding path (3 -> 8 rows), still bit-exact."""
+    from pyfilter_tpu.ops import expand
+
+    monkeypatch.setattr(expand, "_BLOCKED_MIN_GROUPS", 1)
+    n = 3 * expand._GROUP * expand._B  # 3 groups -> padded to 8 table rows
+    k_w, k_v, k_u = jax.random.split(key, 3)
+    lw = jax.random.normal(k_w, (n,)) * 2.0
+    vals = jax.random.normal(k_v, (n,))
+    u = jax.random.uniform(k_u, ())
+
+    ref_idx = systematic_counts(None, lw, u=u)
+    out_vals, idx = systematic_expand(None, lw, vals, u=u)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_array_equal(
+        np.asarray(out_vals), np.asarray(vals)[np.asarray(ref_idx)]
+    )
+
+
 @pytest.mark.parametrize("cls", [pf.SISR, pf.APF])
 @pytest.mark.parametrize("batch_shape", [(), (4,)])
 def test_fused_resample_filter_bit_identical(key, cls, batch_shape):
