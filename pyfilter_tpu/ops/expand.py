@@ -409,13 +409,120 @@ def _expand_lane_block_kernel(cshift_ref, counts_ref, vals_ref, out_ref, *, d: i
     jax.lax.fori_loop(0, n_pad // 8, chunk, 0)
 
 
-def _expand_lanes_blocked(counts_nl: jax.Array, planes: jax.Array, interpret: bool):
+def _expand_lane_band_kernel(
+    cshift_ref, counts_ref, vals_ref, lo_ref, out_ref, *, d: int, w_rows: int
+):
+    """Banded variant of the lane-blocked kernel: each 8-output-row tile
+    scans only a ``w_rows`` source window instead of all ``n_pad`` rows.
+
+    The window start ``lo`` (SMEM, per tile x lane-block, 8-aligned) is a
+    lower bound valid for EVERY lane in the block (see :func:`_band_tables`):
+    all sources below ``lo`` have ``counts <= i`` for every output ``i`` in
+    the tile, so the ancestor index is ``lo + #{j in window : counts[j] <= i}``
+    and the one-hot row for each output is inside the window. Work drops
+    from ``n_pad^2`` to ``n_pad * w_rows`` compare rows per lane block.
+    Same exactness argument as :func:`_expand_lane_block_kernel` (one hot
+    row per output, select + add).
+    """
+    n_pad = counts_ref.shape[0]
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 0)
+    ones = jnp.ones((8, _LANE), jnp.float32)
+    zeros = jnp.zeros((8, _LANE), jnp.float32)
+
+    def tile(o, _):
+        lo = pl.multiple_of(lo_ref[o, 0], 8)
+        i_tile = 8 * o + iota8  # (8, LANE) output positions
+        cwin = counts_ref[pl.ds(lo, w_rows), :]  # (w, LANE)
+        vwins = [vals_ref[dd, pl.ds(lo, w_rows), :] for dd in range(d)]
+        m_prev = cshift_ref[pl.ds(lo, 1), :] <= i_tile  # counts[lo-1] <= i
+        idx_acc = zeros
+        val_accs = [zeros] * d
+        for k in range(w_rows):
+            m = cwin[k : k + 1, :] <= i_tile  # (8, LANE)
+            hot = m_prev & (~m)
+            idx_acc = idx_acc + jnp.where(m, ones, zeros)
+            for dd in range(d):
+                val_accs[dd] = val_accs[dd] + jnp.where(
+                    hot, vwins[dd][k : k + 1, :], zeros
+                )
+            m_prev = m
+        out_ref[d, pl.ds(pl.multiple_of(o * 8, 8), 8), :] = (
+            lo.astype(jnp.float32) + idx_acc
+        )
+        for dd in range(d):
+            out_ref[dd, pl.ds(pl.multiple_of(o * 8, 8), 8), :] = val_accs[dd]
+        return 0
+
+    jax.lax.fori_loop(0, n_pad // 8, tile, 0)
+
+
+def _band_tables(counts_f: jax.Array, n: int, w_rows: int):
+    """Source-window starts for the banded kernel + a global fit flag.
+
+    ``counts_f``: (n_pad, l_pad) int32 boundaries, lane-padded by EDGE
+    replication (zero-padded lanes would poison the per-block minima).
+    For output tile ``o`` (rows ``8o..8o+7``) and 128-lane block ``g``:
+
+    - start: ``lo = 8 * #{m : cmax[8m+7, g] <= 8o}`` where ``cmax`` is the
+      per-block lane max — every row below ``lo`` has ``counts <= 8o`` in
+      every lane (the STRIDE-subsample rank bound, per-lane-block).
+    - fit: every row at/after ``lo + w`` must exceed ``min(8o+7, n-1)`` in
+      every lane — checked on the per-block lane min with an ``n+1``
+      sentinel row (rows past ``n_pad`` do not exist).
+
+    ``lo`` is clamped to ``n_pad - w`` so the kernel's window load stays in
+    bounds; the clamp only moves the window DOWN (rows below the original
+    ``lo`` already satisfy ``counts <= i``), and it can only fire when
+    ``lo + w`` would overrun ``n_pad``, where no excluded upper rows exist.
+    Returns ``(lo (n_tiles, n_blocks) int32, ok scalar bool)``."""
+    n_pad, l_pad = counts_f.shape
+    nb = l_pad // _LANE
+    cb = counts_f.reshape(n_pad, nb, _LANE)
+    cmax = cb.max(axis=2)  # (n_pad, nb)
+    cmin = cb.min(axis=2)
+    n_tiles = n_pad // 8
+
+    q = 8 * jnp.arange(n_tiles, dtype=jnp.int32)  # tile-min output positions
+    sub = cmax[7::8]  # (n_tiles, nb) stride-8 subsample of block maxima
+    lo = 8 * jnp.sum(
+        (sub[None, :, :] <= q[:, None, None]).astype(jnp.int32), axis=1
+    )  # (n_tiles, nb)
+
+    sentinel = jnp.full((1, nb), n + 1, cmin.dtype)
+    cmin_s = jnp.concatenate([cmin, sentinel], axis=0)
+    probe = jnp.take_along_axis(cmin_s, jnp.minimum(lo + w_rows, n_pad), axis=0)
+    qmax = jnp.minimum(q + 7, n - 1)[:, None]
+    ok = jnp.all(probe > qmax)
+
+    lo = jnp.minimum(lo, n_pad - w_rows)
+    return lo, ok
+
+
+# Source-window tiers for the banded lane kernel (rows; multiples of 8).
+_BAND_WINDOWS = (64, 128)
+# Default routing for the banded tiers: OFF until validated on hardware —
+# interpret-mode tests prove bit-exactness, but Mosaic legalization of the
+# traced-offset tile stores has not run on a real chip yet (the tunnel was
+# down when this landed). Flip after a hardware A/B; callers can force it
+# per call via ``systematic_expand_lanes(..., banded=True)``.
+_BANDED_LANES_DEFAULT = False
+
+
+def _expand_lanes_blocked(
+    counts_nl: jax.Array, planes: jax.Array, interpret: bool, banded: bool = None
+):
     """Lane-blocked expansion: ``counts_nl`` (n, L) per-lane copy-count
     boundaries, ``planes`` (d, n, L) value planes. Returns ((d, n, L)
-    expanded planes, (n, L) int32 ancestor indices)."""
+    expanded planes, (n, L) int32 ancestor indices).
+
+    ``banded``: route through the windowed-source tiers when their span
+    checks pass (default: :data:`_BANDED_LANES_DEFAULT`); the full-scan
+    kernel remains the universal fallback."""
     d, n, n_lanes = planes.shape
     n_pad = ((n + 7) // 8) * 8
     l_pad = ((n_lanes + _LANE - 1) // _LANE) * _LANE
+    if banded is None:
+        banded = _BANDED_LANES_DEFAULT
 
     counts_f = counts_nl.astype(jnp.int32)
     if n_pad != n:
@@ -427,29 +534,73 @@ def _expand_lanes_blocked(counts_nl: jax.Array, planes: jax.Array, interpret: bo
             [planes, jnp.zeros((d, n_pad - n, n_lanes), jnp.float32)], axis=1
         )
     if l_pad != n_lanes:
-        counts_f = jnp.pad(counts_f, ((0, 0), (0, l_pad - n_lanes)))
+        # EDGE-replicate pad lanes (their outputs are sliced off either way,
+        # but zero-pad would poison the banded prep's per-block lane minima)
+        counts_f = jnp.pad(counts_f, ((0, 0), (0, l_pad - n_lanes)), mode="edge")
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, l_pad - n_lanes)))
 
     cshift = jnp.concatenate(
         [jnp.zeros((1, l_pad), jnp.int32), counts_f[:-1]], axis=0
     )
 
-    out = pl.pallas_call(
-        functools.partial(_expand_lane_block_kernel, d=d),
-        out_shape=jax.ShapeDtypeStruct((d + 1, n_pad, l_pad), jnp.float32),
-        grid=(l_pad // _LANE,),
-        in_specs=[
-            pl.BlockSpec((n_pad, _LANE), lambda g: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, _LANE), lambda g: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (d, n_pad, _LANE), lambda g: (0, 0, g), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (d + 1, n_pad, _LANE), lambda g: (0, 0, g), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(cshift, counts_f, planes)
+    out_shape = jax.ShapeDtypeStruct((d + 1, n_pad, l_pad), jnp.float32)
+    table_in_specs = [
+        pl.BlockSpec((n_pad, _LANE), lambda g: (0, g), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_pad, _LANE), lambda g: (0, g), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, n_pad, _LANE), lambda g: (0, 0, g), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec(
+        (d + 1, n_pad, _LANE), lambda g: (0, 0, g), memory_space=pltpu.VMEM
+    )
+
+    def run_full(_):
+        return pl.pallas_call(
+            functools.partial(_expand_lane_block_kernel, d=d),
+            out_shape=out_shape,
+            grid=(l_pad // _LANE,),
+            in_specs=table_in_specs,
+            out_specs=out_spec,
+            interpret=interpret,
+        )(cshift, counts_f, planes)
+
+    if banded and n_pad >= _BAND_WINDOWS[0]:
+        n_tiles = n_pad // 8
+
+        def make_band_branch(w_rows: int):
+            lo, ok = _band_tables(counts_f, n, w_rows)
+
+            def run(_):
+                return pl.pallas_call(
+                    functools.partial(
+                        _expand_lane_band_kernel, d=d, w_rows=w_rows
+                    ),
+                    out_shape=out_shape,
+                    grid=(l_pad // _LANE,),
+                    in_specs=table_in_specs
+                    + [
+                        pl.BlockSpec(
+                            (n_tiles, 1), lambda g: (0, g), memory_space=pltpu.SMEM
+                        ),
+                    ],
+                    out_specs=out_spec,
+                    interpret=interpret,
+                )(cshift, counts_f, planes, lo)
+
+            return ok, run
+
+        ok_n, run_n = make_band_branch(_BAND_WINDOWS[0])
+        if n_pad >= _BAND_WINDOWS[1]:
+            ok_w, run_w = make_band_branch(_BAND_WINDOWS[1])
+            out = jax.lax.cond(
+                ok_n,
+                run_n,
+                lambda op: jax.lax.cond(ok_w, run_w, run_full, op),
+                None,
+            )
+        else:
+            out = jax.lax.cond(ok_n, run_n, run_full, None)
+    else:
+        out = run_full(None)
 
     vals = out[:d, :n, :n_lanes]
     idx = out[d, :n, :n_lanes].astype(jnp.int32)
@@ -468,6 +619,7 @@ def systematic_expand_lanes(
     normalized: bool = False,
     u: jax.Array | None = None,
     interpret: bool | None = None,
+    banded: bool | None = None,
 ):
     """Lane-batched fused systematic resample + gather.
 
@@ -539,7 +691,9 @@ def systematic_expand_lanes(
             ],
             axis=0,
         )  # (d, n, L)
-        out_planes, idx_nl = _expand_lanes_blocked(counts_nl, planes, interpret)
+        out_planes, idx_nl = _expand_lanes_blocked(
+            counts_nl, planes, interpret, banded=banded
+        )
         idx = idx_nl.reshape((n, *batch_shape))
         outs = []
         col = 0

@@ -148,6 +148,57 @@ def test_systematic_expand_lanes_matches_counts_resampler(key, n, batch):
     )
 
 
+@pytest.mark.parametrize(
+    "n,batch,scale",
+    [
+        (400, (16,), 1.0),   # healthy weights -> narrow band tier
+        (400, (200,), 1.0),  # multi-lane-block tables
+        (257, (5,), 1.0),    # padded sources AND lanes (edge-replicated)
+        (400, (16,), 6.0),   # skewed weights -> wide band / full fallback
+        (72, (16,), 1.0),    # n_pad barely above the narrow window
+        (40, (16,), 1.0),    # n_pad below every window -> full kernel only
+    ],
+)
+def test_systematic_expand_lanes_banded(key, n, batch, scale):
+    """The banded lane kernel (windowed source scan per output tile) must be
+    bit-identical to counts inversion across band tiers and fallbacks."""
+    from pyfilter_tpu.ops import systematic_expand_lanes
+
+    k_w, k_v, k_u = jax.random.split(key, 3)
+    lw = jax.random.normal(k_w, (n, *batch)) * scale
+    vals = jax.random.normal(k_v, (n, *batch))
+    u = jax.random.uniform(k_u, batch)
+    ref_idx = systematic_counts(None, lw, u=u)
+    out_vals, idx = systematic_expand_lanes(None, lw, vals, u=u, banded=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_array_equal(
+        np.asarray(out_vals), np.asarray(batched_gather(vals, ref_idx, 0))
+    )
+
+
+def test_band_tables_flags(key):
+    """The band fit flag must accept healthy per-lane profiles and reject a
+    degenerate lane whose spans exceed the window."""
+    from pyfilter_tpu.ops import expand
+
+    n, lanes = 400, 128
+    # healthy: near-uniform weights -> counts ~ diagonal, tiny spans
+    lw = jax.random.normal(key, (n, lanes)) * 0.1
+    probs = jax.nn.softmax(lw, axis=0)
+    cum = jnp.cumsum(probs, axis=0).at[-1].set(1.0)
+    counts = jnp.clip(jnp.ceil(n * cum - 0.5), 0, n).astype(jnp.int32).at[-1].set(n)
+    _, ok = expand._band_tables(counts, n, expand._BAND_WINDOWS[0])
+    assert bool(ok)
+
+    # one degenerate lane: all mass on particle 0 -> a full-length zero run
+    lw_bad = lw.at[:, 7].set(-jnp.inf).at[0, 7].set(0.0)
+    probs = jax.nn.softmax(lw_bad, axis=0)
+    cum = jnp.cumsum(probs, axis=0).at[-1].set(1.0)
+    counts = jnp.clip(jnp.ceil(n * cum - 0.5), 0, n).astype(jnp.int32).at[-1].set(n)
+    _, ok_bad = expand._band_tables(counts, n, expand._BAND_WINDOWS[1])
+    assert not bool(ok_bad)
+
+
 def test_systematic_expand_u_one_edge(key):
     """``jax.random.uniform`` can round to exactly 1.0 in f32; the last
     copy-count boundary must stay pinned to n or the final output position
