@@ -37,6 +37,18 @@ class Bijector:
         """log |d forward / dx| evaluated elementwise at ``x`` (``y = forward(x)``)."""
         raise NotImplementedError
 
+    def inverse_and_ladj(self, y):
+        """``(inverse(y), log_abs_det_jacobian(inverse(y), y))`` in one pass.
+
+        The density hot path (``TransformedDistribution.log_prob``) needs
+        both; transforms whose jacobian shares intermediates with the
+        inverse override this to skip the recomputation (SinhArcsinh's
+        ``asinh`` chain, Chain's full re-forward of every part — the
+        observation-density hot spot of the stochastic-volatility workload,
+        reference stochastic-volatility.ipynb)."""
+        x = self.inverse(y)
+        return x, self.log_abs_det_jacobian(x, y)
+
     @property
     def inv(self) -> "Bijector":
         return _Inverse(self)
@@ -252,6 +264,17 @@ class SinhArcsinh(Bijector):
         inner = (_asinh(x) + self.skew) * t
         return jnp.log(t) + _log_cosh(inner) - 0.5 * jnp.log1p(jnp.square(x))
 
+    def inverse_and_ladj(self, y):
+        # (asinh(x) + skew) * tailweight == asinh(y) when x = inverse(y), so
+        # the jacobian's inner argument is the inverse's own intermediate:
+        # one asinh chain serves both (and skips the round-trip error of
+        # asinh(sinh(.)))
+        t = jnp.asarray(self.tailweight, jnp.result_type(y))
+        u = _asinh(y)
+        x = _sinh(u / t - self.skew)
+        ladj = jnp.log(t) + _log_cosh(u) - 0.5 * jnp.log1p(jnp.square(x))
+        return x, ladj
+
     def tree_flatten(self):
         return (self.skew, self.tailweight), None
 
@@ -284,6 +307,20 @@ class Chain(Bijector):
             total = total + p.log_abs_det_jacobian(x, x_next)
             x = x_next
         return total
+
+    def inverse_and_ladj(self, y):
+        # chain rule: walk the parts backwards, each contributing its own
+        # jacobian at its own input — no re-forward of every intermediate
+        # (the default path forwards the whole chain again)
+        total = None
+        for p in reversed(self.parts):
+            y, ladj = p.inverse_and_ladj(y)
+            total = ladj if total is None else total + ladj
+        if total is None:
+            total = jnp.zeros_like(jnp.asarray(y, jnp.result_type(y, 0.0)))
+        # per-element contract (the caller sums event dims): a part with a
+        # data-independent jacobian may return a sub-broadcast ladj
+        return y, jnp.broadcast_to(total, jnp.shape(y))
 
     def tree_flatten(self):
         return (self.parts,), None

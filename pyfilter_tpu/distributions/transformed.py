@@ -47,8 +47,10 @@ class TransformedDistribution(Distribution):
         return self.bijector.forward(x)
 
     def log_prob(self, value):
-        x = self.bijector.inverse(value)
-        ladj = self.bijector.log_abs_det_jacobian(x, value)
+        # fused inverse + jacobian: transforms like SinhArcsinh share the
+        # asinh chain between the two, and Chain skips a full re-forward of
+        # every intermediate (the observation-density hot path)
+        x, ladj = self.bijector.inverse_and_ladj(value)
         # An elementwise bijector (event_dim 0) applied to a base with event rank k
         # produces a per-element ladj that must be summed over all k event dims.
         n_sum = len(self.event_shape) - self.bijector.event_dim

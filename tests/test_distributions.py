@@ -134,6 +134,40 @@ def test_bijector_roundtrip_and_jacobian(bij, low, high):
     np.testing.assert_allclose(ladj, np.log(np.abs(num)), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "bij,low,high",
+    [
+        (bijectors.Exp(), 0.1, 4.0),
+        (bijectors.Affine(1.5, -2.0), -2.0, 2.0),
+        (bijectors.SinhArcsinh(0.5, 1.3), -4.0, 4.0),
+        (
+            bijectors.Chain(
+                [bijectors.SinhArcsinh(0.2, 0.9), bijectors.Affine(0.3, 1.7)]
+            ),
+            -4.0,
+            4.0,
+        ),
+        (bijectors.Chain([bijectors.Affine(0.0, 2.0), bijectors.Sigmoid()]), 0.05, 0.95),
+    ],
+)
+def test_inverse_and_ladj_matches_unfused(bij, low, high):
+    """The fused inverse+jacobian (the log_prob hot path) must agree with
+    the separate inverse / log_abs_det_jacobian calls (the SinhArcsinh
+    override reuses asinh(y) as the jacobian's inner argument — identical in
+    exact arithmetic, tighter in floats, hence allclose not array_equal)."""
+    y = jnp.linspace(low, high, 31)
+    x_ref = bij.inverse(y)
+    ladj_ref = bij.log_abs_det_jacobian(x_ref, y)
+    x, ladj = bij.inverse_and_ladj(y)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ladj),
+        np.asarray(jnp.broadcast_to(ladj_ref, y.shape)),
+        rtol=2e-5,
+        atol=1e-6,
+    )
+
+
 def test_biject_to():
     assert isinstance(dist.biject_to(constraints.real), bijectors.Identity)
     assert isinstance(dist.biject_to(constraints.positive), bijectors.Exp)
