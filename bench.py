@@ -40,6 +40,7 @@ KAPPA, GAMMA, SIGMA = 0.1, 1.0, 0.05
 MU, NU, TAU = 0.0, 0.0, 1.0
 
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_torch_baseline.json")
+_LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_last_good.json")
 
 
 def _enable_compile_cache():
@@ -457,17 +458,19 @@ def main():
     err = _probe_backend()
     if err is not None:
         print(f"benchmark aborted: {err}", file=sys.stderr)
-        print(
-            json.dumps(
-                {
-                    "metric": "sisr_stochvol_particle_steps_per_sec_n1e6",
-                    "value": None,
-                    "unit": "particle-steps/s",
-                    "vs_baseline": None,
-                    "error": err,
-                }
-            )
-        )
+        record = {
+            "metric": "sisr_stochvol_particle_steps_per_sec_n1e6",
+            "value": None,
+            "unit": "particle-steps/s",
+            "vs_baseline": None,
+            "error": err,
+        }
+        if os.path.exists(_LAST_GOOD):
+            # context, clearly labeled: the most recent SUCCESSFUL run's
+            # numbers (this run measured nothing)
+            with open(_LAST_GOOD) as f:
+                record["last_successful_run"] = json.load(f)
+        print(json.dumps(record))
         return
 
     _enable_compile_cache()
@@ -503,17 +506,27 @@ def main():
                 }
             ]
 
-    print(
-        json.dumps(
-            {
-                "metric": "sisr_stochvol_particle_steps_per_sec_n1e6",
-                "value": value,
-                "unit": "particle-steps/s",
-                "vs_baseline": vs_baseline,
-                "extra_metrics": smc2_extra,
-            }
-        )
-    )
+    record = {
+        "metric": "sisr_stochvol_particle_steps_per_sec_n1e6",
+        "value": value,
+        "unit": "particle-steps/s",
+        "vs_baseline": vs_baseline,
+        "extra_metrics": smc2_extra,
+    }
+    try:
+        import subprocess
+        import time as _time
+
+        rev = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        with open(_LAST_GOOD, "w") as f:
+            json.dump({**record, "measured_at_commit": rev, "ts": _time.time()}, f)
+    except Exception:
+        pass  # last-good is best-effort context, never a bench failure
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
