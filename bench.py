@@ -425,9 +425,18 @@ def _probe_backend(deadline_sec: float = 240.0) -> str | None:
     Healthy init through the tunnel takes well under a minute."""
     import subprocess
 
+    probe_src = (
+        "import os, jax\n"
+        # the axon plugin ignores the JAX_PLATFORMS env var; apply it through
+        # the config knob so a CPU-forced run probes the CPU backend (under
+        # axon the env var is 'axon' and this is the default behavior)
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "jax.config.update('jax_platforms', p) if p else None\n"
+        "jax.devices()\n"
+    )
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", probe_src],
             timeout=deadline_sec,
             capture_output=True,
             text=True,
@@ -473,10 +482,34 @@ def main():
         print(json.dumps(record))
         return
 
+    # honor an explicit non-axon JAX_PLATFORMS (e.g. cpu smoke runs): the
+    # axon plugin ignores the env var, only the config knob works
+    platform = os.environ.get("JAX_PLATFORMS", "")
+    if platform and platform != "axon":
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     _enable_compile_cache()
     y = _simulate_obs(N_OBS)
     baseline = get_torch_baseline(y)
-    value, _ll = bench_jax(y, profile_dir=args.profile)
+    try:
+        value, _ll = bench_jax(y, profile_dir=args.profile)
+    except Exception as exc:  # record the failure; a bare traceback leaves
+        # the driver with no JSON line at all
+        print(f"headline benchmark FAILED: {exc!r}", file=sys.stderr)
+        record = {
+            "metric": "sisr_stochvol_particle_steps_per_sec_n1e6",
+            "value": None,
+            "unit": "particle-steps/s",
+            "vs_baseline": None,
+            "error": repr(exc)[:800],
+        }
+        if os.path.exists(_LAST_GOOD):
+            with open(_LAST_GOOD) as f:
+                record["last_successful_run"] = json.load(f)
+        print(json.dumps(record))
+        return
     vs_baseline = (value / baseline) if baseline else None
 
     smc2_extra = []
@@ -517,13 +550,18 @@ def main():
         import subprocess
         import time as _time
 
-        rev = subprocess.run(
-            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse", "--short", "HEAD"],
-            capture_output=True,
-            text=True,
-        ).stdout.strip()
-        with open(_LAST_GOOD, "w") as f:
-            json.dump({**record, "measured_at_commit": rev, "ts": _time.time()}, f)
+        import jax
+
+        # only a real accelerator run is worth remembering — a CPU smoke run
+        # would replace the TPU context with meaningless numbers
+        if jax.default_backend() != "cpu":
+            rev = subprocess.run(
+                ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+            ).stdout.strip()
+            with open(_LAST_GOOD, "w") as f:
+                json.dump({**record, "measured_at_commit": rev, "ts": _time.time()}, f)
     except Exception:
         pass  # last-good is best-effort context, never a bench failure
     print(json.dumps(record))
