@@ -3,13 +3,14 @@
 Measures per-obs cost of batch_filter_masked at full T=256 bucket, and
 optionally wraps a run in a jax.profiler trace (--trace DIR).
 """
-import sys, time
-sys.path.insert(0, "/root/repo")
+import os, sys, time
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _repo)
 import jax, jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_default_prng_impl", "rbg")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_bench_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(_repo, ".jax_bench_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pyfilter_tpu as pf
