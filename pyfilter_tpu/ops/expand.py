@@ -58,8 +58,14 @@ __all__ = ["systematic_expand", "systematic_expand_lanes"]
 _B = 128
 _GROUP = 32
 _STRIDE = 64
-_WINDOWS = (320, 640)  # rows: narrow, wide (multiples of 8)
+# window tiers, narrowest first (rows, multiples of 8): gate-regime spans at
+# N=1e6 measure ~136 + up to 2*(STRIDE-8) rank slack < 256, so the 256 tier
+# carries the common case; 320/640 absorb degenerate weight profiles before
+# the XLA fallback
+_WINDOWS = (256, 320, 640)
 _DRIFT_BLOCKS = 5
+# lane chunk of the in-kernel region transpose; regions round up to it
+_TCHUNK = 1024
 # past this many groups the whole-table SMEM layout would overflow the 1 MB
 # SMEM; larger runs swap (8, GROUP) table blocks (tests shrink it to cover
 # the blocked path at interpret-mode-friendly sizes)
@@ -97,26 +103,53 @@ def _invert_counts(counts: jax.Array) -> jax.Array:
 
 
 def _expand_kernel(
-    rel_ref, s_ref, c0_ref, regions_ref, *out_refs, n_cols: int, window: int, blocked_tables: bool
+    rstart_ref,
+    rel_ref,
+    s_ref,
+    c0_ref,
+    win_ref,
+    *refs,
+    n_cols: int,
+    window: int,
+    region: int,
+    blocked_tables: bool,
 ):
-    """One grid step: GROUP output blocks expanded from one VMEM region.
+    """One grid step: GROUP output blocks expanded from one pipelined region.
+
+    rstart_ref: the scalar-prefetch operand — (n_groups,) int32 absolute
+    region starts, consumed by the region input's ELEMENT-OFFSET index map:
+    the pipeline itself DMAs each group's region out of the DENSE
+    plane-major source table, double-buffered behind the compute. Layout is
+    the whole game here (all measured at N=1e6): an XLA ``vmap`` of 245
+    ``dynamic_slice`` ops paid ~5.5 us fixed cost per slice (~0.94 ms); a
+    row-major (n, 1 + D) pallas operand gets forced into Mosaic's 128-lane
+    tiling, which costs a ~0.78 ms relayout copy of a 32x-padded buffer
+    AND 32x the region DMA traffic. The (1 + D, n) plane-major operand is
+    dense in both HBM and the pipeline fetch.
+
+    win_ref: the fetched (1 + D, region) block with rows [counts,
+    values...] — NO cshift row: since ``cshift[j] = counts[j-1]``, the
+    lower boundaries are the counts column shifted down one row with ``c0``
+    filling row 0. The kernel first transposes the block chunk-wise into a
+    (region, 1 + D) VMEM scratch (measured ~0.25 ms/fire) because the
+    window math wants sources on SUBLANES; thereafter each output block
+    reads its (window, 1 + D) slice from scratch.
 
     rel_ref/s_ref/c0_ref: SMEM (n_groups, GROUP) int32 — window start
     relative to the region / absolute / the boundary just below the window
-    (``counts[start - 1]``, 0 at start 0). regions_ref: VMEM
-    (1, region, 1 + D) with columns [counts, values...] — NO cshift column:
-    since ``cshift[j] = counts[j-1]``, the lower boundaries are the counts
-    column shifted down one row with ``c0`` filling row 0, an in-register
-    (window, 1) shuffle that spares a full region column of VMEM loads and
-    pre-gather traffic. out_refs: D + 1 separate FLAT (GROUP * B,)
-    planes — the payloads plus the ancestor-index plane, written as 128-lane
-    rows at 128-aligned offsets. Flat planes match the caller's particle
-    vector layout exactly: a columns-of-(GROUP*B, D+1) layout measured
-    ~1.5 ms of extra slicing per fire at N=1e6, and (GROUP, B) row planes
-    showed a ~0.94 ms post-kernel relayout copy in the device trace (the
-    end-to-end fire measured the same either way — the copy cost moves,
-    it does not vanish — so flat stays for being the caller's own layout).
+    (``counts[start - 1]``, 0 at start 0).
+
+    out_refs: D + 1 separate FLAT (GROUP * B,) planes — the payloads plus
+    the ancestor-index plane, written as 128-lane rows at 128-aligned
+    offsets. Flat planes match the caller's particle vector layout exactly:
+    a columns-of-(GROUP*B, D+1) layout measured ~1.5 ms of extra slicing
+    per fire at N=1e6, and (GROUP, B) row planes showed a ~0.94 ms
+    post-kernel relayout copy in the device trace (the end-to-end fire
+    measured the same either way — the copy cost moves, it does not vanish
+    — so flat stays for being the caller's own layout).
     """
+    out_refs = refs[:-1]
+    scratch = refs[-1]
     g = pl.program_id(0)
     # blocked mode: the SMEM tables ride in (8, GROUP) blocks shared by 8
     # groups; whole-table mode (small n_groups) indexes by g directly
@@ -125,9 +158,15 @@ def _expand_kernel(
     base = (g * _GROUP * _B).astype(jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, _B), 1).astype(jnp.float32)
 
+    # per-group chunked transpose of the dense block into sublane-major form
+    for t in range(region // _TCHUNK):
+        scratch[pl.ds(t * _TCHUNK, _TCHUNK), :] = win_ref[
+            :, pl.ds(t * _TCHUNK, _TCHUNK)
+        ].T
+
     for b in range(_GROUP):
         rel = pl.multiple_of(rel_ref[gr, b], 8)
-        w = regions_ref[0, pl.ds(rel, window), :]  # (window, 1 + D)
+        w = scratch[pl.ds(rel, window), :]  # (window, 1 + D)
         i_row = base + (b * _B) + iota  # (1, B) output positions
 
         # one-hot[j, i] = 1{cshift[j] <= i < counts[j]} — difference of steps.
@@ -155,18 +194,20 @@ def _expand_kernel(
 def _expand_pallas(
     counts, v2d, rel, s_groups, r_starts, n_out_pad, region, window, interpret
 ):
-    n, d = v2d.shape
+    # v2d is PLANE-MAJOR (d, n): dense minor dim for the pipeline fetch
+    d, n = v2d.shape
     n_src_pad = n + region
 
     counts_f = counts.astype(jnp.float32)
-    win = jnp.concatenate([counts_f[:, None], v2d], axis=1)
-    sentinel = jnp.concatenate(
-        [jnp.full((1, 1), float(n), jnp.float32), jnp.zeros((1, d), jnp.float32)],
-        axis=1,
+    win = jnp.concatenate([counts_f[None, :], v2d], axis=0)  # (1 + d, n)
+    pad = jnp.concatenate(
+        [
+            jnp.full((1, n_src_pad - n), float(n), jnp.float32),
+            jnp.zeros((d, n_src_pad - n), jnp.float32),
+        ],
+        axis=0,
     )
-    win = jnp.concatenate(
-        [win, jnp.broadcast_to(sentinel, (n_src_pad - n, d + 1))], axis=0
-    )
+    win = jnp.concatenate([win, pad], axis=1)  # (1 + d, n_src_pad)
 
     # the boundary just below each window (cshift[start] = counts[start-1]):
     # one tiny gather of n_blocks scalars replaces the region table's whole
@@ -175,11 +216,6 @@ def _expand_pallas(
     c0_groups = jnp.where(
         starts_flat > 0, counts[jnp.maximum(starts_flat - 1, 0)], 0
     ).reshape(s_groups.shape)
-
-    # contiguous-rows pre-gather of each group's region (copy-speed)
-    regions = jax.vmap(
-        lambda r: jax.lax.dynamic_slice(win, (r, 0), (region, d + 1))
-    )(r_starts)
 
     n_groups = n_out_pad // (_GROUP * _B)
     # whole tables in SMEM while they fit (fastest); past ~1024 groups the
@@ -195,32 +231,50 @@ def _expand_pallas(
             s_groups = jnp.pad(s_groups, ((0, g_pad - n_groups), (0, 0)))
             c0_groups = jnp.pad(c0_groups, ((0, g_pad - n_groups), (0, 0)))
         table_specs = [
-            pl.BlockSpec((8, _GROUP), lambda g: (g // 8, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec(
+                (8, _GROUP), lambda g, rs: (g // 8, 0), memory_space=pltpu.SMEM
+            )
             for _ in range(3)
         ]
     else:
         table_specs = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(3)]
-    outs = pl.pallas_call(
-        functools.partial(
-            _expand_kernel, n_cols=d + 1, window=window, blocked_tables=blocked_tables
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((n_out_pad,), jnp.float32) for _ in range(d + 1)
-        ],
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        # r_starts rides as the scalar-prefetch operand: the region input's
+        # ELEMENT-offset index map reads it, so the pipeline DMAs each
+        # group's region straight out of the dense source table —
+        # double-buffered behind the compute, no XLA pre-gather
+        num_scalar_prefetch=1,
         grid=(n_groups,),
         in_specs=table_specs
         + [
             pl.BlockSpec(
-                (1, region, d + 1), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+                (pl.Element(d + 1), pl.Element(region)),
+                # starts are floored to 128; the hint proves the lane-tiling
+                # divisibility Mosaic requires for element offsets
+                lambda g, rs: (0, pl.multiple_of(rs[g], 128)),
             ),
         ],
         # 1-D output planes in the caller's own layout (the (n_groups*GROUP,
         # B) row-plane form traced a ~0.94 ms/fire relayout copy at N=1e6;
         # flat planes measured end-to-end neutral but skip the reshape)
         out_specs=[
-            pl.BlockSpec((_GROUP * _B,), lambda g: (g,), memory_space=pltpu.VMEM)
+            pl.BlockSpec((_GROUP * _B,), lambda g, rs: (g,), memory_space=pltpu.VMEM)
             for _ in range(d + 1)
         ],
+        scratch_shapes=[pltpu.VMEM((region, d + 1), jnp.float32)],
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _expand_kernel,
+            n_cols=d + 1,
+            window=window,
+            region=region,
+            blocked_tables=blocked_tables,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_out_pad,), jnp.float32) for _ in range(d + 1)
+        ],
+        grid_spec=grid_spec,
         # XLA likes to pin the separated output planes in VMEM (they fit);
         # allow it — the default 16 MB scoped limit rejects the N=1e6
         # combination even though the chip has plenty. 48 MB, not higher: at
@@ -228,7 +282,7 @@ def _expand_pallas(
         # limit lets XLA pin ~75 MB of output planes and the compile OOMs.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(rel, s_groups, c0_groups, regions)
+    )(r_starts, rel, s_groups, c0_groups, win)
 
     planes = [o[:n] for o in outs[:d]]
     idx = outs[d][:n].astype(jnp.int32)
@@ -266,8 +320,10 @@ def systematic_expand(
     single = not isinstance(values, (tuple, list))
     vals_in = (values,) if single else tuple(values)
     shapes = [v.shape for v in vals_in]
+    # plane-major (d, n): free for scalar-event values, and the dense minor
+    # dim keeps the pallas operand out of Mosaic's 128-lane padding
     v2d = jnp.concatenate(
-        [jnp.asarray(v, jnp.float32).reshape(n, -1) for v in vals_in], axis=1
+        [jnp.asarray(v, jnp.float32).reshape(n, -1).T for v in vals_in], axis=0
     )
 
     if u is None:
@@ -323,12 +379,16 @@ def _expand_from_counts(counts: jax.Array, v2d: jax.Array, interpret: bool):
     starts = starts_ext[:n_blocks]
     last_src = jnp.minimum(starts_ext[1:] + _STRIDE, n)
     s_groups = starts.reshape(-1, _GROUP)
-    r_starts = s_groups[:, 0]
+    # floor region starts to 128 for the dense lane-dim element offset; the
+    # <=64 extra relative offset rides inside the DRIFT slack
+    r_starts = (s_groups[:, 0] // 128) * 128
     rel0 = s_groups - r_starts[:, None]
     valid = bounds[:n_blocks] < n
 
     def make_branch(window: int):
-        region = (_GROUP - 1 + _DRIFT_BLOCKS) * _B + window
+        region0 = (_GROUP - 1 + _DRIFT_BLOCKS) * _B + window
+        # round the region up to the transpose chunk
+        region = ((region0 + _TCHUNK - 1) // _TCHUNK) * _TCHUNK
         fits = (last_src <= starts + window) & (
             (rel0 + window <= region).reshape(-1)
         )
@@ -342,20 +402,21 @@ def _expand_from_counts(counts: jax.Array, v2d: jax.Array, interpret: bool):
 
         return ok, run
 
-    ok_narrow, run_narrow = make_branch(_WINDOWS[0])
-    ok_wide, run_wide = make_branch(_WINDOWS[1])
-
     def fallback(_):
         idx = _invert_counts(counts)
-        taken = jnp.take(v2d, idx, axis=0)
-        return [taken[:, i] for i in range(v2d.shape[1])], idx
+        taken = jnp.take(v2d, idx, axis=1)  # v2d plane-major (d, n)
+        return [taken[i] for i in range(v2d.shape[0])], idx
 
-    return jax.lax.cond(
-        ok_narrow,
-        run_narrow,
-        lambda op: jax.lax.cond(ok_wide, run_wide, fallback, op),
-        None,
-    )
+    # narrowest passing tier wins; untaken branches measured free on TPU
+    chain = fallback
+    for window in reversed(_WINDOWS):
+        ok, run = make_branch(window)
+
+        def tier(op, ok=ok, run=run, below=chain):
+            return jax.lax.cond(ok, run, below, op)
+
+        chain = tier
+    return chain(None)
 
 
 def _expand_lane_block_kernel(cshift_ref, counts_ref, vals_ref, out_ref, *, d: int):
@@ -709,11 +770,13 @@ def systematic_expand_lanes(
         raise ValueError(
             "total particle count must stay below 2**24 for exact f32 indexing"
         )
-    flat_cols = []
+    flat_rows = []
     for v, w in zip(vals_in, widths):
         v2 = jnp.asarray(v, jnp.float32).reshape((n, n_lanes, w))
-        flat_cols.append(jnp.moveaxis(v2, 0, 1).reshape(n_lanes * n, w))
-    v2d = jnp.concatenate(flat_cols, axis=1)
+        # plane-major (w, L*n): same lane*n + particle ordering as the
+        # counts offsets below
+        flat_rows.append(v2.transpose(2, 1, 0).reshape(w, n_lanes * n))
+    v2d = jnp.concatenate(flat_rows, axis=0)
 
     offsets = (jnp.arange(n_lanes, dtype=jnp.int32) * n)[:, None]
     counts_global = (counts_nl.T + offsets).reshape(-1)
