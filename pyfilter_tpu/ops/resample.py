@@ -34,9 +34,36 @@ import jax.numpy as jnp
 from ..utils import normalize
 
 
+# two-stage cumsum kicks in above this size: XLA's flat reduce-window cumsum
+# measured 1.24 ms at N=1e6 vs 1.04 ms for row-sums + small prefix + row
+# cumsums (same asymptotic error, slightly better conditioned). Small inputs
+# keep the flat form so their boundary ties match historical behavior.
+_CUMSUM_TWO_STAGE_MIN = 1 << 17
+_CUMSUM_ROW = 512
+
+
+def prob_cumsum(probs: jax.Array) -> jax.Array:
+    """1-D cumulative sum, two-stage above ``_CUMSUM_TWO_STAGE_MIN``.
+
+    Shared by every counts-based resampler (``systematic_counts`` and the
+    expansion kernels in :mod:`pyfilter_tpu.ops.expand`) so their copy-count
+    boundaries stay BIT-IDENTICAL to each other — the expansion tests assert
+    index-for-index equality across the two paths."""
+    n = probs.shape[0]
+    if n < _CUMSUM_TWO_STAGE_MIN:
+        return jnp.cumsum(probs)
+    rows = -(-n // _CUMSUM_ROW)
+    padded = jnp.pad(probs, (0, rows * _CUMSUM_ROW - n))
+    v2 = padded.reshape(rows, _CUMSUM_ROW)
+    row_sums = jnp.sum(v2, axis=1)
+    prefix = jnp.cumsum(row_sums) - row_sums
+    cs = (jnp.cumsum(v2, axis=1) + prefix[:, None]).reshape(-1)
+    return cs[:n]
+
+
 def _counts_invert_1d(probs: jax.Array, u: jax.Array) -> jax.Array:
     n = probs.shape[0]
-    cumw = jnp.cumsum(probs)
+    cumw = prob_cumsum(probs)
     cumw = cumw.at[-1].set(1.0)
 
     # positions strictly below c: ceil(N*c - u); exact ceil via floor trick to
