@@ -341,6 +341,15 @@ class ParticleMetropolisHastings:
         state.w = jnp.zeros_like(state.w)
         return MHUpdate(context, new_filter, state)
 
+    def double_after_abort(self, key, context, filter_, state: SMC2State) -> MHUpdate:
+        """Host-side continuation of an IN-SCAN rejuvenation that aborted on
+        low acceptance (``smc2._chunk_scan_rejuvenating``): the scan already
+        applied the lane resample and the completed transitions; doubling the
+        state-particle count is a shape change only the host can perform.
+        ``key`` is the kernel's evolved key out of the aborted move — the
+        same key the segmented path hands to the doubling."""
+        return self._increase_states(key, context, filter_, state)
+
     def _increase_states(self, key, context, filter_, state: SMC2State) -> MHUpdate:
         """Double the state-particle count and re-filter the whole history
         (reference mh.py:110-140)."""
