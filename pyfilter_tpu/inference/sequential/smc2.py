@@ -114,8 +114,10 @@ def _chunk_scan_rejuvenating(
                 acceptance_threshold,
             )
             filt2 = filt.initialize_model(ctx2)
-            # an abort keeps the (post-transition) weights for the doubling
-            # re-weight; a completed move resets them (mh.update's two exits)
+            # on abort the kept weights are inert — the doubling recomputes
+            # weights from the loglik difference and never reads state.w,
+            # matching mh.update's abort exit (which likewise leaves state.w
+            # untouched); a completed move resets them to zero
             w2 = jnp.where(aborted, w, jnp.zeros_like(w))
             return (ctx2, filt2, lat2, w2, ll2, rej_key, key_out), aborted
 
@@ -221,7 +223,18 @@ class SMC2(SequentialParticleAlgorithm):
         )
 
     def _advance_chunked(self, y, state, logging, chunk: int, t: int, offset: int):
-        if offset != 0 or not self._inline_rejuvenation_ok():
+        # the inline path re-filters ``y[: gstart + i + 1]`` on every firing,
+        # which is only the true history when ``y`` IS the whole history so
+        # far — i.e. no continuation offset AND the parsed rows are exactly
+        # ``y[:t]``. A mid-stream continuation (SMC2 as a combined
+        # algorithm's second stage) hands a tail slice while
+        # ``state.parsed_data`` holds the full history; drop to the segmented
+        # path there rather than rejuvenating against a truncated history.
+        if (
+            offset != 0
+            or len(state.parsed_data) != t
+            or not self._inline_rejuvenation_ok()
+        ):
             return super()._advance_chunked(y, state, logging, chunk, t, offset)
 
         n_total = int(y.shape[0])

@@ -106,3 +106,153 @@ def allgather_take(values: jax.Array, global_indices: jax.Array, axis_name: str)
     gathered = jax.lax.all_gather(values, axis_name)  # (P, N/P, ...)
     flat = gathered.reshape((-1,) + gathered.shape[2:])
     return jnp.take(flat, global_indices, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# halo-exchange systematic resampling — the scaling tier (SURVEY §5.8)
+#
+# ``allgather_take`` ships the ENTIRE global cloud over ICI on every fire:
+# O(N) floats per device — fine at 1e6 particles, not a story at 1e8. But
+# systematic-resampling ancestor indices are MONOTONE: device d's output
+# slots [d*N/P, (d+1)*N/P) draw from one contiguous ancestor range, and with
+# psum-normalized weights that range lies within a few neighboring shards
+# unless the weights are extremely degenerate (a shard must carry ~(halo+1)x
+# its fair share of total weight to push ancestors further). So each device
+# ``ppermute``s only its ``halo`` ring neighbors' shards — a fixed
+# O(halo * N/P) payload — computes its own slots' ancestors locally with the
+# same counts-inversion the single-device resampler uses
+# (ops/resample.py:_counts_invert_1d), and takes from the exchanged window.
+# A psum'd fit check detects the rare fat-tailed fire where the window is
+# too small, and the resample falls back to the all-gather strategy (the
+# single-device hot path this replaces at scale is the reference's
+# resampling.py:24-52 global cumsum + searchsorted).
+# ---------------------------------------------------------------------------
+
+
+def ring_window(x: jax.Array, axis_name: str, halo: int) -> jax.Array:
+    """Concatenate the ring neighborhood ``[my-halo, my+halo]`` of a sharded
+    axis-0 array: ``2*halo`` ``ppermute`` shifts of O(N/P) each. Blocks that
+    wrap past the global ends carry garbage — callers mask them by source id."""
+    p = jax.lax.axis_size(axis_name)
+    parts = []
+    for h in range(halo, 0, -1):  # shard my-h travels +h around the ring
+        parts.append(
+            jax.lax.ppermute(x, axis_name, perm=[(i, (i + h) % p) for i in range(p)])
+        )
+    parts.append(x)
+    for h in range(1, halo + 1):  # shard my+h travels -h
+        parts.append(
+            jax.lax.ppermute(x, axis_name, perm=[(i, (i - h) % p) for i in range(p)])
+        )
+    return jnp.concatenate(parts, axis=0)
+
+
+def halo_systematic(key: jax.Array, log_weights: jax.Array, axis_name: str, halo: int = 1):
+    """Distributed systematic resampling with an O(halo * N/P) exchange.
+
+    Returns ``(global_indices, window_indices, fits)``: the local output
+    slots' global ancestor ids ``(N/P,)``, the same ancestors as positions
+    into the :func:`ring_window` of a value shard (``halo_take``), and a
+    REPLICATED boolean that is True when every device's ancestors landed
+    inside its halo window (use :func:`distributed_systematic` for the
+    composed resample with the all-gather fallback).
+
+    Bit-identical to :func:`allgather_systematic` whenever ``fits`` is True:
+    both build per-shard cumulative weights plus all-gathered shard offsets,
+    draw the same shared uniform, and invert the same copy-count boundaries.
+    """
+    p = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    n_local = log_weights.shape[0]
+    n = n_local * p
+    base = my * n_local  # my first global output slot
+
+    probs_local = psum_normalize(log_weights, axis_name)
+    local_cum = jnp.cumsum(probs_local)
+    shard_totals = jax.lax.all_gather(local_cum[-1], axis_name)  # (P,) floats
+    offsets = jnp.cumsum(shard_totals) - shard_totals  # global cum before shard s
+    cum_global = local_cum + offsets[my]
+
+    u = jax.random.uniform(key, ())  # shared: the stratified grid is global
+
+    # window cumulative weights; wrapped blocks are overridden so they act as
+    # (front) zero-weight particles before global slot 0 / (back) sentinels
+    src = (my - halo) + jnp.repeat(jnp.arange(2 * halo + 1), n_local)
+    wcum = ring_window(cum_global, axis_name, halo)
+    front = src < 0
+    back = src >= p
+    wcum = jnp.where(front, 0.0, jnp.where(back, jnp.inf, wcum))
+
+    counts = jnp.clip(jnp.ceil(n * wcum - u), 0, n).astype(jnp.int32)
+    # count boundary BEFORE the window's first entry: 0 when the window
+    # reaches (or wraps past) shard 0, else the global count at that shard's
+    # lower edge
+    s0 = jnp.clip(my - halo, 0, p - 1)
+    boundary0 = jnp.where(
+        my - halo <= 0,
+        jnp.int32(0),
+        jnp.clip(jnp.ceil(n * offsets[s0] - u), 0, n).astype(jnp.int32),
+    )
+    starts = jnp.concatenate([boundary0[None], counts[:-1]])
+
+    # fit: my first slot's owner is inside the window (pre-window particles
+    # consumed at most `base` slots) and my last slot is covered (the last
+    # REAL window particle's count reaches past it — unless the window
+    # already includes the global end, where tail slots inherit the last
+    # particle exactly as the single-device inversion does)
+    last_valid = (jnp.minimum(my + halo, p - 1) - (my - halo) + 1) * n_local - 1
+    bottom_ok = (my - halo <= 0) | (boundary0 <= base)
+    top_ok = (my + halo >= p - 1) | (counts[last_valid] >= base + n_local)
+    fits = jax.lax.psum(jnp.int32(~(bottom_ok & top_ok)), axis_name) == 0
+
+    # counts inversion restricted to my slots (ops/resample.py math): scatter
+    # a 1 at each window particle's first owned local slot — front-wrapped
+    # fillers deliberately count (they offset window positions by exactly
+    # their block size) while back-wrapped sentinels never do
+    start_local = jnp.clip(starts - base, 0, n_local)
+    hit = (start_local < n_local) & ~back
+    scat = (
+        jnp.zeros(n_local, jnp.int32)
+        .at[jnp.minimum(start_local, n_local - 1)]
+        .add(hit.astype(jnp.int32))
+    )
+    window_indices = jnp.cumsum(scat) - 1
+    global_indices = (my - halo) * n_local + window_indices
+    return global_indices, window_indices, fits
+
+
+def halo_take(values: jax.Array, window_indices: jax.Array, axis_name: str, halo: int = 1) -> jax.Array:
+    """Gather sharded ``values`` at :func:`halo_systematic` window positions:
+    ``2*halo`` ppermutes (O(halo * N/P) payload) and a local take."""
+    window = ring_window(values, axis_name, halo)
+    return jnp.take(window, window_indices, axis=0)
+
+
+def distributed_systematic(
+    key: jax.Array, log_weights: jax.Array, values, axis_name: str, halo: int = 1
+):
+    """Resample a pytree of particle-sharded ``values`` (axis 0 = local
+    particle shard) with the scaling strategy: halo exchange when the
+    ancestors fit the ``halo`` ring window, all-gather fallback otherwise
+    (same law — both inversions consume the same shared uniform).
+
+    Returns ``(resampled_values, global_indices)``. Per-device payload is
+    O(halo * N/P) value rows in the (overwhelmingly common) fitting regime
+    vs the fallback's O(N).
+    """
+    g_idx, w_idx, fits = halo_systematic(key, log_weights, axis_name, halo)
+
+    def halo_path(vals):
+        taken = jax.tree_util.tree_map(
+            lambda v: halo_take(v, w_idx, axis_name, halo), vals
+        )
+        return taken, g_idx
+
+    def gather_path(vals):
+        idx = allgather_systematic(key, log_weights, axis_name)
+        taken = jax.tree_util.tree_map(
+            lambda v: allgather_take(v, idx, axis_name), vals
+        )
+        return taken, idx
+
+    return jax.lax.cond(fits, halo_path, gather_path, values)

@@ -505,6 +505,83 @@ def test_chunked_fit_matches_per_step_triggers():
     np.testing.assert_allclose(ess_ps[:first], ess_ch[:first], rtol=1e-5)
 
 
+def test_smc2_inline_rejuvenation_matches_segmented(monkeypatch):
+    """The in-scan fused rejuvenation (``record_moments=False`` →
+    ``smc2._chunk_scan_rejuvenating``) must be bit-compatible with the
+    stop-at-trigger segmented path at the same chunk size: identical ESS
+    trajectory, final weights, and posterior parameters (the key chain is
+    threaded through the scan carry with the exact splits the segmented
+    path consumes)."""
+    y = simulate(50, seed=11)
+
+    def run(inline: bool):
+        fired = []
+        with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+            filt = pf.APF(build_model, 40, proposal=proposals.LinearGaussianObservations())
+            alg = inf.SMC2(
+                filt, 80, context=ctx, key=jax.random.PRNGKey(2), record_moments=False
+            )
+            if inline:
+                assert alg._inline_rejuvenation_ok()
+            else:
+                monkeypatch.setattr(alg, "_inline_rejuvenation_ok", lambda: False)
+            orig = alg._do_rejuvenate
+
+            def spy(state):
+                fired.append(len(state.ess) - 1)
+                return orig(state)
+
+            alg._do_rejuvenate = spy
+            state = alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=8)
+            params = np.asarray(ctx.stack_parameters(True))
+        return state, params, fired
+
+    st_in, p_in, fired_in = run(True)
+    st_seg, p_seg, fired_seg = run(False)
+
+    # the config must actually rejuvenate, and the inline run must have done
+    # so in-trace (the segmented kernel only handles the first observation)
+    assert len(fired_seg) > len(fired_in)
+    assert st_in.current_iteration == st_seg.current_iteration == 50
+
+    np.testing.assert_array_equal(p_in, p_seg)
+    np.testing.assert_array_equal(np.asarray(st_in.w), np.asarray(st_seg.w))
+    np.testing.assert_array_equal(
+        np.asarray(st_in.filter_state.log_likelihood),
+        np.asarray(st_seg.filter_state.log_likelihood),
+    )
+    ess_in = np.asarray([float(e) for e in st_in.ess])
+    ess_seg = np.asarray([float(e) for e in st_seg.ess])
+    np.testing.assert_allclose(ess_in, ess_seg, rtol=1e-6)
+
+
+def test_smc2_inline_abort_doubles_particles(monkeypatch):
+    """An in-scan rejuvenation that aborts on low acceptance must exit the
+    scan and run the host-side particle doubling (``double_after_abort``) —
+    the same exits the segmented path takes, with the same increase count."""
+    y = simulate(40, seed=11)
+
+    def run(inline: bool):
+        with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+            filt = pf.APF(build_model, 5, proposal=proposals.LinearGaussianObservations())
+            alg = inf.SMC2(
+                filt, 80, context=ctx, key=jax.random.PRNGKey(2), record_moments=False
+            )
+            # no acceptance rate can reach 1.01: every rejuvenation aborts
+            alg.kernel._acceptance_threshold = 1.01
+            alg.kernel._max_increases = 2
+            if not inline:
+                monkeypatch.setattr(alg, "_inline_rejuvenation_ok", lambda: False)
+            with pytest.raises(inf.sequential.kernels.TooManyIncreases):
+                alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=8)
+        return alg.filter.n_particles, alg.kernel._increases
+
+    n_in, inc_in = run(True)
+    n_seg, inc_seg = run(False)
+    assert n_in == n_seg == 20  # doubled twice before raising
+    assert inc_in == inc_seg == 3
+
+
 def test_increase_states_preserves_history_and_recording():
     """Particle doubling must regenerate the recorded moment history and must
     not crash for state-recording filters (regression: the bucketed masked

@@ -181,6 +181,130 @@ def test_allgather_systematic(key):
     np.testing.assert_allclose(np.asarray(resampled), np.asarray(vals)[idx])
 
 
+@pytest.mark.parametrize("halo", [1, 2])
+def test_halo_systematic_matches_allgather(key, halo):
+    """The scaling-tier resampler (halo ppermute exchange, O(halo*N/P)
+    payload) must be bit-identical to the all-gather strategy whenever the
+    ancestors fit the window — same per-shard cumsums, same shared uniform,
+    same counts inversion."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pyfilter_tpu.parallel import collective
+
+    mesh = parallel.make_mesh()
+    n = 2048
+    lw = jax.random.normal(key, (n,))
+    vals = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    k = jax.random.PRNGKey(3)
+
+    f = shard_map(
+        lambda lw_, v_: collective.halo_systematic(k, lw_, "particles", halo=halo)
+        + (collective.allgather_systematic(k, lw_, "particles"),),
+        mesh=mesh,
+        in_specs=(P("particles"), P("particles", None)),
+        out_specs=(P("particles"), P("particles"), P(), P("particles")),
+    )
+    # (halo indices, window indices, fits, allgather indices)
+    g_idx, w_idx, fits, ag_idx = f(lw, vals)
+
+    assert bool(fits)
+    np.testing.assert_array_equal(np.asarray(g_idx), np.asarray(ag_idx))
+    # window positions resolve to the same global ancestors
+    n_local = n // 8
+    shard_of_slot = np.arange(n) // n_local
+    base_block = (shard_of_slot - halo) * n_local
+    np.testing.assert_array_equal(base_block + np.asarray(w_idx), np.asarray(g_idx))
+
+
+def test_distributed_systematic_halo_and_fallback(key):
+    """The composed resample takes the halo path on healthy weights and the
+    all-gather fallback on degenerate ones — both matching the all-gather
+    law exactly (same uniform, same inversion)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pyfilter_tpu.parallel import collective
+
+    mesh = parallel.make_mesh()
+    n = 2048
+    k = jax.random.PRNGKey(7)
+    vals = {
+        "x": jax.random.normal(jax.random.PRNGKey(2), (n, 2)),
+        "aux": jnp.arange(n, dtype=jnp.int32),
+    }
+
+    def run(lw):
+        f = shard_map(
+            lambda lw_, v_: collective.distributed_systematic(k, lw_, v_, "particles")
+            + (collective.halo_systematic(k, lw_, "particles")[2],)
+            + (collective.allgather_systematic(k, lw_, "particles"),),
+            mesh=mesh,
+            in_specs=(P("particles"), {"x": P("particles", None), "aux": P("particles")}),
+            out_specs=(
+                {"x": P("particles", None), "aux": P("particles")},
+                P("particles"),
+                P(),
+                P("particles"),
+            ),
+        )
+        return f(lw, vals)
+
+    # healthy weights: halo path fires and matches the all-gather law
+    lw_ok = jax.random.normal(key, (n,))
+    taken, idx, fits, ag_idx = run(lw_ok)
+    assert bool(fits)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ag_idx))
+    np.testing.assert_array_equal(
+        np.asarray(taken["x"]), np.asarray(vals["x"])[np.asarray(idx)]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(taken["aux"]), np.asarray(vals["aux"])[np.asarray(idx)]
+    )
+
+    # degenerate weights — all mass on the LAST shard: ancestors of every
+    # device's slots sit far outside a 1-shard halo, so the fit check must
+    # trip and the fallback must still produce the all-gather result
+    lw_bad = jnp.full((n,), -jnp.inf).at[n - 100 :].set(0.0)
+    taken_b, idx_b, fits_b, ag_idx_b = run(lw_bad)
+    assert not bool(fits_b)
+    np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(ag_idx_b))
+    np.testing.assert_array_equal(
+        np.asarray(taken_b["aux"]), np.asarray(vals["aux"])[np.asarray(idx_b)]
+    )
+    assert (np.asarray(idx_b) >= n - 100).all()
+
+
+def test_halo_systematic_matches_single_device_counts(key):
+    """Law equivalence vs the single-device counts resampler (same uniform):
+    per-shard cumsum reordering may flip rare ULP ties by one index, exactly
+    as the all-gather strategy does."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pyfilter_tpu.ops import systematic_counts
+    from pyfilter_tpu.parallel import collective
+
+    mesh = parallel.make_mesh()
+    n = 4096
+    lw = jax.random.normal(key, (n,)) * 1.5
+    k = jax.random.PRNGKey(9)
+
+    g_idx, _, fits = shard_map(
+        lambda lw_: collective.halo_systematic(k, lw_, "particles"),
+        mesh=mesh,
+        in_specs=(P("particles"),),
+        out_specs=(P("particles"), P("particles"), P()),
+    )(lw)
+    assert bool(fits)
+
+    u = jax.random.uniform(k, ())
+    ref_idx = np.asarray(systematic_counts(None, lw, u=u))
+    diff = np.abs(np.asarray(g_idx) - ref_idx)
+    assert (diff <= 1).all()
+    assert (diff != 0).mean() < 5e-3
+
+
 # ---------------------------------------------------------------------------
 # inference layer: mesh-aware SMC2 / NESS / PMMH (SURVEY §2.8 integration)
 # ---------------------------------------------------------------------------
