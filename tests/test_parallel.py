@@ -181,6 +181,92 @@ def test_allgather_systematic(key):
     np.testing.assert_allclose(np.asarray(resampled), np.asarray(vals)[idx])
 
 
+def _collectives_with_opnames(hlo_text):
+    """(op, op_name) pairs for every collective instruction in compiled HLO."""
+    import re
+
+    out = []
+    for ln in hlo_text.splitlines():
+        for op in ("all-reduce", "all-gather", "collective-permute", "all-to-all",
+                   "reduce-scatter"):
+            if re.search(rf"= \S+ {op}\(", ln):
+                m = re.search(r'op_name="([^"]+)"', ln)
+                out.append((op, m.group(1) if m else ""))
+    return out
+
+
+def test_sharded_batch_filter_hlo_collectives(key):
+    """What the GSPMD path actually emits: the steady-state scan body's
+    weight reductions must lower to all-reduces (psum), and every full-cloud
+    all-gather must sit INSIDE the ESS-gated resample branch (``cond/branch``)
+    — a silently-replicating or per-step-gathering program would fail this."""
+    ssm = _model()
+    y = ssm.sample_states(jax.random.PRNGKey(0), 20).y
+    filt = pf.SISR(ssm, 1024)
+    mesh = parallel.make_mesh()
+    state0 = parallel.shard_filter_state(filt.initialize(key), mesh)
+
+    def run(k, ys, st):
+        return filt.batch_filter(k, ys, initial_state=st)
+
+    compiled = jax.jit(run).lower(key, y, state0).compile()
+    pairs = _collectives_with_opnames(compiled.as_text())
+
+    reduces = [n for op, n in pairs if op == "all-reduce"]
+    gathers = [n for op, n in pairs if op == "all-gather"]
+    assert reduces, "weight reductions must stay distributed (psum), got none"
+    assert gathers, "systematic resampling needs a cross-shard exchange"
+    for name in gathers:
+        assert "/cond/branch" in name, (
+            f"full-cloud all-gather outside the gated resample fire: {name}"
+        )
+
+    # the carried cloud must stay sharded through the whole scan
+    res = jax.jit(run)(key, y, state0)
+    spec = res.latest_state.x.value.sharding.spec
+    assert tuple(spec)[:1] == ("particles",), spec
+
+
+def test_sharded_smc2_chunk_scan_hlo_collectives():
+    """The mesh-mode SMC2 steady state (lanes x particles): same contract —
+    reductions all-reduce, all-gathers confined to resample-fire branches."""
+    from pyfilter_tpu import inference as inf
+    from pyfilter_tpu.inference.sequential.base import _chunk_scan, _split_chain
+
+    mesh = parallel.make_mesh((2, 4), ("lanes", "particles"))
+    y = _ou_data(8)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(_ou_builder, 32, proposal=proposals.LinearGaussianObservations())
+        alg = inf.SMC2(
+            filt, 64, context=ctx, key=jax.random.PRNGKey(2),
+            mesh=mesh, lane_axis="lanes", particle_axis="particles",
+        )
+        state = alg.initialize()
+
+    chunk = 8
+    _, keys = _split_chain(jax.random.PRNGKey(0), chunk)
+    thr = jnp.full((chunk,), 0.1, jnp.float32)
+    force = jnp.zeros((chunk,), bool)
+    compiled = _chunk_scan.lower(
+        alg._filter,
+        state.filter_state.latest_state,
+        state.w,
+        state.filter_state.log_likelihood,
+        jnp.asarray(y),
+        keys,
+        jnp.int32(0),
+        jnp.int32(chunk),
+        thr,
+        force,
+    ).compile()
+    pairs = _collectives_with_opnames(compiled.as_text())
+
+    assert any(op == "all-reduce" for op, _ in pairs)
+    for op, name in pairs:
+        if op == "all-gather":
+            assert "/cond/branch" in name, name
+
+
 @pytest.mark.parametrize("halo", [1, 2])
 def test_halo_systematic_matches_allgather(key, halo):
     """The scaling-tier resampler (halo ppermute exchange, O(halo*N/P)
