@@ -8,16 +8,23 @@ the filter; every iteration is one :func:`run_pmmh` full re-filter.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ...base import BaseAlgorithm
+from ...context import InferenceContext, QuasiInferenceContext
 from ...logging import TQDMWrapper
+from ...sequential.base import _split_chain
 from .proposals import BaseProposal, RandomWalk
 from .state import PMMHResult
-from .utils import run_pmmh
+from .utils import _pmmh_chain_scan, run_pmmh
 
 
 class PMMH(BaseAlgorithm):
     MONTE_CARLO_SAMPLES = (10_000,)
+    #: samples advanced per compiled chain scan before the host fetches the
+    #: chunk's records (one dispatch + one transfer per chunk instead of ~80
+    #: dispatches per sample — the SMC2 fusion recipe applied to batch PMMH)
+    _default_chunk_size: int = 128
 
     def __init__(
         self,
@@ -80,15 +87,35 @@ class PMMH(BaseAlgorithm):
         prev_res = self._filter.batch_filter(self._next_key(), jnp.asarray(y))
         return PMMHResult(dict(self.context.parameters), prev_res)
 
-    def fit(self, y, logging=None) -> PMMHResult:
+    def _fusible(self) -> bool:
+        """The fused chain scan needs the full-core tier's conditions: a
+        pytree context kind and a traceable proposal (see utils.run_pmmh)."""
+        pytree_ctx = type(self.context) is InferenceContext or (
+            type(self.context) is QuasiInferenceContext
+            and not getattr(self._proposal, "uses_quasi_engine", False)
+        )
+        return pytree_ctx and getattr(self._proposal, "jit_compatible", False)
+
+    def fit(self, y, logging=None, chunk_size: int | None = None) -> PMMHResult:
+        """``chunk_size``: samples advanced per compiled ``lax.scan`` before
+        the host fetches the chain records (default ``_default_chunk_size``
+        when the proposal is traceable; pass 1 to force the per-sample
+        reference-style loop — both paths are bit-identical)."""
         y = jnp.asarray(y)
         state = self.initialize(y)
         logging = logging or TQDMWrapper()
+
+        if chunk_size is None:
+            chunk_size = self._default_chunk_size if self._fusible() else 1
+        chunk_size = int(chunk_size)
 
         with logging.initialize(self, self.num_samples):
             prop_kernel = self._proposal.build(
                 self.context, state, self._filter, y, key=self._next_key()
             )
+
+            if chunk_size > 1 and self._fusible():
+                return self._fit_fused(y, state, prop_kernel, logging, chunk_size)
 
             for i in range(self.num_samples):
                 step = run_pmmh(
@@ -109,4 +136,50 @@ class PMMH(BaseAlgorithm):
                 state.update_chain(dict(self.context.parameters))
                 logging.do_log(i, state)
 
+        return state
+
+    def _fit_fused(self, y, state, prop_kernel, logging, chunk: int) -> PMMHResult:
+        """The chain loop in compiled chunks: one dispatch per ``chunk``
+        transitions, chain records stacked device-side and fetched once per
+        chunk (key stream identical to the per-sample loop's)."""
+        engine = getattr(self.context, "quasi_engine", None)
+
+        done = 0
+        while done < self.num_samples:
+            n = min(chunk, self.num_samples - done)
+            self._key, keys = _split_chain(self._key, n)
+            ctx_new, fs_new, prop_kernel, recs, _rates = _pmmh_chain_scan(
+                keys,
+                self.context,
+                state.filter_state,
+                prop_kernel,
+                self._filter,
+                y,
+                self._proposal,
+                (),
+                True,
+                n,
+            )
+            self.context.absorb(ctx_new)
+            if engine is not None:
+                self.context.quasi_engine = engine
+            state.filter_state = fs_new
+
+            # one host transfer per chunk; slice into the per-name record the
+            # reference's update_chain accumulates (state.py:28-38)
+            recs_np = np.asarray(recs)  # (n, *batch, D) constrained
+            index = 0
+            for name in self.context.parameters:
+                shape = self.context.get_shape(name, constrained=True)
+                numel = int(np.prod(shape, dtype=np.int64)) if shape else 1
+                vals = recs_np[..., index : index + numel].reshape(
+                    recs_np.shape[:-1] + tuple(shape)
+                )
+                state.samples[name].extend(list(vals))
+                index += numel
+
+            done += n
+            logging.do_log(done, state)
+
+        self._filter = self._place_filter(self._filter.initialize_model(self.context))
         return state

@@ -67,7 +67,12 @@ class RandomWalk(BaseProposal):
         return self._scale
 
     def build(self, context, state, filter_, y, key=None):
-        return Normal(context.stack_parameters(constrained=False), self._scale).to_event(1)
+        loc = context.stack_parameters(constrained=False)
+        # scale broadcast to loc's shape up front: ``exchange`` produces a
+        # per-lane scale, and a scan-carried kernel (the fused PMMH chain,
+        # utils._pmmh_chain_scan) needs build/exchange outputs shape-stable
+        scale = jnp.broadcast_to(jnp.asarray(self._scale, loc.dtype), loc.shape)
+        return Normal(loc, scale).to_event(1)
 
     def exchange(self, latest, candidate, mask):
         m = mask[..., None]
@@ -149,4 +154,5 @@ class GradientBasedProposal(RandomWalk):
         vec = context.stack_parameters(constrained=False)
         grad = jax.grad(joint)(vec)
         loc = vec + self._eps * grad
-        return Normal(loc, self._scale).to_event(1)
+        scale = jnp.broadcast_to(jnp.asarray(self._scale, loc.dtype), loc.shape)
+        return Normal(loc, scale).to_event(1)

@@ -101,8 +101,7 @@ def _pmmh_transition_body(
     return accepted, rate, new_context, new_latest, new_ll, kernel
 
 
-@functools.partial(jax.jit, static_argnames=("proposal", "size", "mutate_kernel"))
-def _run_pmmh_full_core(
+def _pmmh_full_transition_body(
     key,
     context,
     filter_state,
@@ -113,10 +112,9 @@ def _run_pmmh_full_core(
     size,
     mutate_kernel,
 ):
-    """One batch-PMMH transition (full re-filter, whole-history exchange) as
-    one compiled call — the per-iteration analogue of the masked core below
-    for :class:`...pmmh.PMMH`'s fit loop, whose chains otherwise pay ~80
-    eager dispatches per sample."""
+    """Traceable body of one batch-PMMH transition (full re-filter,
+    whole-history exchange) — shared by the single-transition jit wrapper and
+    the fused chain scan (:func:`_pmmh_chain_scan`)."""
     k_sample, k_filter, k_accept, k_build = jax.random.split(key, 4)
 
     rvs = proposal_kernel.sample(k_sample, size)
@@ -149,6 +147,66 @@ def _run_pmmh_full_core(
         kernel = proposal.exchange(proposal_kernel, new_prop_kernel, accepted)
     rate = jnp.mean(accepted.astype(jnp.float32))
     return accepted, rate, new_context, new_filter_state, kernel
+
+
+@functools.partial(jax.jit, static_argnames=("proposal", "size", "mutate_kernel"))
+def _run_pmmh_full_core(
+    key,
+    context,
+    filter_state,
+    proposal_kernel,
+    filt,
+    y,
+    proposal,
+    size,
+    mutate_kernel,
+):
+    """One batch-PMMH transition as one compiled call — the per-iteration
+    analogue of the masked core below for :class:`...pmmh.PMMH`'s fit loop,
+    whose chains otherwise pay ~80 eager dispatches per sample."""
+    return _pmmh_full_transition_body(
+        key, context, filter_state, proposal_kernel, filt, y, proposal, size,
+        mutate_kernel,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("proposal", "size", "mutate_kernel", "n_steps"))
+def _pmmh_chain_scan(
+    keys,
+    context,
+    filter_state,
+    proposal_kernel,
+    filt,
+    y,
+    proposal,
+    size,
+    mutate_kernel,
+    n_steps,
+):
+    """``n_steps`` batch-PMMH transitions as ONE compiled ``lax.scan`` with
+    device-side chain recording — the SMC2 dispatch-fusion recipe applied to
+    :meth:`...pmmh.PMMH.fit`'s sample loop (the reference loops host-side,
+    pmmh.py:76-104; at thousands of samples on the tunnel-latency host every
+    per-sample dispatch costs more than the transition itself).
+
+    ``keys``: ``(n_steps, 2)`` per-transition keys, the same stream the
+    per-step loop's ``_next_key()`` consumes (``_split_chain``) so both paths
+    are bit-identical. Returns the final carry plus the per-step CONSTRAINED
+    stacked parameters ``(n_steps, *batch, D)`` and acceptance rates — the
+    chain record, fetched host-side once per chunk instead of once per
+    sample."""
+
+    def body(carry, k):
+        ctx, fs, kern = carry
+        _, rate, ctx, fs, kern = _pmmh_full_transition_body(
+            k, ctx, fs, kern, filt, y, proposal, size, mutate_kernel
+        )
+        return (ctx, fs, kern), (ctx.stack_parameters(constrained=True), rate)
+
+    (ctx, fs, kern), (recs, rates) = jax.lax.scan(
+        body, (context, filter_state, proposal_kernel), keys, length=n_steps
+    )
+    return ctx, fs, kern, recs, rates
 
 
 @functools.partial(jax.jit, static_argnames=("proposal", "size", "mutate_kernel"))

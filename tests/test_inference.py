@@ -807,6 +807,27 @@ def test_pmmh_moves_toward_posterior():
     assert sigma_late < 0.2
 
 
+def test_pmmh_fused_chain_matches_per_step():
+    """The compiled chain scan (one dispatch per chunk, device-side chain
+    recording) must be bit-identical to the per-sample reference-style loop —
+    same key stream, same transition body."""
+    y = simulate(25)
+
+    def run(chunk_size):
+        with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+            filt = pf.APF(build_model, 30, proposal=proposals.LinearGaussianObservations())
+            alg = inf.PMMH(filt, 12, num_chains=4, context=ctx, key=jax.random.PRNGKey(2))
+            res = alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=chunk_size)
+        return res.as_arrays()
+
+    fused = run(5)  # chunks of 5+5+2: exercises the remainder scan too
+    step = run(1)  # the per-sample loop
+    assert set(fused) == set(step)
+    for name in step:
+        assert fused[name].shape == (13, 4), (name, fused[name].shape)
+        np.testing.assert_array_equal(fused[name], step[name])
+
+
 def test_pmmh_gradient_proposal_runs():
     y = simulate(30)
     with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
@@ -886,13 +907,33 @@ def test_pmmh_with_quasi_context_fused():
         )
         try:
             mcmc_utils._run_pmmh_full_core = spy
-            res = alg.fit(y, logging=inf.logging.DefaultLogger())
+            # chunk_size=1 forces the per-sample loop, whose fast path is the
+            # fused single-transition core
+            res = alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=1)
         finally:
             mcmc_utils._run_pmmh_full_core = orig
 
     assert len(rates) == 6  # every sample took the fused tier
     arr = res.as_arrays()
     assert all(np.isfinite(v).all() for v in arr.values())
+
+    # and the default path (the compiled chain scan) also rides the quasi
+    # context, reattaching the host-side Sobol engine afterwards
+    with inf.make_context(use_quasi=True, key=jax.random.PRNGKey(1)) as ctx2:
+        filt2 = pf.APF(build_model, 50, proposal=proposals.LinearGaussianObservations())
+        alg2 = inf.PMMH(
+            filt2,
+            num_samples=6,
+            num_chains=2,
+            proposal=inf.RandomWalk(scale=5e-2),
+            context=ctx2,
+            key=jax.random.PRNGKey(2),
+        )
+        assert alg2._fusible()
+        res2 = alg2.fit(y, logging=inf.logging.DefaultLogger())
+    arr2 = res2.as_arrays()
+    for name in arr:
+        np.testing.assert_array_equal(arr2[name], arr[name])
 
 
 def test_ness_with_quasi_context():

@@ -18,6 +18,40 @@ def build_ssm(sigma):
     return ts.LinearStateSpaceModel(latent, (1.0, 0.1))
 
 
+def test_svi_scanned_loop_matches_per_step():
+    """The fused Adam loop (all steps in one ``lax.scan`` dispatch) must be
+    bit-identical to the per-step loop — the key chain rides the scan carry."""
+    jax.clear_caches()
+    _, y = build_ssm(0.05).sample_states(jax.random.PRNGKey(3), 30).get_paths()
+
+    def build_model(ctx):
+        sigma = ctx.named_parameter("sigma", dist.LogNormal(0.0, 1.0))
+        return build_ssm(sigma)
+
+    def run(chunk_size):
+        return inf.fit_svi(
+            build_model,
+            y,
+            filter_factory=lambda bm: pf.APF(
+                bm, 20, proposal=proposals.LinearGaussianObservations()
+            ),
+            key=jax.random.PRNGKey(1),
+            num_steps=6,
+            num_elbo_samples=2,
+            chunk_size=chunk_size,
+        )
+
+    fused = run(None)  # one scan over all 6 steps
+    stepwise = run(1)  # one dispatch per step
+    np.testing.assert_array_equal(np.asarray(fused.losses), np.asarray(stepwise.losses))
+    np.testing.assert_array_equal(
+        np.asarray(fused.guide.loc), np.asarray(stepwise.guide.loc)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fused.guide.log_scale), np.asarray(stepwise.guide.log_scale)
+    )
+
+
 @pytest.mark.slow
 def test_svi_recovers_sigma():
     # the SVI step is the largest single XLA compile in the suite; after ~140
