@@ -10,7 +10,8 @@ randomness is explicit ``jax.random`` keys.
 
 __version__ = "0.1.0"
 
-from . import distributions, examples, filters, inference, io, ops, parallel, resampling, timeseries, utils
+from . import distributions, examples, filters, inference, interop, io, ops, parallel, resampling, timeseries, utils
+from .compile_cache import enable_compile_cache
 from .filters import APF, GPF, SISR, FilterResult, KalmanFilter, ParticleFilter
 from .inference import NESS, NESSMC2, PMMH, SMC2, SMC2FW, make_context
 from .utils import get_ess, log_likelihood, normalize
@@ -26,6 +27,7 @@ __all__ = [
     "timeseries",
     "resampling",
     "utils",
+    "enable_compile_cache",
     "normalize",
     "get_ess",
     "log_likelihood",
@@ -35,6 +37,7 @@ __all__ = [
     "GPF",
     "FilterResult",
     "inference",
+    "interop",
     "make_context",
     "SMC2",
     "NESS",

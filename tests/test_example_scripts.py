@@ -14,6 +14,7 @@ SCRIPTS = [
     "stochastic_volatility_smc2.py",
     "lorenz_ness.py",
     "nutria_svi.py",
+    "numpyro_interop.py",
 ]
 
 

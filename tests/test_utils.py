@@ -92,3 +92,23 @@ def test_construct_diag_from_flat():
     np.testing.assert_allclose(d, np.diag([1.0, 2.0, 3.0]))
     s = np.asarray(utils.construct_diag_from_flat(jnp.asarray(2.0), event_ndim=0))
     assert s.shape == (1, 1) and s[0, 0] == 2.0
+
+
+def test_enable_compile_cache(tmp_path):
+    """Public compile-cache helper (README 'Compile times'): sets the
+    persistent-cache config knobs and creates the directory."""
+    import os
+
+    import pyfilter_tpu as pf
+
+    old = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        target = str(tmp_path / "xla_cache")
+        path = pf.enable_compile_cache(target, min_compile_time_secs=2.0)
+        assert path == target and os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 2.0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", old_min)
