@@ -108,7 +108,13 @@ class GradientBasedProposal(RandomWalk):
     with :math:`S` the FFBS-smoothed joint log-likelihood plus log-prior
     (reference gradient.py). Requires the filter to record states."""
 
-    jit_compatible = False  # reads the recorded state history (FFBS smoothing)
+    # build is pure jnp + jax.grad over the recorded state history, so
+    # gradient-PMMH rides the fused chain scan — PROVIDED the traced filter
+    # result carries that history (record_states=True: batch PMMH's
+    # FilterResult does in-trace). The tiers that strip recorded state
+    # (SMC2's masked re-filter) already exclude state-recording filters, so
+    # they can never reach this proposal's build with the history missing.
+    jit_compatible = True
 
     def __init__(self, scale: float = 1e-2, use_second_order: bool = False):
         if use_second_order:
