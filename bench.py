@@ -123,14 +123,20 @@ def bench_jax(y, profile_dir=None):
     return N_PARTICLES * hidden_steps / elapsed, ll
 
 
-def bench_torch_reference(y, n_obs_torch=3):
-    """Faithful torch-CPU SISR step (the reference's algorithm and ops)."""
+def bench_torch_reference(y, n_obs_torch=30, n_warmup=5):
+    """Faithful torch-CPU SISR step (the reference's algorithm and ops).
+
+    Methodology (BASELINE.md): ``n_warmup`` observations run UNTIMED first
+    (allocator + thread-pool warmup — short torch runs are warmup-flavored
+    and would inflate the JAX-side speedup), then ``n_obs_torch`` >= 30
+    observations are timed and converted to particle-steps/s."""
     import numpy as np
     import torch
 
     torch.manual_seed(0)
     n = N_PARTICLES
-    y_t = torch.from_numpy(np.asarray(y[:n_obs_torch]))
+    n_total = n_warmup + n_obs_torch
+    y_t = torch.from_numpy(np.asarray(y[:n_total]))
 
     kappa, gamma, sigma = KAPPA, GAMMA, SIGMA
     sqrt_dt = math.sqrt(DT)
@@ -151,8 +157,7 @@ def bench_torch_reference(y, n_obs_torch=3):
         cumw[-1] = 1.0
         return torch.searchsorted(cumw, positions, right=True).clamp_max(n - 1)
 
-    start = time.perf_counter()
-    for t in range(n_obs_torch):
+    def step(t, x, w):
         probs = normalize(w)
         ess = 1.0 / probs.pow(2).sum()
         if ess < 0.9 * n:
@@ -173,7 +178,14 @@ def bench_torch_reference(y, n_obs_torch=3):
             - 0.5 * torch.log1p(z.pow(2))
             + torch.log(x)
         )
-        w = w + base_lp - ladj
+        return x, w + base_lp - ladj
+
+    for t in range(n_warmup):  # untimed warmup (see docstring)
+        x, w = step(t, x, w)
+
+    start = time.perf_counter()
+    for t in range(n_warmup, n_total):
+        x, w = step(t, x, w)
     elapsed = time.perf_counter() - start
 
     hidden_steps = n_obs_torch * OES
@@ -426,7 +438,15 @@ def get_torch_baseline(y):
     try:
         rate = bench_torch_reference(y)
         with open(_CACHE, "w") as f:
-            json.dump({"particle_steps_per_sec": rate, "n_particles": N_PARTICLES}, f)
+            json.dump(
+                {
+                    "particle_steps_per_sec": rate,
+                    "n_particles": N_PARTICLES,
+                    "n_obs_timed": 30,
+                    "n_obs_warmup": 5,
+                },
+                f,
+            )
         return rate
     except Exception:
         return None

@@ -170,8 +170,15 @@ def halo_systematic(key: jax.Array, log_weights: jax.Array, axis_name: str, halo
     probs_local = psum_normalize(log_weights, axis_name)
     local_cum = jnp.cumsum(probs_local)
     shard_totals = jax.lax.all_gather(local_cum[-1], axis_name)  # (P,) floats
-    offsets = jnp.cumsum(shard_totals) - shard_totals  # global cum before shard s
-    cum_global = local_cum + offsets[my]
+
+    # global cumulative weight before shard s — the EXACT masked-sum
+    # formulation allgather_systematic uses, so the two strategies' count
+    # boundaries are bit-identical (a cumsum-of-totals variant reorders the
+    # float accumulation and flips ULP-tie indices at large N)
+    def _offset(s):
+        return jnp.sum(jnp.where(jnp.arange(p) < s, shard_totals, 0.0))
+
+    cum_global = local_cum + _offset(my)
 
     u = jax.random.uniform(key, ())  # shared: the stratified grid is global
 
@@ -191,7 +198,7 @@ def halo_systematic(key: jax.Array, log_weights: jax.Array, axis_name: str, halo
     boundary0 = jnp.where(
         my - halo <= 0,
         jnp.int32(0),
-        jnp.clip(jnp.ceil(n * offsets[s0] - u), 0, n).astype(jnp.int32),
+        jnp.clip(jnp.ceil(n * _offset(s0) - u), 0, n).astype(jnp.int32),
     )
     starts = jnp.concatenate([boundary0[None], counts[:-1]])
 

@@ -462,6 +462,62 @@ def test_sharded_ness_recovers_parameters():
     assert abs(sigma - 0.1) < 0.1, post
 
 
+@pytest.mark.slow
+def test_multichip_realistic_shapes(key):
+    """The driver's multichip dryrun is a tiny-shape smoke; layout/VMEM bugs
+    love big shapes. This CI-slow tier runs >=8k particles PER DEVICE and
+    >=64 observations through (a) the GSPMD sharded filter, (b) a
+    lanes x particles filter step at SMC2-scale lane counts, and (c) the
+    halo + all-gather collective resamplers at size."""
+    n_per_device = 8192
+    n = n_per_device * 8
+    ssm = _model()
+    y = ssm.sample_states(jax.random.PRNGKey(0), 64).y
+
+    # (a) full sharded batch filter at 64k particles
+    mesh = parallel.make_mesh()
+    filt = pf.SISR(ssm, n)
+    k_init, k_run = jax.random.split(key)
+    state0 = parallel.shard_filter_state(filt.initialize(k_init), mesh)
+    res = filt.batch_filter(k_run, y, initial_state=state0)
+    assert np.isfinite(float(res.log_likelihood))
+    assert tuple(res.latest_state.x.value.sharding.spec)[:1] == ("particles",)
+
+    # (b) lanes x particles: 8k particles/device on the particle axis with
+    # 16 parameter lanes on the lane axis (the nested-SMC layout, at size)
+    mesh2 = parallel.make_mesh((2, 4), ("lanes", "particles"))
+    betas = jnp.linspace(0.5, 0.99, 16)
+    ssm_l = ts.LinearStateSpaceModel(models.AR(0.0, betas, 0.3), (1.0, 0.1))
+    filt_l = pf.SISR(ssm_l, 4 * n_per_device, batch_shape=(16,))
+    state_l = parallel.shard_filter_state(
+        filt_l.initialize(k_init), mesh2,
+        particle_axis="particles", lane_axis="lanes", n_lane_dims=1,
+    )
+    out = filt_l.batch_filter(k_run, y[:8], initial_state=state_l)
+    assert np.isfinite(np.asarray(out.log_likelihood)).all()
+
+    # (c) collective resamplers at 8k/device under shard_map
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pyfilter_tpu.parallel import collective
+
+    lw = jax.random.normal(key, (n,))
+    vals = jax.random.normal(jax.random.PRNGKey(2), (n,))
+    k = jax.random.PRNGKey(3)
+    taken, idx = shard_map(
+        lambda l, v: collective.distributed_systematic(k, l, v, "particles"),
+        mesh=mesh, in_specs=(P("particles"), P("particles")),
+        out_specs=(P("particles"), P("particles")),
+    )(lw, vals)
+    ag = shard_map(
+        lambda l: collective.allgather_systematic(k, l, "particles"),
+        mesh=mesh, in_specs=(P("particles"),), out_specs=P("particles"),
+    )(lw)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ag))
+    np.testing.assert_array_equal(np.asarray(taken), np.asarray(vals)[np.asarray(idx)])
+
+
 def test_sharded_pmmh_runs():
     from pyfilter_tpu import inference as inf
 
