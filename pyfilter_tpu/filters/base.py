@@ -37,6 +37,14 @@ class BaseFilter:
     "impute" additionally fills partially-NaN components with the predicted
     observation mean before correcting (the reference accepts but never
     implemented "impute", base.py:65-68 — conscious fix, SURVEY.md §8).
+
+    COST WARNING — ``record_states=True`` / ``record_intermediary=True``
+    inside SMC2/PMMH: recorded histories exclude the masked fused re-filter,
+    so every rejuvenation falls back to a full ``batch_filter`` and the
+    fused single-dispatch tiers are disabled. Measured on the flagship SMC2
+    config this is a multiple of the fused wall-clock (PERF.md "recording
+    cost cliff"). Plain filtering/smoothing is unaffected — the flags only
+    tax the inference algorithms' rejuvenation path.
     """
 
     #: config attribute names that form the static aux data, in order.

@@ -133,7 +133,15 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
         divide evenly) and, when ``particle_axis`` names a second mesh axis,
         each filter's state-particle cloud shards over it (XLA inserts the
         psum/all-gather collectives for the weight reductions and
-        resampling). SURVEY.md §2.8/§5.8's new-capability plan."""
+        resampling). SURVEY.md §2.8/§5.8's new-capability plan.
+
+        COST WARNING — ``record_moments=True`` (the default, matching the
+        reference's FilterResult semantics) keeps per-step filter
+        means/variances, whose host-list histories exclude SMC2's in-scan
+        fused rejuvenation: each rejuvenation then costs a separate dispatch
+        plus eager moment gathers. Pass ``record_moments=False`` when you
+        only need the posterior (the benchmarks do) — see PERF.md's
+        "recording cost cliff" table for the measured difference."""
         super().__init__(filter_, context=context, key=key)
 
         self.num_particles = int(num_particles)

@@ -21,6 +21,7 @@ from .sharding import (
     sharded_batch_filter,
     sharded_filter_step,
 )
+from .spmd import spmd_batch_filter
 
 __all__ = [
     "make_mesh",
@@ -28,5 +29,6 @@ __all__ = [
     "sharded_batch_filter",
     "sharded_filter_step",
     "lane_sharded_filter",
+    "spmd_batch_filter",
     "collective",
 ]

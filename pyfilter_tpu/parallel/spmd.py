@@ -1,0 +1,135 @@
+"""Explicit-SPMD particle filtering: the whole scan under ONE ``shard_map``.
+
+The GSPMD path (`parallel.sharding`) lets XLA insert collectives from
+sharding annotations; its resample branch lowers to full-cloud all-gathers
+(proven in tests/test_parallel.py's HLO assertions) — O(N) per device per
+fire. This module is the scaling-tier filter: the filter scan runs inside
+``shard_map`` with the explicit collective layer — ``psum`` weight
+reductions and the halo-exchange systematic resampler
+(:func:`..collective.distributed_systematic`, O(halo * N/P) per fire with
+an all-gather fallback for degenerate weights). Per-device noise streams
+are decorrelated by folding the axis index into the keys, so the law is the
+standard bootstrap filter at global N.
+
+This is the path to 1e8+ particles: memory O(N/P) per device, steady-state
+communication O(1) scalars (two psums), resample communication O(halo*N/P).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .collective import (
+    distributed_log_likelihood,
+    distributed_systematic,
+    psum_normalize,
+)
+
+
+def spmd_filter_loop(
+    model,
+    n_particles: int,
+    key,
+    y,
+    axis_name: str = "particles",
+    ess_threshold: float = 0.9,
+    halo: int = 1,
+):
+    """The per-device filter body (call inside ``shard_map``): init + scan of
+    ESS-gated bootstrap-SISR steps over the local particle shard.
+
+    Returns ``(final_values, final_log_weights, log_likelihood, means)`` —
+    values/weights are the LOCAL shard, loglik and the per-step weighted-mean
+    history are replicated.
+    """
+    p = jax.lax.axis_size(axis_name)
+    dev = jax.lax.axis_index(axis_name)
+    n_local = n_particles // p
+    oes = int(model.observe_every_step)
+    ev = model.hidden.event_ndim
+
+    k_init, k_scan = jax.random.split(key)
+    # per-device noise stream: fold the axis index in once at the root
+    x0 = model.hidden.initial_sample(jax.random.fold_in(k_init, dev), (n_local,))
+    # mark the zero weights device-varying: the scan carry's output side is
+    # (per-shard weights), and shard_map's varying-axes check requires the
+    # initial carry to match
+    lw0 = jax.lax.pcast(jnp.zeros((n_local,), jnp.float32), (axis_name,), to="varying")
+
+    def weighted_mean(probs, value):
+        pb = probs.reshape(probs.shape + (1,) * ev)
+        return jax.lax.psum(jnp.sum(pb * value, axis=0), axis_name)
+
+    def step(carry, inp):
+        x, lw, ll = carry
+        k, y_t = inp
+        k_res, k_prop = jax.random.split(k)
+
+        probs = psum_normalize(lw, axis_name)
+        ess = 1.0 / jax.lax.psum(jnp.sum(jnp.square(probs)), axis_name)
+
+        def do_resample(op):
+            vals, lw_ = op
+            taken, _ = distributed_systematic(k_res, lw_, vals, axis_name, halo)
+            return taken, jnp.zeros_like(lw_)
+
+        def passthrough(op):
+            return op
+
+        vals, lw = jax.lax.cond(
+            ess < ess_threshold * n_particles, do_resample, passthrough, (x.value, lw)
+        )
+        x = x.copy(values=vals)
+
+        x = model.hidden.propagate_substeps(jax.random.fold_in(k_prop, dev), x, oes)
+        inc = model.build_density(x).log_prob(y_t)
+        ll = ll + distributed_log_likelihood(inc, lw, axis_name)
+        lw = lw + inc
+        mean = weighted_mean(psum_normalize(lw, axis_name), x.value)
+        return (x, lw, ll), mean
+
+    keys = jax.random.split(k_scan, y.shape[0])
+    (x, lw, ll), means = jax.lax.scan(step, (x0, lw0, jnp.float32(0.0)), (keys, y))
+    return x.value, lw, ll, means
+
+
+def spmd_batch_filter(
+    model,
+    n_particles: int,
+    key,
+    y,
+    mesh: Mesh,
+    axis_name: str = "particles",
+    ess_threshold: float = 0.9,
+    halo: int = 1,
+):
+    """Full bootstrap-SISR filtering pass with explicit collectives.
+
+    ``n_particles`` is the GLOBAL particle count (must divide the mesh axis).
+    Returns ``(values, log_weights, log_likelihood, filter_means)`` with
+    values/weights sharded over ``axis_name``.
+    """
+    p = mesh.shape[axis_name]
+    if n_particles % p:
+        raise ValueError(f"n_particles {n_particles} must divide mesh axis size {p}")
+
+    body = functools.partial(
+        spmd_filter_loop,
+        model,
+        n_particles,
+        axis_name=axis_name,
+        ess_threshold=ess_threshold,
+        halo=halo,
+    )
+    f = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(axis_name), P(axis_name), P(), P()),
+    )
+    return jax.jit(f)(key, jnp.asarray(y))
