@@ -39,14 +39,25 @@ def spmd_filter_loop(
     axis_name: str = "particles",
     ess_threshold: float = 0.9,
     halo: int = 1,
+    proposal=None,
 ):
     """The per-device filter body (call inside ``shard_map``): init + scan of
-    ESS-gated bootstrap-SISR steps over the local particle shard.
+    ESS-gated SISR steps over the local particle shard.
+
+    ``proposal`` (default Bootstrap): any per-particle-LOCAL proposal — one
+    whose ``sample_and_weight`` touches only ``prediction.get_timeseries_state()``
+    (Bootstrap, LinearGaussianObservations). Proposals that collapse the
+    cloud through its weights (the Gaussian-approximate family) need global
+    moments and are not supported on this path.
 
     Returns ``(final_values, final_log_weights, log_likelihood, means)`` —
     values/weights are the LOCAL shard, loglik and the per-step weighted-mean
     history are replicated.
     """
+    from ..filters.particle.proposals import Bootstrap
+    from ..filters.state import ParticleFilterPrediction
+
+    proposal = proposal if proposal is not None else Bootstrap()
     p = jax.lax.axis_size(axis_name)
     dev = jax.lax.axis_index(axis_name)
     n_local = n_particles // p
@@ -86,8 +97,16 @@ def spmd_filter_loop(
         )
         x = x.copy(values=vals)
 
-        x = model.hidden.propagate_substeps(jax.random.fold_in(k_prop, dev), x, oes)
-        inc = model.build_density(x).log_prob(y_t)
+        # sub-step to the observation time, then draw the final step through
+        # the proposal (== BaseFilter.filter's substep/correct split)
+        k_dev = jax.random.fold_in(k_prop, dev)
+        k_sub, k_final = jax.random.split(k_dev)
+        if oes > 1:
+            x = model.hidden.propagate_substeps(k_sub, x, oes - 1)
+        shim = ParticleFilterPrediction(
+            x, lw, psum_normalize(lw, axis_name), None
+        )
+        x, inc = proposal.sample_and_weight(k_final, model, y_t, shim)
         ll = ll + distributed_log_likelihood(inc, lw, axis_name)
         lw = lw + inc
         mean = weighted_mean(psum_normalize(lw, axis_name), x.value)
@@ -107,8 +126,10 @@ def spmd_batch_filter(
     axis_name: str = "particles",
     ess_threshold: float = 0.9,
     halo: int = 1,
+    proposal=None,
 ):
-    """Full bootstrap-SISR filtering pass with explicit collectives.
+    """Full SISR filtering pass with explicit collectives (default Bootstrap;
+    any per-particle-local proposal works — see :func:`spmd_filter_loop`).
 
     ``n_particles`` is the GLOBAL particle count (must divide the mesh axis).
     Returns ``(values, log_weights, log_likelihood, filter_means)`` with
@@ -125,6 +146,7 @@ def spmd_batch_filter(
         axis_name=axis_name,
         ess_threshold=ess_threshold,
         halo=halo,
+        proposal=proposal,
     )
     f = shard_map(
         body,

@@ -484,6 +484,16 @@ def test_spmd_batch_filter_matches_kalman_oracle(key):
         np.asarray(means), np.asarray(exact.filter_means).squeeze(), atol=0.08
     )
 
+    # the optimal-proposal variant (per-particle-local, so it rides the SPMD
+    # path unchanged) — a tighter loglik estimate than bootstrap
+    _, _, ll_opt, means_opt = parallel.spmd_batch_filter(
+        ssm, n, key, y, mesh, proposal=proposals.LinearGaussianObservations()
+    )
+    assert abs(float(ll_opt) - float(exact.log_likelihood)) < 0.6
+    np.testing.assert_allclose(
+        np.asarray(means_opt), np.asarray(exact.filter_means).squeeze(), atol=0.08
+    )
+
 
 def test_spmd_batch_filter_hlo_uses_halo_exchange(key):
     """The SPMD path's compiled program must move the cloud with
