@@ -37,9 +37,18 @@ class PMMH(BaseAlgorithm):
         key=None,
         mesh=None,
         lane_axis: str = "lanes",
+        num_seeds: int = 200,
     ):
         """``mesh`` (optional): shard the vectorized chains over the mesh's
-        ``lane_axis`` — each device runs its own chains' full re-filters."""
+        ``lane_axis`` — each device runs its own chains' full re-filters.
+
+        ``initializer``: ``"mean"`` starts every chain at the prior mean
+        (10k-sample MC estimate, reference pmmh.py:59-74); ``"seed"`` draws
+        ``num_seeds`` prior samples, scores each with ONE vectorized filtering
+        pass, and starts the chains at the ``num_chains`` highest-likelihood
+        draws (the reference documents this mode but leaves it
+        ``NotImplementedError``, pmmh.py:62-63 — implemented here, with top-k
+        rather than a single argmax so the chains stay dispersed)."""
         super().__init__(filter_=filter_, context=context, key=key)
 
         self.num_samples = int(num_samples)
@@ -52,6 +61,7 @@ class PMMH(BaseAlgorithm):
         if initializer not in ("mean", "seed"):
             raise NotImplementedError(f"`{initializer}` is not configured!")
         self._initializer = initializer
+        self._num_seeds = max(int(num_seeds), self.num_chains)
         self._mesh = mesh
         self._lane_axis = (
             lane_axis
@@ -67,25 +77,44 @@ class PMMH(BaseAlgorithm):
         return lane_sharded_filter(filt, self._mesh, lane_axis=self._lane_axis)
 
     def initialize(self, y) -> PMMHResult:
-        """Build the model, set chains to the prior mean (10k-sample MC
-        estimate, reference pmmh.py:59-74), and run the initial full filter."""
+        """Build the model, set the chains' starting values (``"mean"`` or
+        ``"seed"`` — see ``__init__``), and run the initial full filter."""
         self.context.set_key(self._next_key())
         self._filter = self._filter.initialize_model(self.context)
 
         if self._initializer == "seed":
-            raise NotImplementedError("the reference never implemented 'seed' either (pmmh.py:62-63)")
-
-        for name in list(self.context.parameters):
-            prior = self.context.get_prior(name)
-            mean = jnp.mean(
-                prior.sample(self._next_key(), self.MONTE_CARLO_SAMPLES), axis=0
-            )
-            mean = jnp.broadcast_to(mean, (self.num_chains,) + tuple(prior.event_shape))
-            self.context.update_parameter(name, mean)
+            self._seed_chains(jnp.asarray(y))
+        else:
+            for name in list(self.context.parameters):
+                prior = self.context.get_prior(name)
+                mean = jnp.mean(
+                    prior.sample(self._next_key(), self.MONTE_CARLO_SAMPLES), axis=0
+                )
+                mean = jnp.broadcast_to(mean, (self.num_chains,) + tuple(prior.event_shape))
+                self.context.update_parameter(name, mean)
 
         self._filter = self._place_filter(self._filter.initialize_model(self.context))
         prev_res = self._filter.batch_filter(self._next_key(), jnp.asarray(y))
         return PMMHResult(dict(self.context.parameters), prev_res)
+
+    def _seed_chains(self, y) -> None:
+        """``initializer="seed"``: score ``num_seeds`` prior draws with one
+        ``num_seeds``-lane filtering pass and write the top ``num_chains``
+        draws (by estimated loglik) into the context."""
+        n_seeds = self._num_seeds
+        seed_ctx = self.context._clone_registry()
+        seed_ctx.batch_shape = (n_seeds,)
+        for name in list(self.context.parameters):
+            prior = self.context.get_prior(name)
+            seed_ctx._value_dict[name] = prior.sample(self._next_key(), (n_seeds,))
+
+        seed_filter = self._filter.set_batch_shape((n_seeds,)).initialize_model(seed_ctx)
+        res = seed_filter.batch_filter(self._next_key(), y)
+        ll = jnp.reshape(res.log_likelihood, (n_seeds,))
+        ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+        best = jnp.argsort(ll)[::-1][: self.num_chains]
+        for name, v in seed_ctx._value_dict.items():
+            self.context.update_parameter(name, jnp.take(v, best, axis=0))
 
     def _fusible(self) -> bool:
         """The fused chain scan needs the full-core tier's conditions: a

@@ -263,3 +263,91 @@ def distributed_systematic(
         return taken, idx
 
     return jax.lax.cond(fits, halo_path, gather_path, values)
+
+
+# ---------------------------------------------------------------------------
+# communication-local Metropolis resampling — the collective-free tier
+# (PAPERS.md: Murray, Lee & Jacob, arXiv:1202.6163; SURVEY §5.8's third option)
+#
+# The systematic strategies above need a GLOBAL cumulative weight — at minimum
+# an all-gather of P shard totals plus psum-normalized weights. The Metropolis
+# resampler needs only weight RATIOS: each output slot runs an n_iter-step
+# independent-Metropolis chain over ancestor candidates, accepting j over k
+# with prob min(1, w_j/w_k). Restricting each device's candidate pool to its
+# ring window of 2*halo+1 neighboring shards makes the whole resample
+# 2*halo ppermutes + local arithmetic — NO reductions, NO all-gather, and no
+# shared uniform. Two approximations, both measured in tests/test_parallel.py:
+#   * chain bias: the slot law converges geometrically in n_iter to the
+#     window-restricted multinomial law (single-device `resampling.metropolis`
+#     has the same knob);
+#   * window bias: ancestors come from the window, re-weighted by the
+#     window-local weights. Exact when weights are i.i.d.-exchangeable across
+#     shards (each window is then an unbiased bootstrap of the cloud); biased
+#     when weight mass concentrates on few shards — there the systematic
+#     halo/all-gather strategies are the right tool. This is the documented
+#     trade of the communication-local family, not an implementation defect.
+# ---------------------------------------------------------------------------
+
+
+def local_metropolis(
+    key: jax.Array,
+    log_weights: jax.Array,
+    axis_name: str,
+    halo: int = 1,
+    n_iter: int = 32,
+):
+    """Window-restricted Metropolis ancestor selection for a particle-sharded
+    cloud. Returns ``(global_indices, window_indices)``: each local output
+    slot's ancestor as a global particle id and as a position into the
+    :func:`ring_window` of a value shard (for :func:`halo_take` with the same
+    ``halo``). Per-device communication: ``2*halo`` ppermutes of the weight
+    shard — no reductions of any kind."""
+    p = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    n_local = log_weights.shape[0]
+    n_win = (2 * halo + 1) * n_local
+
+    lw_win = _scrub(ring_window(log_weights, axis_name, halo))
+    # all-dead window -> uniform (the utils.normalize backfill, made local)
+    lw_win = jnp.where(jnp.all(jnp.isneginf(lw_win)), 0.0, lw_win)
+
+    # decorrelate the per-device chains: distinct key per device
+    dev_key = jax.random.fold_in(key, my)
+    # start at self; pcast marks the (replicated) start state device-varying so
+    # the scan carry types line up under shard_map's varying-axes check
+    k0 = jax.lax.pcast(
+        halo * n_local + jnp.arange(n_local, dtype=jnp.int32), (axis_name,), to="varying"
+    )
+
+    def body(k, it_key):
+        kj, ku = jax.random.split(it_key)
+        j = jax.random.randint(kj, (n_local,), 0, n_win, dtype=jnp.int32)
+        log_u = jnp.log(jax.random.uniform(ku, (n_local,), dtype=lw_win.dtype))
+        accept = log_u <= lw_win[j] - lw_win[k]
+        return jnp.where(accept, j, k), None
+
+    window_indices, _ = jax.lax.scan(body, k0, jax.random.split(dev_key, n_iter))
+    src_shard = jnp.mod(my - halo + window_indices // n_local, p)
+    global_indices = src_shard * n_local + window_indices % n_local
+    return global_indices, window_indices
+
+
+def distributed_metropolis(
+    key: jax.Array,
+    log_weights: jax.Array,
+    values,
+    axis_name: str,
+    halo: int = 1,
+    n_iter: int = 32,
+):
+    """Resample a pytree of particle-sharded ``values`` with the
+    communication-local Metropolis strategy: ``2*halo`` ppermutes for the
+    weight window, ``2*halo`` per value leaf, zero reductions. Returns
+    ``(resampled_values, global_indices)`` — same contract as
+    :func:`distributed_systematic`, different (approximate) law; see the
+    module comment for when the approximation is sound."""
+    g_idx, w_idx = local_metropolis(key, log_weights, axis_name, halo, n_iter)
+    taken = jax.tree_util.tree_map(
+        lambda v: halo_take(v, w_idx, axis_name, halo), values
+    )
+    return taken, g_idx

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .collective import (
     distributed_log_likelihood,
+    distributed_metropolis,
     distributed_systematic,
     psum_normalize,
 )
@@ -40,6 +41,8 @@ def spmd_filter_loop(
     ess_threshold: float = 0.9,
     halo: int = 1,
     proposal=None,
+    resampler: str = "systematic",
+    metropolis_iters: int = 32,
 ):
     """The per-device filter body (call inside ``shard_map``): init + scan of
     ESS-gated SISR steps over the local particle shard.
@@ -49,6 +52,12 @@ def spmd_filter_loop(
     (Bootstrap, LinearGaussianObservations). Proposals that collapse the
     cloud through its weights (the Gaussian-approximate family) need global
     moments and are not supported on this path.
+
+    ``resampler``: ``"systematic"`` (halo exchange + all-gather fallback,
+    exact law) or ``"metropolis"`` (communication-local: ``2*halo`` ppermutes,
+    zero reductions in the resample itself, approximately multinomial —
+    ``collective.local_metropolis`` documents the bias trade;
+    ``metropolis_iters`` is its chain length).
 
     Returns ``(final_values, final_log_weights, log_likelihood, means)`` —
     values/weights are the LOCAL shard, loglik and the per-step weighted-mean
@@ -86,7 +95,12 @@ def spmd_filter_loop(
 
         def do_resample(op):
             vals, lw_ = op
-            taken, _ = distributed_systematic(k_res, lw_, vals, axis_name, halo)
+            if resampler == "metropolis":
+                taken, _ = distributed_metropolis(
+                    k_res, lw_, vals, axis_name, halo, metropolis_iters
+                )
+            else:
+                taken, _ = distributed_systematic(k_res, lw_, vals, axis_name, halo)
             return taken, jnp.zeros_like(lw_)
 
         def passthrough(op):
@@ -127,6 +141,8 @@ def spmd_batch_filter(
     ess_threshold: float = 0.9,
     halo: int = 1,
     proposal=None,
+    resampler: str = "systematic",
+    metropolis_iters: int = 32,
 ):
     """Full SISR filtering pass with explicit collectives (default Bootstrap;
     any per-particle-local proposal works — see :func:`spmd_filter_loop`).
@@ -147,6 +163,8 @@ def spmd_batch_filter(
         ess_threshold=ess_threshold,
         halo=halo,
         proposal=proposal,
+        resampler=resampler,
+        metropolis_iters=metropolis_iters,
     )
     f = shard_map(
         body,

@@ -821,6 +821,45 @@ def test_pmmh_moves_toward_posterior():
     assert sigma_late < 0.2
 
 
+def test_pmmh_seed_initializer_picks_high_likelihood_draws():
+    """``initializer="seed"`` (documented but NotImplementedError in the
+    reference, pmmh.py:62-63): chains must start at the top-k of ``num_seeds``
+    prior draws by estimated loglik — so their starting loglik should beat
+    random prior draws' decisively."""
+    y = simulate(40)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 100, proposal=proposals.LinearGaussianObservations())
+        alg = inf.PMMH(
+            filt,
+            num_samples=2,
+            num_chains=4,
+            initializer="seed",
+            num_seeds=64,
+            context=ctx,
+            key=jax.random.PRNGKey(2),
+        )
+        state = alg.initialize(y)
+
+        for name in ("kappa", "gamma", "sigma"):
+            assert ctx.get_parameter(name).shape[:1] == (4,)
+        seeded_ll = np.asarray(state.filter_state.log_likelihood)
+        assert seeded_ll.shape == (4,)
+
+        # baseline: loglik at random prior draws on the same data
+        rnd_ctx = ctx._clone_registry()
+        for name in list(ctx.parameters):
+            rnd_ctx._value_dict[name] = ctx.get_prior(name).sample(
+                jax.random.PRNGKey(7), (4,)
+            )
+        rnd_filt = alg.filter.initialize_model(rnd_ctx)
+        rnd_ll = np.asarray(rnd_filt.batch_filter(jax.random.PRNGKey(8), y).log_likelihood)
+        assert seeded_ll.mean() > rnd_ll.mean()
+
+        # and the full fit runs from the seeded start
+        res = alg.fit(y, logging=inf.logging.DefaultLogger())
+        assert res.as_arrays()["gamma"].shape == (3, 4)
+
+
 def test_pmmh_fused_chain_matches_per_step():
     """The compiled chain scan (one dispatch per chunk, device-side chain
     recording) must be bit-identical to the per-sample reference-style loop —

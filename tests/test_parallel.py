@@ -391,6 +391,98 @@ def test_halo_systematic_matches_single_device_counts(key):
     assert (diff != 0).mean() < 5e-3
 
 
+def test_distributed_metropolis_is_collective_free(key):
+    """The communication-local Metropolis resample (PAPERS.md arXiv:1202.6163)
+    must compile to collective-permutes ONLY — no all-gather, no all-reduce:
+    its whole point is a resample with zero reductions on the wire."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pyfilter_tpu.parallel import collective
+
+    mesh = parallel.make_mesh()
+    n = 2048
+    lw = jax.random.normal(key, (n,))
+    vals = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    k = jax.random.PRNGKey(3)
+
+    f = jax.jit(
+        shard_map(
+            lambda lw_, v_: collective.distributed_metropolis(k, lw_, v_, "particles"),
+            mesh=mesh,
+            in_specs=(P("particles"), P("particles", None)),
+            out_specs=(P("particles", None), P("particles")),
+        )
+    )
+    pairs = _collectives_with_opnames(f.lower(lw, vals).compile().as_text())
+    ops = {op for op, _ in pairs}
+    assert "collective-permute" in ops  # the halo ring exchange
+    assert "all-gather" not in ops
+    assert "all-reduce" not in ops
+
+    taken, g_idx = f(lw, vals)
+    g_idx = np.asarray(g_idx)
+    # gathered values resolve to the selected global ancestors
+    np.testing.assert_array_equal(np.asarray(taken), np.asarray(vals)[g_idx])
+    # every ancestor lies inside its slot's ring window (halo=1)
+    n_local = n // 8
+    shard_of_slot = np.arange(n) // n_local
+    shard_of_anc = g_idx // n_local
+    ring_dist = np.minimum((shard_of_anc - shard_of_slot) % 8, (shard_of_slot - shard_of_anc) % 8)
+    assert ring_dist.max() <= 1
+
+
+def test_local_metropolis_law_tracks_weights(key):
+    """With exchangeable (i.i.d.) weights the window-restricted law is an
+    unbiased bootstrap of the cloud: aggregated ancestor mass per index
+    bucket must track the weight mass in that bucket."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pyfilter_tpu.parallel import collective
+
+    mesh = parallel.make_mesh()
+    n = 8192
+    lw = 0.5 * jax.random.normal(key, (n,))
+    k = jax.random.PRNGKey(5)
+
+    g_idx, _ = shard_map(
+        lambda lw_: collective.local_metropolis(k, lw_, "particles", halo=1, n_iter=64),
+        mesh=mesh,
+        in_specs=(P("particles"),),
+        out_specs=(P("particles"), P("particles")),
+    )(lw)
+
+    w = np.exp(np.asarray(lw))
+    w = w / w.sum()
+    counts = np.bincount(np.asarray(g_idx), minlength=n)
+    buckets = 16
+    got = counts.reshape(buckets, -1).sum(1) / n
+    want = w.reshape(buckets, -1).sum(1)
+    np.testing.assert_allclose(got, want, atol=0.015)
+
+
+def test_spmd_filter_metropolis_resampler_matches_oracle(key):
+    """The SPMD filter with the collective-free Metropolis resampler stays a
+    valid bootstrap filter. The chain bias is O(1/n_iter) in the loglik
+    (measured on this workload, N=4096, 60 obs, 5 seeds: -1.8 at B=32,
+    -0.70 at B=128, -0.42 at B=256, -0.22 at B=512 — window size halo=1 vs 3
+    indistinguishable); at B=128 the residual bias sits inside MC noise."""
+    ssm = _model()
+    y = ssm.sample_states(jax.random.PRNGKey(0), 60).y
+    mesh = parallel.make_mesh()
+    n = 4096
+
+    _, _, ll, means = parallel.spmd_batch_filter(
+        ssm, n, key, y, mesh, resampler="metropolis", metropolis_iters=128
+    )
+    exact = pf.KalmanFilter(ssm).batch_filter(y)
+    assert abs(float(ll) - float(exact.log_likelihood)) < 1.2
+    np.testing.assert_allclose(
+        np.asarray(means), np.asarray(exact.filter_means).squeeze(), atol=0.1
+    )
+
+
 # ---------------------------------------------------------------------------
 # inference layer: mesh-aware SMC2 / NESS / PMMH (SURVEY §2.8 integration)
 # ---------------------------------------------------------------------------

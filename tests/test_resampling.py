@@ -70,7 +70,9 @@ def test_systematic_accepts_log_weights(key):
     np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
 
 
-@pytest.mark.parametrize("scheme", ["systematic", "stratified", "multinomial", "residual"])
+@pytest.mark.parametrize(
+    "scheme", ["systematic", "stratified", "multinomial", "residual", "metropolis", "rejection"]
+)
 @pytest.mark.parametrize("batch_shape", [(), (3,)])
 def test_schemes_are_unbiased_and_in_range(key, scheme, batch_shape):
     fn = getattr(resampling, scheme)
@@ -82,13 +84,15 @@ def test_schemes_are_unbiased_and_in_range(key, scheme, batch_shape):
     idx = np.asarray(idx)
     assert idx.shape == (n, *batch_shape)
     assert idx.min() >= 0 and idx.max() < n
-    # resampled counts should approximate n * w
+    # resampled counts should approximate n * w; the ratio-based schemes have
+    # the multinomial law (metropolis approximately, at the default n_iter)
+    loose = scheme in ("multinomial", "metropolis", "rejection")
     flatw = w.reshape(n, -1)
     flati = idx.reshape(n, -1)
     for lane in range(flatw.shape[1]):
         counts = np.bincount(flati[:, lane], minlength=n)
         err = np.abs(counts / n - flatw[:, lane]).max()
-        assert err < 0.05 if scheme == "multinomial" else err < 0.02
+        assert err < (0.05 if loose else 0.02)
 
 
 def test_degenerate_weights_resample_uniformly(key):
@@ -106,6 +110,46 @@ def test_point_mass_resamples_to_single_index(key):
     for scheme in (resampling.systematic, resampling.stratified, resampling.multinomial):
         idx = scheme(key, w, normalized=True)
         assert np.all(np.asarray(idx) == 17)
+    # rejection is exact for any degeneracy (the while_loop redraws until the
+    # sole live particle is hit); metropolis needs its chain to propose it at
+    # least once per slot — n_iter large enough that P(miss) ~ (1-1/n)^B
+    idx = resampling.rejection(key, w, normalized=True)
+    assert np.all(np.asarray(idx) == 17)
+    idx = resampling.metropolis(key, w, normalized=True, n_iter=1000)
+    assert np.all(np.asarray(idx) == 17)
+
+
+def test_metropolis_bias_decays_in_chain_length(key):
+    """The slot law converges to multinomial geometrically in n_iter
+    (arXiv:1202.6163 §3.2). A single draw's count error is dominated by the
+    multinomial sampling floor, so measure the BIAS: expected ancestor
+    frequencies over many independent keys. At n_iter=2 the chains still sit
+    near their uniform start; at n_iter=64 the law must be close to w."""
+    n, n_keys = 256, 256
+    rng = np.random.default_rng(11)
+    w = rng.random(n) ** 3  # moderately degenerate
+    w = w / w.sum()
+    keys = jax.random.split(key, n_keys)
+
+    def bias(n_iter):
+        idx = jax.vmap(
+            lambda k: resampling.metropolis(k, jnp.asarray(w), normalized=True, n_iter=n_iter)
+        )(keys)
+        counts = np.bincount(np.asarray(idx).ravel(), minlength=n)
+        return np.abs(counts / (n * n_keys) - w).sum()  # L1 bias of the slot law
+
+    assert bias(64) < 0.3 * bias(2)
+
+
+def test_ratio_schemes_jit_and_vmap_safe(key):
+    n = 256
+    w = jax.random.uniform(key, (n, 4))
+    for fn in (resampling.metropolis, resampling.rejection):
+        idx = jax.jit(lambda k, lw, f=fn: f(k, lw))(key, jnp.log(w))
+        assert idx.shape == (n, 4) and idx.dtype == jnp.int32
+        vm = jax.vmap(lambda k, lw, f=fn: f(k, lw), in_axes=(0, 1), out_axes=1)
+        idx2 = vm(jax.random.split(key, 4), jnp.log(w))
+        assert idx2.shape == (n, 4)
 
 
 def test_residual_deterministic_part():
