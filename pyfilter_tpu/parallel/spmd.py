@@ -43,9 +43,11 @@ def spmd_filter_loop(
     proposal=None,
     resampler: str = "systematic",
     metropolis_iters: int = 32,
+    filter_type: str = "sisr",
 ):
     """The per-device filter body (call inside ``shard_map``): init + scan of
-    ESS-gated SISR steps over the local particle shard.
+    ESS-gated SISR steps — or APF steps with ``filter_type="apf"`` — over the
+    local particle shard.
 
     ``proposal`` (default Bootstrap): any per-particle-LOCAL proposal — one
     whose ``sample_and_weight`` touches only ``prediction.get_timeseries_state()``
@@ -58,6 +60,13 @@ def spmd_filter_loop(
     zero reductions in the resample itself, approximately multinomial —
     ``collective.local_metropolis`` documents the bias trade;
     ``metropolis_iters`` is its chain length).
+
+    ``filter_type="apf"`` runs the auxiliary particle filter step
+    (filters/particle/apf.py semantics): pre-weight with ``p(y | E[x])``
+    (per-particle local), resample EVERY step on ``pre_w + lw`` pulling the
+    values and pre-weights through one distributed resample, propose from the
+    resampled cloud, subtract the gathered pre-weights, and add the psum'd
+    auxiliary normalizer to the loglik.
 
     Returns ``(final_values, final_log_weights, log_likelihood, means)`` —
     values/weights are the LOCAL shard, loglik and the per-step weighted-mean
@@ -85,6 +94,13 @@ def spmd_filter_loop(
         pb = probs.reshape(probs.shape + (1,) * ev)
         return jax.lax.psum(jnp.sum(pb * value, axis=0), axis_name)
 
+    def resample(k_res, lw_, vals):
+        if resampler == "metropolis":
+            return distributed_metropolis(
+                k_res, lw_, vals, axis_name, halo, metropolis_iters
+            )
+        return distributed_systematic(k_res, lw_, vals, axis_name, halo)
+
     def step(carry, inp):
         x, lw, ll = carry
         k, y_t = inp
@@ -95,12 +111,7 @@ def spmd_filter_loop(
 
         def do_resample(op):
             vals, lw_ = op
-            if resampler == "metropolis":
-                taken, _ = distributed_metropolis(
-                    k_res, lw_, vals, axis_name, halo, metropolis_iters
-                )
-            else:
-                taken, _ = distributed_systematic(k_res, lw_, vals, axis_name, halo)
+            taken, _ = resample(k_res, lw_, vals)
             return taken, jnp.zeros_like(lw_)
 
         def passthrough(op):
@@ -126,8 +137,39 @@ def spmd_filter_loop(
         mean = weighted_mean(psum_normalize(lw, axis_name), x.value)
         return (x, lw, ll), mean
 
+    def apf_step(carry, inp):
+        x, lw, ll = carry
+        k, y_t = inp
+        k_res, k_prop = jax.random.split(k)
+        k_dev = jax.random.fold_in(k_prop, dev)
+        k_sub, k_final = jax.random.split(k_dev)
+        if oes > 1:
+            x = model.hidden.propagate_substeps(k_sub, x, oes - 1)
+
+        # pre-weight with p(y | E[x]) — per-particle local (apf.py:38)
+        pre_w = proposal.pre_weight(model, y_t, x)
+        probs_prev = psum_normalize(lw, axis_name)
+        (vals, prew_res), _ = resample(k_res, pre_w + lw, (x.value, pre_w))
+        x = x.copy(values=vals)
+
+        zeros = jnp.zeros_like(lw)
+        shim = ParticleFilterPrediction(x, zeros, zeros + 1.0 / n_particles, None)
+        x, inc = proposal.sample_and_weight(k_final, model, y_t, shim)
+        w = inc - prew_res  # subtract the gathered pre-weights (apf.py:61)
+
+        # aux normalizer: log sum_prev(prev_probs * exp(pre_w)) across shards
+        aux = jnp.log(
+            jax.lax.psum(jnp.sum(probs_prev * jnp.exp(pre_w)), axis_name)
+        )
+        ll = ll + distributed_log_likelihood(w, zeros, axis_name) + aux
+        lw = w
+        mean = weighted_mean(psum_normalize(lw, axis_name), x.value)
+        return (x, lw, ll), mean
+
+    body = apf_step if filter_type == "apf" else step
+
     keys = jax.random.split(k_scan, y.shape[0])
-    (x, lw, ll), means = jax.lax.scan(step, (x0, lw0, jnp.float32(0.0)), (keys, y))
+    (x, lw, ll), means = jax.lax.scan(body, (x0, lw0, jnp.float32(0.0)), (keys, y))
     return x.value, lw, ll, means
 
 
@@ -143,9 +185,12 @@ def spmd_batch_filter(
     proposal=None,
     resampler: str = "systematic",
     metropolis_iters: int = 32,
+    filter_type: str = "sisr",
 ):
-    """Full SISR filtering pass with explicit collectives (default Bootstrap;
-    any per-particle-local proposal works — see :func:`spmd_filter_loop`).
+    """Full filtering pass with explicit collectives — ESS-gated SISR by
+    default, the auxiliary particle filter with ``filter_type="apf"``
+    (default Bootstrap proposal; any per-particle-local proposal works — see
+    :func:`spmd_filter_loop`).
 
     ``n_particles`` is the GLOBAL particle count (must divide the mesh axis).
     Returns ``(values, log_weights, log_likelihood, filter_means)`` with
@@ -165,6 +210,7 @@ def spmd_batch_filter(
         proposal=proposal,
         resampler=resampler,
         metropolis_iters=metropolis_iters,
+        filter_type=filter_type,
     )
     f = shard_map(
         body,

@@ -462,6 +462,38 @@ def test_local_metropolis_law_tracks_weights(key):
     np.testing.assert_allclose(got, want, atol=0.015)
 
 
+def test_spmd_apf_matches_kalman_oracle(key):
+    """The SPMD auxiliary particle filter (pre-weight + every-step distributed
+    resample + aux normalizer) against the exact Kalman filter. With the
+    optimal linear-Gaussian proposal (the flagship APF+LGO combination,
+    reference README.md:35-82) the loglik is tight; with the bootstrap
+    proposal APF's point-estimate pre-weight makes the loglik estimator
+    high-variance on this model (the single-device library APF scatters
+    identically, -26..-20 at N=4096), so the bar there is the library
+    filter's own law, plus exact-oracle filter means."""
+    ssm = _model()
+    y = ssm.sample_states(jax.random.PRNGKey(0), 60).y
+    mesh = parallel.make_mesh()
+    n = 4096
+    exact = pf.KalmanFilter(ssm).batch_filter(y)
+
+    _, _, ll, means = parallel.spmd_batch_filter(ssm, n, key, y, mesh, filter_type="apf")
+    lib = pf.APF(ssm, n, proposal=proposals.Bootstrap()).batch_filter(key, y)
+    assert abs(float(ll) - float(lib.log_likelihood)) < 6.0
+    np.testing.assert_allclose(
+        np.asarray(means), np.asarray(exact.filter_means).squeeze(), atol=0.08
+    )
+
+    _, _, ll_opt, means_opt = parallel.spmd_batch_filter(
+        ssm, n, key, y, mesh, filter_type="apf",
+        proposal=proposals.LinearGaussianObservations(),
+    )
+    assert abs(float(ll_opt) - float(exact.log_likelihood)) < 0.6
+    np.testing.assert_allclose(
+        np.asarray(means_opt), np.asarray(exact.filter_means).squeeze(), atol=0.08
+    )
+
+
 def test_spmd_filter_metropolis_resampler_matches_oracle(key):
     """The SPMD filter with the collective-free Metropolis resampler stays a
     valid bootstrap filter. The chain bias is O(1/n_iter) in the loglik
