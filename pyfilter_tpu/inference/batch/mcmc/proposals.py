@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ....distributions import Normal
+from ....distributions import MultivariateNormal, Normal, robust_cholesky
 from ....timeseries import TimeseriesState
 from ...context import QuasiInferenceContext
 from ...utils import construct_mvn
@@ -106,7 +106,14 @@ class SymmetricMH(BaseProposal):
 class GradientBasedProposal(RandomWalk):
     r"""MALA-style proposal: :math:`\theta^* \sim N(\theta + \epsilon \nabla S(\theta), \sigma)`
     with :math:`S` the FFBS-smoothed joint log-likelihood plus log-prior
-    (reference gradient.py). Requires the filter to record states."""
+    (reference gradient.py). Requires the filter to record states.
+
+    ``use_second_order=True`` (left ``NotImplementedError`` in the reference,
+    gradient.py:59-60) upgrades to the simplified-manifold variant: per-lane
+    damped negative Hessians :math:`H` of :math:`S` precondition both the
+    drift and the noise, :math:`\theta^* \sim N(\theta + \epsilon H^{-1}
+    \nabla S, \sigma^2 H^{-1})` — run_pmmh's kernel rebuild on the candidate
+    side supplies the asymmetric-density MH correction either way."""
 
     # build is pure jnp + jax.grad over the recorded state history, so
     # gradient-PMMH rides the fused chain scan — PROVIDED the traced filter
@@ -117,10 +124,9 @@ class GradientBasedProposal(RandomWalk):
     jit_compatible = True
 
     def __init__(self, scale: float = 1e-2, use_second_order: bool = False):
-        if use_second_order:
-            raise NotImplementedError("second-order information is not implemented")
         super().__init__(scale=scale)
         self._eps = scale**2.0 / 2.0
+        self._use_second_order = bool(use_second_order)
 
     def build(self, context, state, filter_, y, key=None):
         result = state.filter_state
@@ -159,6 +165,32 @@ class GradientBasedProposal(RandomWalk):
 
         vec = context.stack_parameters(constrained=False)
         grad = jax.grad(joint)(vec)
-        loc = vec + self._eps * grad
-        scale = jnp.broadcast_to(jnp.asarray(self._scale, loc.dtype), loc.shape)
-        return Normal(loc, scale).to_event(1)
+
+        if not self._use_second_order:
+            loc = vec + self._eps * grad
+            scale = jnp.broadcast_to(jnp.asarray(self._scale, loc.dtype), loc.shape)
+            return Normal(loc, scale).to_event(1)
+
+        # simplified-manifold MALA: joint() sums independent lanes, so the
+        # full Hessian is lane-block-diagonal — extract the (K, D, D) blocks
+        hess = jax.jacfwd(jax.grad(joint))(vec)  # (K, D, K, D)
+        blocks = jnp.moveaxis(jnp.diagonal(hess, axis1=0, axis2=2), -1, 0)  # (K, D, D)
+        neg_h = -0.5 * (blocks + jnp.swapaxes(blocks, -1, -2))  # symmetrize
+
+        # damp to PD the way the mode-finder does (proposals/utils.py):
+        # eigenvalues clipped from below at a fraction of the spectral radius
+        evals, evecs = jnp.linalg.eigh(neg_h)
+        floor = 1e-3 * jnp.maximum(jnp.max(jnp.abs(evals), axis=-1, keepdims=True), 1e-6)
+        evals = jnp.maximum(evals, floor)
+        h_inv = jnp.einsum("...ij,...j,...kj->...ik", evecs, 1.0 / evals, evecs)
+
+        loc = vec + self._eps * jnp.einsum("...ij,...j->...i", h_inv, grad)
+        cov = (self._scale**2.0) * h_inv
+        return MultivariateNormal(loc, scale_tril=robust_cholesky(cov))
+
+    def exchange(self, latest, candidate, mask):
+        if not self._use_second_order:
+            return super().exchange(latest, candidate, mask)
+        loc = jnp.where(mask[..., None], candidate.loc, latest.loc)
+        tril = jnp.where(mask[..., None, None], candidate.scale_tril, latest.scale_tril)
+        return MultivariateNormal(loc, scale_tril=tril)

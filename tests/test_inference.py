@@ -914,6 +914,78 @@ def test_pmmh_gradient_proposal_rides_fused_tier():
         np.testing.assert_array_equal(fused[name], step[name])
 
 
+def test_pmmh_second_order_gradient_proposal():
+    """``use_second_order=True`` (NotImplementedError in the reference,
+    gradient.py:59-60): the Hessian-preconditioned MVN kernel must ride the
+    fused chain scan bit-identically to the per-sample loop, and the chains
+    must move and stay finite."""
+    y = simulate(30)
+
+    def run(chunk_size):
+        with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+            filt = pf.APF(
+                build_model,
+                50,
+                proposal=proposals.LinearGaussianObservations(),
+                record_states=True,
+            )
+            alg = inf.PMMH(
+                filt,
+                num_samples=6,
+                num_chains=2,
+                proposal=inf.GradientBasedProposal(scale=5e-2, use_second_order=True),
+                context=ctx,
+                key=jax.random.PRNGKey(2),
+            )
+            assert alg._fusible()
+            res = alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=chunk_size)
+        return res.as_arrays()
+
+    fused = run(None)
+    step = run(1)
+    moved = 0.0
+    for name in step:
+        assert np.isfinite(fused[name]).all()
+        # the eigh/cholesky pair in the Hessian build compiles to slightly
+        # different fusions inside the chain scan vs eagerly — ULP-level
+        # (measured 2.6e-8), unlike the bit-exact first-order kernel
+        np.testing.assert_allclose(fused[name], step[name], rtol=2e-5, atol=1e-7)
+        moved += float(np.abs(np.diff(fused[name], axis=0)).sum())
+    assert moved > 0.0  # at least one accepted transition across the run
+
+
+@pytest.mark.slow
+def test_second_order_stays_mobile_where_first_order_stalls():
+    """The Hessian preconditioner's job is step-size robustness: the
+    curvature-blind first-order drift overshoots and stalls completely
+    (zero accepted moves) at scale=0.05 on this workload, while the
+    preconditioned kernel keeps accepting (measured MSJD: 1st order
+    0.0037 @ scale 0.02 then 0.0 @ 0.05/0.08; 2nd order stays ~2e-4
+    across 0.02-0.08)."""
+    y = simulate(60)
+
+    def run(second, scale):
+        with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+            filt = pf.APF(
+                build_model, 60,
+                proposal=proposals.LinearGaussianObservations(),
+                record_states=True,
+            )
+            alg = inf.PMMH(
+                filt, 40, num_chains=4,
+                proposal=inf.GradientBasedProposal(scale=scale, use_second_order=second),
+                context=ctx, key=jax.random.PRNGKey(2),
+            )
+            res = alg.fit(y, logging=inf.logging.DefaultLogger())
+        arr = res.as_arrays()
+        return sum(float(np.mean((v[1:] - v[:-1]) ** 2)) for v in arr.values())
+
+    msjd_2nd = run(True, 0.05)
+    msjd_1st = run(False, 0.05)
+    assert msjd_1st == 0.0, msjd_1st
+    assert msjd_2nd > 1e-5, msjd_2nd
+
+
 @pytest.mark.slow
 def test_gradient_proposal_mixes_better_than_random_walk():
     """GradientBasedProposal's only reason to exist is better mixing than
