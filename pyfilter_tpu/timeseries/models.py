@@ -1,9 +1,11 @@
 """Library of ready-made processes.
 
-Equivalents of ``stochproc.timeseries.models`` as used by the reference
+Equivalents of ``stochproc.timeseries.models`` (the reference's model-layer
+dependency, SURVEY.md §2.9). The four the reference's tests/examples consume
 (tests/filters/models.py:13,56; tests/inference/models.py:17;
-stochastic-volatility.ipynb): AR, RandomWalk, OrnsteinUhlenbeck, Verhulst.
-All are scalar-event affine processes with Normal increments.
+stochastic-volatility.ipynb) — AR, RandomWalk, OrnsteinUhlenbeck, Verhulst —
+plus the rest of the stochproc zoo users expect when switching:
+LocalLinearTrend, TrendingOU, UCSV.
 """
 
 from __future__ import annotations
@@ -11,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
-from ..distributions import Normal
+from ..distributions import Independent, Normal
 from .process import AffineEulerMaruyama, AffineProcess  # noqa
 
 
@@ -116,6 +118,138 @@ class OrnsteinUhlenbeck(AffineProcess):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children[0], dt=aux[0])
+
+
+def _llt_mean_scale(x, sigma_level, sigma_slope):
+    level = x.value[..., 0]
+    slope = x.value[..., 1]
+    loc = jnp.stack([level + slope, slope], axis=-1)
+    scale = jnp.broadcast_to(
+        jnp.stack([jnp.asarray(sigma_level), jnp.asarray(sigma_slope)], axis=-1), loc.shape
+    )
+    return loc, scale
+
+
+def _llt_initial(sigma_level, sigma_slope):
+    s = jnp.stack([jnp.asarray(sigma_level), jnp.asarray(sigma_slope)], axis=-1)
+    return Independent(Normal(jnp.zeros_like(s), s), 1)
+
+
+@register_pytree_node_class
+class LocalLinearTrend(AffineProcess):
+    r"""Local linear trend (structural time-series): 2-D state
+    ``(level, slope)`` with
+
+    ``level' = level + slope + sigma_level * eps_1``,
+    ``slope' = slope + sigma_slope * eps_2``;
+
+    initial ``N(0, diag(sigma))``. Linear-Gaussian, so a Kalman oracle
+    applies (stochproc.timeseries.models equivalent beyond the reference's
+    direct usage — SURVEY.md §2.9)."""
+
+    def __init__(self, sigma_level, sigma_slope):
+        super().__init__(
+            _llt_mean_scale,
+            (sigma_level, sigma_slope),
+            Independent(Normal(jnp.zeros(2), jnp.ones(2)), 1),
+            _llt_initial,
+        )
+
+    def tree_flatten(self):
+        return (self.parameters,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children[0])
+
+
+def _trending_ou_factory(dt):
+    def mean_scale(x, kappa, gamma, beta, sigma):
+        decay = jnp.exp(-kappa * dt)
+        trend = gamma + beta * x.time_index
+        loc = trend + (x.value - trend) * decay
+        scale = sigma * jnp.sqrt((1.0 - jnp.square(decay)) / (2.0 * kappa))
+        return loc, scale
+
+    return mean_scale
+
+
+def _trending_ou_initial(kappa, gamma, beta, sigma):
+    return Normal(gamma, sigma / jnp.sqrt(2.0 * kappa))
+
+
+@register_pytree_node_class
+class TrendingOU(AffineProcess):
+    r"""Ornstein-Uhlenbeck reverting to a moving linear trend
+    ``theta_t = gamma + beta t`` (stochproc.timeseries.models equivalent):
+
+    ``x' = theta_t + (x - theta_t) e^{-kappa dt} + sigma sqrt((1 - e^{-2 kappa dt}) / (2 kappa)) eps``
+
+    with the trend frozen at the current time index over each step (exact OU
+    discretization around a stepwise-constant trend); initial stationary
+    ``N(gamma, sigma / sqrt(2 kappa))`` around the trend's intercept."""
+
+    def __init__(self, kappa, gamma, beta, sigma, dt: float = 1.0):
+        super().__init__(
+            _trending_ou_factory(dt),
+            (kappa, gamma, beta, sigma),
+            Normal(jnp.asarray(0.0), jnp.asarray(1.0)),
+            _trending_ou_initial,
+        )
+        self.dt = dt
+
+    def tree_flatten(self):
+        return (self.parameters,), (self.dt,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children[0], dt=aux[0])
+
+
+def _ucsv_mean_scale(x, sigma_volatility):
+    level = x.value[..., 0]
+    log_vol = x.value[..., 1]
+    loc = jnp.stack([level, log_vol], axis=-1)
+    scale = jnp.stack(
+        [jnp.exp(log_vol), jnp.broadcast_to(jnp.asarray(sigma_volatility), log_vol.shape)],
+        axis=-1,
+    )
+    return loc, scale
+
+
+def _ucsv_initial(sigma_volatility):
+    sv = jnp.asarray(sigma_volatility)
+    loc = jnp.stack([jnp.zeros_like(sv), jnp.zeros_like(sv)], axis=-1)
+    scale = jnp.stack([jnp.ones_like(sv), sv], axis=-1)
+    return Independent(Normal(loc, scale), 1)
+
+
+@register_pytree_node_class
+class UCSV(AffineProcess):
+    r"""Unobserved-components stochastic volatility (Stock-Watson style;
+    stochproc.timeseries.models equivalent): a Gaussian random walk whose
+    innovation scale is itself a log random walk. 2-D state
+    ``(level, log_vol)``:
+
+    ``level' = level + exp(log_vol) * eps_1``,
+    ``log_vol' = log_vol + sigma_volatility * eps_2``;
+
+    initial ``level ~ N(0, 1)``, ``log_vol ~ N(0, sigma_volatility)``."""
+
+    def __init__(self, sigma_volatility):
+        super().__init__(
+            _ucsv_mean_scale,
+            (sigma_volatility,),
+            Independent(Normal(jnp.zeros(2), jnp.ones(2)), 1),
+            _ucsv_initial,
+        )
+
+    def tree_flatten(self):
+        return (self.parameters,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children[0])
 
 
 def _verhulst_drift(x, kappa, gamma, sigma):

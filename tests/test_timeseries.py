@@ -222,3 +222,80 @@ def test_batched_parameters_broadcast(key):
     assert x1.value.shape == (N, K)
     d = ar.build_density(x0)
     assert d.log_prob(x1.value).shape == (N, K)
+
+
+# ---------------------------------------------------------------------------
+# stochproc model-zoo equivalents beyond the reference's direct usage
+# (SURVEY.md §2.9: the rebuild must ship its own model layer)
+# ---------------------------------------------------------------------------
+
+
+def test_local_linear_trend_matches_kalman(key):
+    """LocalLinearTrend is linear-Gaussian: F=[[1,1],[0,1]], Q=diag(sigma^2).
+    Filter it with the exact Kalman filter and a particle filter and check
+    both the model's law (via the oracle run) and the process mechanics."""
+    import pyfilter_tpu as pf
+    from pyfilter_tpu.filters.particle import proposals
+
+    sig = (0.05, 0.02)
+    llt = models.LocalLinearTrend(*sig)
+    x0 = llt.initial_sample(key, (256,))
+    assert x0.value.shape == (256, 2)
+    x1 = llt.propagate(key, x0)
+    # level' - level = slope + noise; slope' - slope = noise
+    drift = np.asarray(x1.value - x0.value)
+    np.testing.assert_allclose(drift[:, 0], np.asarray(x0.value[:, 1]), atol=4 * sig[0])
+    assert np.abs(drift[:, 1]).max() < 6 * sig[1]
+
+    a = jnp.eye(2)
+    ssm = ts.LinearStateSpaceModel(llt, (a, 0.15 * jnp.ones(2)), event_shape=(2,))
+    y = ssm.sample_states(jax.random.PRNGKey(0), 60).y
+    exact = pf.KalmanFilter(ssm).batch_filter(y)
+    part = pf.APF(ssm, 1500, proposal=proposals.LinearGaussianObservations()).batch_filter(
+        jax.random.PRNGKey(1), y
+    )
+    assert abs(float(part.log_likelihood) - float(exact.log_likelihood)) < 1.0
+    np.testing.assert_allclose(
+        np.asarray(part.filter_means), np.asarray(exact.filter_means), atol=0.1
+    )
+
+
+def test_trending_ou_tracks_trend(key):
+    kappa, gamma, beta, sigma = 0.8, 1.0, 0.05, 0.1
+    proc = models.TrendingOU(kappa, gamma, beta, sigma)
+    paths = jax.vmap(lambda k: proc.sample_states(k, 200).x)(jax.random.split(key, 200))
+    x = np.asarray(paths, np.float64)  # (200 paths, 201 steps)
+    t = np.arange(x.shape[1])
+    # late-sample mean reverts to the moving trend gamma + beta * t (the
+    # stationary lag is beta/kappa; tolerance covers it plus MC noise)
+    late = slice(100, None)
+    np.testing.assert_allclose(
+        x.mean(0)[late], (gamma + beta * t)[late], atol=beta / kappa + 0.05
+    )
+    # jit/pytree-safe
+    jitted = jax.jit(lambda k: proc.propagate(k, proc.initial_sample(k, (8,))).value)
+    assert jitted(key).shape == (8,)
+
+
+def test_ucsv_level_and_volatility(key):
+    import pyfilter_tpu as pf
+
+    sv = 0.05
+    proc = models.UCSV(sv)
+    x0 = proc.initial_sample(key, (512,))
+    assert x0.value.shape == (512, 2)
+    x1 = proc.propagate(key, x0)
+    # log-vol moves by N(0, sv); level moves by exp(log_vol) * N(0,1)
+    dv = np.asarray(x1.value[:, 1] - x0.value[:, 1])
+    assert dv.std() == pytest.approx(sv, rel=0.3)
+
+    # a bootstrap filter on (level observed + noise) tracks the level
+    a = jnp.asarray([[1.0, 0.0]])
+    ssm = ts.LinearStateSpaceModel(proc, (a, jnp.asarray([0.1])), event_shape=(1,))
+    path = ssm.sample_states(jax.random.PRNGKey(3), 80)
+    res = pf.SISR(ssm, 1000).batch_filter(jax.random.PRNGKey(4), path.y)
+    means = np.asarray(res.filter_means)[:, 0]
+    truth = np.asarray(path.x)[-len(means):, 0]
+    level_rmse = float(np.sqrt(np.mean((means - truth) ** 2)))
+    assert np.isfinite(float(res.log_likelihood))
+    assert level_rmse < 0.25, level_rmse
