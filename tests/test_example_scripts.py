@@ -15,6 +15,7 @@ SCRIPTS = [
     "lorenz_ness.py",
     "nutria_svi.py",
     "numpyro_interop.py",
+    "spmd_scaling.py",
 ]
 
 
