@@ -1,7 +1,8 @@
 """Joint state/parameter inference (reference pyfilter/inference/)."""
 
-from . import batch, prior, sequential, variational
+from . import batch, diagnostics, prior, sequential, variational
 from .base import BaseAlgorithm
+from .diagnostics import effective_sample_size, potential_scale_reduction, summarize_chains
 from .batch.mcmc import PMMH, GradientBasedProposal, RandomWalk, SymmetricMH, run_pmmh
 from .context import (
     InferenceContext,
@@ -56,4 +57,8 @@ __all__ = [
     "variational",
     "fit_svi",
     "SVIResult",
+    "diagnostics",
+    "potential_scale_reduction",
+    "effective_sample_size",
+    "summarize_chains",
 ]

@@ -1254,3 +1254,59 @@ def test_plot_chains():
         res = alg.fit(y, logging=inf.logging.DefaultLogger())
     fig, axes = plot_chains(res)
     assert len(axes) >= 3
+
+
+# ---------------------------------------------------------------------------
+# chain diagnostics (new capability: the reference ships only KDE plots)
+# ---------------------------------------------------------------------------
+
+
+class TestDiagnostics:
+    def test_rhat_iid_chains_near_one(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2000, 4))
+        assert abs(inf.potential_scale_reduction(x) - 1.0) < 0.02
+
+    def test_rhat_detects_unmixed_chains(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2000, 4)) + np.array([0.0, 0.0, 5.0, 5.0])
+        assert inf.potential_scale_reduction(x) > 1.5
+
+    def test_ess_iid_near_total(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2000, 4))
+        ess = inf.effective_sample_size(x)
+        assert 0.5 * 8000 < ess <= 8000
+
+    def test_ess_shrinks_with_autocorrelation(self):
+        rng = np.random.default_rng(3)
+        n, k, rho = 4000, 4, 0.95
+        eps = rng.normal(size=(n, k)) * np.sqrt(1 - rho**2)
+        x = np.zeros((n, k))
+        for t in range(1, n):
+            x[t] = rho * x[t - 1] + eps[t]
+        ess = inf.effective_sample_size(x)
+        # theoretical ESS factor (1-rho)/(1+rho) ~ 1/39
+        assert ess < 0.1 * n * k
+        assert ess > 20
+
+    def test_event_dims_handled(self):
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(500, 4, 3))
+        r = inf.potential_scale_reduction(x)
+        e = inf.effective_sample_size(x)
+        assert r.shape == (3,) and e.shape == (3,)
+
+    def test_summarize_pmmh_result(self):
+        y = simulate(25)
+        with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+            filt = pf.APF(build_model, 30, proposal=proposals.LinearGaussianObservations())
+            alg = inf.PMMH(filt, 20, num_chains=4, context=ctx, key=jax.random.PRNGKey(2))
+            res = alg.fit(y, logging=inf.logging.DefaultLogger())
+        summary = inf.summarize_chains(res)
+        assert set(summary) == {"kappa", "gamma", "sigma"}
+        for s in summary.values():
+            assert np.isfinite(s["mean"]).all()
+            assert np.isfinite(s["std"]).all()
+            # 10 retained samples x 4 chains: rhat/ess computable and bounded
+            assert np.all(np.asarray(s["ess"]) <= 40 + 1e-9)
