@@ -21,7 +21,7 @@ from .sharding import (
     sharded_batch_filter,
     sharded_filter_step,
 )
-from .spmd import spmd_batch_filter
+from .spmd import spmd_batch_filter, spmd_smooth
 
 __all__ = [
     "make_mesh",
@@ -30,5 +30,6 @@ __all__ = [
     "sharded_filter_step",
     "lane_sharded_filter",
     "spmd_batch_filter",
+    "spmd_smooth",
     "collective",
 ]

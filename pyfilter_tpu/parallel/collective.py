@@ -332,6 +332,54 @@ def local_metropolis(
     return global_indices, window_indices
 
 
+def distributed_categorical(key: jax.Array, logits: jax.Array, axis_name: str) -> jax.Array:
+    """Categorical draws over a particle-sharded category axis via the
+    Gumbel-max trick: ``argmax_i (logits_i + G_i)`` with i.i.d. Gumbel noise
+    is an exact categorical sample, and a sharded argmax is just a local
+    argmax + two ``pmax``/``psum`` scalars per row — O(rows) communication,
+    never O(N).
+
+    ``logits``: ``(rows, N/P)`` — the LOCAL shard of each row's global
+    category axis (unnormalized log-probabilities; normalization cancels in
+    the argmax). Returns ``(rows,)`` GLOBAL category indices, replicated.
+    """
+    p = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    n_local = logits.shape[-1]
+
+    # distinct noise per (row, global category): fold the device id in
+    g = -jnp.log(-jnp.log(
+        jax.random.uniform(jax.random.fold_in(key, my), logits.shape, dtype=logits.dtype)
+    ))
+    z = logits + g
+    local_best = jnp.max(z, axis=-1)  # (rows,)
+    local_arg = my * n_local + jnp.argmax(z, axis=-1).astype(jnp.int32)
+
+    best = jax.lax.pmax(local_best, axis_name)
+    # exactly one device holds the max (iid continuous noise); others vote -1
+    winner = jax.lax.pmax(
+        jnp.where(local_best == best, local_arg, -1), axis_name
+    )
+    return winner
+
+
+def distributed_take_rows(
+    values: jax.Array, global_indices: jax.Array, axis_name: str
+) -> jax.Array:
+    """Gather ``values[global_indices]`` from a particle-sharded axis-0 array
+    without an all-gather: the owning device contributes its row, the rest
+    contribute zeros, and a ``psum`` merges — O(rows * event) communication.
+    ``global_indices`` must be replicated; the result is replicated."""
+    my = jax.lax.axis_index(axis_name)
+    n_local = values.shape[0]
+    local_idx = global_indices - my * n_local
+    mine = (local_idx >= 0) & (local_idx < n_local)
+    picked = jnp.take(values, jnp.clip(local_idx, 0, n_local - 1), axis=0)
+    ev_dims = (1,) * (picked.ndim - 1)
+    contrib = jnp.where(mine.reshape(mine.shape + ev_dims), picked, 0.0)
+    return jax.lax.psum(contrib, axis_name)
+
+
 def distributed_metropolis(
     key: jax.Array,
     log_weights: jax.Array,

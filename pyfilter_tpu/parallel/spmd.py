@@ -13,6 +13,10 @@ standard bootstrap filter at global N.
 
 This is the path to 1e8+ particles: memory O(N/P) per device, steady-state
 communication O(1) scalars (two psums), resample communication O(halo*N/P).
+
+Smoothing scales the same way: :func:`spmd_smooth` runs FFBS over a recorded
+sharded history with a Gumbel-max distributed categorical — O(M) scalars of
+communication per backward step for M trajectories, never O(N).
 """
 
 from __future__ import annotations
@@ -44,6 +48,7 @@ def spmd_filter_loop(
     resampler: str = "systematic",
     metropolis_iters: int = 32,
     filter_type: str = "sisr",
+    record_history: bool = False,
 ):
     """The per-device filter body (call inside ``shard_map``): init + scan of
     ESS-gated SISR steps — or APF steps with ``filter_type="apf"`` — over the
@@ -70,7 +75,9 @@ def spmd_filter_loop(
 
     Returns ``(final_values, final_log_weights, log_likelihood, means)`` —
     values/weights are the LOCAL shard, loglik and the per-step weighted-mean
-    history are replicated.
+    history are replicated. With ``record_history=True`` a fifth element
+    ``(values, log_weights, times)`` of per-step shards (for
+    :func:`spmd_smooth`'s backward pass) is appended.
     """
     from ..filters.particle.proposals import Bootstrap
     from ..filters.state import ParticleFilterPrediction
@@ -135,7 +142,8 @@ def spmd_filter_loop(
         ll = ll + distributed_log_likelihood(inc, lw, axis_name)
         lw = lw + inc
         mean = weighted_mean(psum_normalize(lw, axis_name), x.value)
-        return (x, lw, ll), mean
+        out = (mean, (x.value, lw, x.time_index)) if record_history else mean
+        return (x, lw, ll), out
 
     def apf_step(carry, inp):
         x, lw, ll = carry
@@ -164,13 +172,17 @@ def spmd_filter_loop(
         ll = ll + distributed_log_likelihood(w, zeros, axis_name) + aux
         lw = w
         mean = weighted_mean(psum_normalize(lw, axis_name), x.value)
-        return (x, lw, ll), mean
+        out = (mean, (x.value, lw, x.time_index)) if record_history else mean
+        return (x, lw, ll), out
 
     body = apf_step if filter_type == "apf" else step
 
     keys = jax.random.split(k_scan, y.shape[0])
-    (x, lw, ll), means = jax.lax.scan(body, (x0, lw0, jnp.float32(0.0)), (keys, y))
-    return x.value, lw, ll, means
+    (x, lw, ll), outs = jax.lax.scan(body, (x0, lw0, jnp.float32(0.0)), (keys, y))
+    if record_history:
+        means, history = outs
+        return x.value, lw, ll, means, history
+    return x.value, lw, ll, outs
 
 
 def spmd_batch_filter(
@@ -186,6 +198,7 @@ def spmd_batch_filter(
     resampler: str = "systematic",
     metropolis_iters: int = 32,
     filter_type: str = "sisr",
+    record_history: bool = False,
 ):
     """Full filtering pass with explicit collectives — ESS-gated SISR by
     default, the auxiliary particle filter with ``filter_type="apf"``
@@ -194,7 +207,9 @@ def spmd_batch_filter(
 
     ``n_particles`` is the GLOBAL particle count (must divide the mesh axis).
     Returns ``(values, log_weights, log_likelihood, filter_means)`` with
-    values/weights sharded over ``axis_name``.
+    values/weights sharded over ``axis_name``; ``record_history=True``
+    appends the per-step ``(values, log_weights, times)`` history (time-major,
+    particle axis sharded) consumed by :func:`spmd_smooth`.
     """
     p = mesh.shape[axis_name]
     if n_particles % p:
@@ -211,11 +226,90 @@ def spmd_batch_filter(
         resampler=resampler,
         metropolis_iters=metropolis_iters,
         filter_type=filter_type,
+        record_history=record_history,
     )
+    out_specs = (P(axis_name), P(axis_name), P(), P())
+    if record_history:
+        out_specs = out_specs + ((P(None, axis_name), P(None, axis_name), P()),)
     f = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=(P(axis_name), P(axis_name), P(), P()),
+        out_specs=out_specs,
     )
     return jax.jit(f)(key, jnp.asarray(y))
+
+
+def spmd_ffbs_loop(model, n_trajectories: int, key, vals, lws, times, axis_name: str):
+    """Backward-sampling pass over a particle-sharded filter history (call
+    inside ``shard_map``; the public entry is :func:`spmd_smooth`).
+
+    The ``n_trajectories`` smoothed states stay REPLICATED while the cloud
+    stays sharded: each backward step computes local reweighting logits
+    ``lw_t + log p(traj_{t+1} | x_t)`` on its shard and re-selects ancestors
+    with :func:`..collective.distributed_categorical` (Gumbel-max + pmax) and
+    :func:`..collective.distributed_take_rows` (psum select) — O(M) scalars
+    of communication per step, never O(N). Single-device semantics:
+    filters/particle/base.py:_smooth_ffbs (reference particle/base.py:105-128).
+    """
+    from ..timeseries import TimeseriesState
+    from .collective import distributed_categorical, distributed_take_rows
+
+    ev = model.hidden.event_ndim
+    m = n_trajectories
+    k_last, k_scan = jax.random.split(key)
+
+    logits_last = jnp.broadcast_to(lws[-1][None, :], (m,) + lws[-1].shape)
+    idx_last = distributed_categorical(k_last, logits_last, axis_name)
+    traj_last = distributed_take_rows(vals[-1], idx_last, axis_name)  # (M, *ev)
+
+    def backward(carry, inp):
+        traj_next = carry
+        vals_t, lw_t, t_t, k = inp
+        state_t = TimeseriesState(t_t, vals_t, ev)
+        density = model.hidden.build_density(state_t)  # batch (n_local,)
+        w_state = density.log_prob(jnp.expand_dims(traj_next, 1))  # (M, n_local)
+        idx = distributed_categorical(k, lw_t[None] + w_state, axis_name)
+        traj_t = distributed_take_rows(vals_t, idx, axis_name)
+        return traj_t, traj_t
+
+    t = vals.shape[0]
+    if t == 1:
+        return traj_last[None]
+    keys = jax.random.split(k_scan, t - 1)
+    _, rest = jax.lax.scan(
+        backward, traj_last, (vals[:-1], lws[:-1], times[:-1], keys), reverse=True
+    )
+    return jnp.concatenate([rest, traj_last[None]], axis=0)
+
+
+def spmd_smooth(
+    model,
+    key,
+    history,
+    mesh: Mesh,
+    n_trajectories: int | None = None,
+    axis_name: str = "particles",
+):
+    """FFBS smoothing of an SPMD filter history
+    (``spmd_batch_filter(..., record_history=True)``'s fifth output).
+
+    Returns ``(T, n_trajectories, *event)`` smoothed trajectories,
+    replicated. Communication is O(n_trajectories) per backward step (the
+    Gumbel-max distributed categorical); compute is the same O(M * N/P)
+    density evaluations per device the single-device pass does at O(M * N).
+    """
+    vals, lws, times = history
+    if n_trajectories is None:
+        n_trajectories = vals.shape[1]
+
+    body = functools.partial(
+        spmd_ffbs_loop, model, int(n_trajectories), axis_name=axis_name
+    )
+    f = shard_map(
+        lambda k, v, w, t: body(k, v, w, t),
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name), P(None, axis_name), P()),
+        out_specs=P(),
+    )
+    return jax.jit(f)(key, vals, lws, times)

@@ -462,6 +462,80 @@ def test_local_metropolis_law_tracks_weights(key):
     np.testing.assert_allclose(got, want, atol=0.015)
 
 
+def test_distributed_categorical_law_and_take(key):
+    """The Gumbel-max sharded categorical must reproduce the softmax law of
+    its global logits row (O(rows) comm — no all-gather), and the psum row
+    select must fetch exactly the indexed global rows."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pyfilter_tpu.parallel import collective
+
+    mesh = parallel.make_mesh()
+    n, rows = 64, 20_000
+    logits_1d = jax.random.normal(key, (n,))
+    logits = jnp.broadcast_to(logits_1d[None, :], (rows, n))
+    vals = jnp.stack([jnp.arange(n, dtype=jnp.float32), jnp.arange(n, dtype=jnp.float32) ** 2], -1)
+
+    f = jax.jit(
+        shard_map(
+            lambda lg, v: (
+                lambda idx: (idx, collective.distributed_take_rows(v, idx, "particles"))
+            )(collective.distributed_categorical(jax.random.PRNGKey(3), lg, "particles")),
+            mesh=mesh,
+            in_specs=(P(None, "particles"), P("particles", None)),
+            out_specs=(P(), P()),
+        )
+    )
+    idx, taken = f(logits, vals)
+    idx = np.asarray(idx)
+    assert idx.shape == (rows,) and idx.min() >= 0 and idx.max() < n
+
+    # empirical frequencies match the softmax over the GLOBAL axis
+    want = np.exp(np.asarray(logits_1d)) / np.exp(np.asarray(logits_1d)).sum()
+    got = np.bincount(idx, minlength=n) / rows
+    np.testing.assert_allclose(got, want, atol=0.01)
+
+    np.testing.assert_array_equal(np.asarray(taken), np.asarray(vals)[idx])
+
+    # no all-gather in the compiled program
+    ops = {op for op, _ in _collectives_with_opnames(f.lower(logits, vals).compile().as_text())}
+    assert "all-gather" not in ops
+
+
+def test_spmd_smooth_ffbs_matches_oracle(key):
+    """Distributed FFBS: the smoothed-trajectory mean must beat the filter
+    mean against the latent truth and agree with the single-device FFBS law
+    (both estimate the same smoothing distribution)."""
+    ssm = _model()
+    path = ssm.sample_states(jax.random.PRNGKey(0), 50)
+    y = path.y
+    mesh = parallel.make_mesh()
+    n = 2048
+
+    _, _, ll, means, history = parallel.spmd_batch_filter(
+        ssm, n, key, y, mesh, record_history=True
+    )
+    vals, lws, times = history
+    assert vals.shape == (50, n) and lws.shape == (50, n) and times.shape == (50,)
+
+    sm = parallel.spmd_smooth(ssm, jax.random.PRNGKey(7), history, mesh, n_trajectories=512)
+    assert sm.shape == (50, 512)
+    sm_mean = np.asarray(sm).mean(axis=1)
+
+    truth = np.asarray(path.x)[-50:]
+    filt_rmse = float(np.sqrt(np.mean((np.asarray(means) - truth) ** 2)))
+    sm_rmse = float(np.sqrt(np.mean((sm_mean - truth) ** 2)))
+    assert sm_rmse <= filt_rmse * 1.05, (sm_rmse, filt_rmse)
+
+    # cross-check against the single-device FFBS smoother's estimate
+    filt = pf.SISR(ssm, n, record_states=True)
+    res = filt.batch_filter(key, y)
+    sm_ref = filt.smooth(jax.random.PRNGKey(7), res, method="ffbs")
+    ref_mean = np.asarray(sm_ref).mean(axis=1)[-50:]
+    np.testing.assert_allclose(sm_mean, ref_mean, atol=0.08)
+
+
 def test_spmd_apf_matches_kalman_oracle(key):
     """The SPMD auxiliary particle filter (pre-weight + every-step distributed
     resample + aux normalizer) against the exact Kalman filter. With the
