@@ -21,7 +21,7 @@ from .sharding import (
     sharded_batch_filter,
     sharded_filter_step,
 )
-from .spmd import spmd_batch_filter, spmd_smooth
+from .spmd import spmd_batch_filter, spmd_smooth, spmd_smoothed_log_likelihood
 
 __all__ = [
     "make_mesh",
@@ -31,5 +31,6 @@ __all__ = [
     "lane_sharded_filter",
     "spmd_batch_filter",
     "spmd_smooth",
+    "spmd_smoothed_log_likelihood",
     "collective",
 ]

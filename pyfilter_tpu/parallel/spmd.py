@@ -180,7 +180,14 @@ def spmd_filter_loop(
     keys = jax.random.split(k_scan, y.shape[0])
     (x, lw, ll), outs = jax.lax.scan(body, (x0, lw0, jnp.float32(0.0)), (keys, y))
     if record_history:
-        means, history = outs
+        means, (h_vals, h_lws, h_times) = outs
+        # prepend the initial state: the history spans t = 0..T exactly as the
+        # single-device record_states does (FilterHistory includes the init)
+        history = (
+            jnp.concatenate([x0.value[None], h_vals], axis=0),
+            jnp.concatenate([lw0[None], h_lws], axis=0),
+            jnp.concatenate([jnp.reshape(x0.time_index, (1,)).astype(h_times.dtype), h_times]),
+        )
         return x.value, lw, ll, means, history
     return x.value, lw, ll, outs
 
@@ -299,6 +306,12 @@ def spmd_smooth(
     Gumbel-max distributed categorical); compute is the same O(M * N/P)
     density evaluations per device the single-device pass does at O(M * N).
     """
+    if int(model.observe_every_step) != 1:
+        raise NotImplementedError(
+            "spmd_smooth needs single-step transitions between recorded states "
+            "(observe_every_step == 1); the SPMD history does not record "
+            "intermediary sub-steps"
+        )
     vals, lws, times = history
     if n_trajectories is None:
         n_trajectories = vals.shape[1]
@@ -313,3 +326,58 @@ def spmd_smooth(
         out_specs=P(),
     )
     return jax.jit(f)(key, vals, lws, times)
+
+
+def spmd_smoothed_log_likelihood(
+    model,
+    n_particles: int,
+    key,
+    y,
+    mesh: Mesh,
+    n_trajectories: int = 256,
+    axis_name: str = "particles",
+    **filter_kwargs,
+):
+    """The VI bridge at scale: the differentiable FFBS-smoothed joint
+    log-likelihood factor (single-device twin:
+    ``ParticleFilter.smoothed_log_likelihood``, reference pyro bridge
+    particle/base.py:176-229) with the filtering + smoothing passes sharded
+    over the mesh.
+
+    The filter and FFBS run on a stop-gradient copy of the model (the
+    reference's ``no_grad`` boundary); the smoothed trajectories come back
+    REPLICATED ``(T+1, M, *event)``, so the differentiable density
+    re-evaluation is plain local computation — gradients flow through the
+    densities only, and the backward pass never touches a collective.
+    """
+    from ..timeseries import TimeseriesState
+
+    frozen = jax.tree_util.tree_map(jax.lax.stop_gradient, model)
+    k_filter, k_smooth = jax.random.split(key)
+    y = jnp.asarray(y)
+
+    *_, history = spmd_batch_filter(
+        frozen, n_particles, k_filter, y, mesh,
+        axis_name=axis_name, record_history=True, **filter_kwargs,
+    )
+    history = jax.lax.stop_gradient(history)
+    smoothed = jax.lax.stop_gradient(
+        spmd_smooth(frozen, k_smooth, history, mesh, n_trajectories, axis_name)
+    )
+    times = history[2]
+
+    ev = model.hidden.event_ndim
+    x_tm1 = TimeseriesState(times[:-1], smoothed[:-1], ev)
+    x_t = TimeseriesState(times[1:], smoothed[1:], ev)
+    hidden_density = model.hidden.build_density(x_tm1)
+    obs_density = model.build_density(x_t)
+
+    y_event_ndim = len(model.event_shape)
+    y_shaped = y.reshape(y.shape[:1] + (1,) + y.shape[1 : 1 + y_event_ndim])
+
+    ll = (
+        jnp.sum(hidden_density.log_prob(smoothed[1:]), axis=0)
+        + jnp.sum(obs_density.log_prob(y_shaped), axis=0)
+        + model.hidden.initial_distribution().log_prob(smoothed[0])
+    )
+    return jnp.mean(ll, axis=0)

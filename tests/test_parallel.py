@@ -517,15 +517,16 @@ def test_spmd_smooth_ffbs_matches_oracle(key):
         ssm, n, key, y, mesh, record_history=True
     )
     vals, lws, times = history
-    assert vals.shape == (50, n) and lws.shape == (50, n) and times.shape == (50,)
+    # history spans t = 0..T, matching the single-device record_states
+    assert vals.shape == (51, n) and lws.shape == (51, n) and times.shape == (51,)
 
     sm = parallel.spmd_smooth(ssm, jax.random.PRNGKey(7), history, mesh, n_trajectories=512)
-    assert sm.shape == (50, 512)
+    assert sm.shape == (51, 512)
     sm_mean = np.asarray(sm).mean(axis=1)
 
     truth = np.asarray(path.x)[-50:]
     filt_rmse = float(np.sqrt(np.mean((np.asarray(means) - truth) ** 2)))
-    sm_rmse = float(np.sqrt(np.mean((sm_mean - truth) ** 2)))
+    sm_rmse = float(np.sqrt(np.mean((sm_mean[1:] - truth) ** 2)))
     assert sm_rmse <= filt_rmse * 1.05, (sm_rmse, filt_rmse)
 
     # cross-check against the single-device FFBS smoother's estimate
@@ -533,7 +534,39 @@ def test_spmd_smooth_ffbs_matches_oracle(key):
     res = filt.batch_filter(key, y)
     sm_ref = filt.smooth(jax.random.PRNGKey(7), res, method="ffbs")
     ref_mean = np.asarray(sm_ref).mean(axis=1)[-50:]
-    np.testing.assert_allclose(sm_mean, ref_mean, atol=0.08)
+    np.testing.assert_allclose(sm_mean[1:], ref_mean, atol=0.08)
+
+
+def test_spmd_smoothed_log_likelihood_gradients(key):
+    """The scale-out VI factor: finite, close to the single-device factor,
+    and its gradient w.r.t. a model parameter points toward the truth (the
+    differentiable path is the density re-evaluation only)."""
+    from pyfilter_tpu.timeseries import models as tsm
+
+    mesh = parallel.make_mesh()
+    true_gamma = 1.0
+    ssm = ts.LinearStateSpaceModel(
+        tsm.OrnsteinUhlenbeck(0.5, true_gamma, 0.1), (1.0, 0.05)
+    )
+    y = ssm.sample_states(jax.random.PRNGKey(0), 50).y
+
+    def factor(gamma):
+        m = ts.LinearStateSpaceModel(
+            tsm.OrnsteinUhlenbeck(0.5, gamma, 0.1), (1.0, 0.05)
+        )
+        return parallel.spmd_smoothed_log_likelihood(
+            m, 1024, key, y, mesh, n_trajectories=128
+        )
+
+    val, grad_low = jax.value_and_grad(factor)(jnp.asarray(0.7))
+    assert np.isfinite(float(val)) and float(grad_low) > 0  # push gamma UP
+    grad_high = jax.grad(factor)(jnp.asarray(1.3))
+    assert float(grad_high) < 0  # push gamma DOWN
+
+    # magnitude sanity vs the single-device factor at the same gamma
+    filt = pf.SISR(ssm, 1024)
+    single = float(filt.smoothed_log_likelihood(key, y))
+    assert abs(float(factor(jnp.asarray(true_gamma))) - single) < 3.0
 
 
 def test_spmd_apf_matches_kalman_oracle(key):
