@@ -177,6 +177,12 @@ class PMMH(BaseAlgorithm):
         while done < self.num_samples:
             n = min(chunk, self.num_samples - done)
             self._key, keys = _split_chain(self._key, n)
+            if n < chunk:
+                # pad the key block so n_steps stays the STATIC chunk size —
+                # the remainder reuses the compiled scan (the padded steps are
+                # device-side no-ops via n_valid and never consume real keys)
+                pad = jnp.zeros((chunk - n,) + keys.shape[1:], keys.dtype)
+                keys = jnp.concatenate([keys, pad], axis=0)
             ctx_new, fs_new, prop_kernel, recs, _rates = _pmmh_chain_scan(
                 keys,
                 self.context,
@@ -187,7 +193,8 @@ class PMMH(BaseAlgorithm):
                 self._proposal,
                 (),
                 True,
-                n,
+                chunk,
+                jnp.asarray(n),
             )
             self.context.absorb(ctx_new)
             if engine is not None:
@@ -196,7 +203,7 @@ class PMMH(BaseAlgorithm):
 
             # one host transfer per chunk; slice into the per-name record the
             # reference's update_chain accumulates (state.py:28-38)
-            recs_np = np.asarray(recs)  # (n, *batch, D) constrained
+            recs_np = np.asarray(recs)[:n]  # (n, *batch, D) constrained
             index = 0
             for name in self.context.parameters:
                 shape = self.context.get_shape(name, constrained=True)

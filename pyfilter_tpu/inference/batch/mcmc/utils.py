@@ -182,6 +182,7 @@ def _pmmh_chain_scan(
     size,
     mutate_kernel,
     n_steps,
+    n_valid=None,
 ):
     """``n_steps`` batch-PMMH transitions as ONE compiled ``lax.scan`` with
     device-side chain recording — the SMC2 dispatch-fusion recipe applied to
@@ -194,17 +195,42 @@ def _pmmh_chain_scan(
     are bit-identical. Returns the final carry plus the per-step CONSTRAINED
     stacked parameters ``(n_steps, *batch, D)`` and acceptance rates — the
     chain record, fetched host-side once per chunk instead of once per
-    sample."""
+    sample.
 
-    def body(carry, k):
-        ctx, fs, kern = carry
+    ``n_valid`` (traced, optional): steps at positions >= ``n_valid`` are
+    device-side NO-OPS (``lax.cond`` passes the carry through untouched).
+    This keeps ``n_steps`` — a STATIC shape — pinned to one chunk size for a
+    whole fit, so the remainder chunk reuses the compiled executable instead
+    of re-tracing the full-re-filter transition graph for its odd length
+    (callers pad ``keys`` and slice the record to ``n_valid``)."""
+
+    def transition(op):
+        (ctx, fs, kern), k = op
         _, rate, ctx, fs, kern = _pmmh_full_transition_body(
             k, ctx, fs, kern, filt, y, proposal, size, mutate_kernel
         )
         return (ctx, fs, kern), (ctx.stack_parameters(constrained=True), rate)
 
+    def passthrough(op):
+        (ctx, fs, kern), _ = op
+        return (ctx, fs, kern), (ctx.stack_parameters(constrained=True), jnp.float32(0.0))
+
+    if n_valid is None:
+
+        def body(carry, k):
+            return transition((carry, k))
+
+        xs = keys
+    else:
+
+        def body(carry, inp):
+            k, valid = inp
+            return jax.lax.cond(valid, transition, passthrough, (carry, k))
+
+        xs = (keys, jnp.arange(n_steps) < n_valid)
+
     (ctx, fs, kern), (recs, rates) = jax.lax.scan(
-        body, (context, filter_state, proposal_kernel), keys, length=n_steps
+        body, (context, filter_state, proposal_kernel), xs, length=n_steps
     )
     return ctx, fs, kern, recs, rates
 

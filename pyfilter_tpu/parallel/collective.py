@@ -308,15 +308,28 @@ def local_metropolis(
     n_win = (2 * halo + 1) * n_local
 
     lw_win = _scrub(ring_window(log_weights, axis_name, halo))
-    # all-dead window -> uniform (the utils.normalize backfill, made local)
-    lw_win = jnp.where(jnp.all(jnp.isneginf(lw_win)), 0.0, lw_win)
+    # when the ring window wraps a full lap (2*halo+1 > p) the later blocks
+    # are DUPLICATES of earlier residues; unmasked they would double those
+    # shards' selection probability (p=2, halo=1: the neighbor shard fills 2
+    # of 3 blocks). Mask every block past the first lap so each shard appears
+    # exactly once in the candidate pool.
+    block = jnp.repeat(jnp.arange(2 * halo + 1), n_local)
+    dup = block >= p
+    lw_win = jnp.where(dup, -jnp.inf, lw_win)
+    # all-dead window -> uniform over the VALID blocks (the utils.normalize
+    # backfill, made local; duplicate blocks must stay -inf)
+    lw_win = jnp.where(~dup & jnp.all(jnp.isneginf(lw_win)), 0.0, lw_win)
 
     # decorrelate the per-device chains: distinct key per device
     dev_key = jax.random.fold_in(key, my)
-    # start at self; pcast marks the (replicated) start state device-varying so
-    # the scan carry types line up under shard_map's varying-axes check
+    # start at self — block `halo` normally, its first-lap copy `halo % p`
+    # once the window wraps; pcast marks the (replicated) start state
+    # device-varying so the scan carry types line up under shard_map's
+    # varying-axes check
     k0 = jax.lax.pcast(
-        halo * n_local + jnp.arange(n_local, dtype=jnp.int32), (axis_name,), to="varying"
+        (halo % p) * n_local + jnp.arange(n_local, dtype=jnp.int32),
+        (axis_name,),
+        to="varying",
     )
 
     def body(k, it_key):

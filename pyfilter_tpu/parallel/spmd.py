@@ -222,29 +222,39 @@ def spmd_batch_filter(
     if n_particles % p:
         raise ValueError(f"n_particles {n_particles} must divide mesh axis size {p}")
 
-    body = functools.partial(
-        spmd_filter_loop,
-        model,
-        n_particles,
-        axis_name=axis_name,
-        ess_threshold=ess_threshold,
-        halo=halo,
-        proposal=proposal,
-        resampler=resampler,
-        metropolis_iters=metropolis_iters,
-        filter_type=filter_type,
-        record_history=record_history,
+    f = _jitted_spmd_filter(
+        mesh, axis_name, int(n_particles), float(ess_threshold), int(halo),
+        proposal, resampler, int(metropolis_iters), filter_type, bool(record_history),
     )
+    return f(model, key, jnp.asarray(y))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_spmd_filter(
+    mesh, axis_name, n_particles, ess_threshold, halo,
+    proposal, resampler, metropolis_iters, filter_type, record_history,
+):
+    """One compiled executable per (mesh, static config): the MODEL rides in
+    as a replicated pytree ARGUMENT, so parameter updates never recompile
+    (the repo-wide invariant; proposals hash structurally for the same
+    reason). Re-invoking with the same config and new parameters is a cache
+    hit."""
+
+    def run(model, key, y):
+        return spmd_filter_loop(
+            model, n_particles, key, y,
+            axis_name=axis_name, ess_threshold=ess_threshold, halo=halo,
+            proposal=proposal, resampler=resampler,
+            metropolis_iters=metropolis_iters, filter_type=filter_type,
+            record_history=record_history,
+        )
+
     out_specs = (P(axis_name), P(axis_name), P(), P())
     if record_history:
         out_specs = out_specs + ((P(None, axis_name), P(None, axis_name), P()),)
-    f = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=out_specs,
+    return jax.jit(
+        shard_map(run, mesh=mesh, in_specs=(P(), P(), P()), out_specs=out_specs)
     )
-    return jax.jit(f)(key, jnp.asarray(y))
 
 
 def spmd_ffbs_loop(model, n_trajectories: int, key, vals, lws, times, axis_name: str):
@@ -316,16 +326,26 @@ def spmd_smooth(
     if n_trajectories is None:
         n_trajectories = vals.shape[1]
 
-    body = functools.partial(
-        spmd_ffbs_loop, model, int(n_trajectories), axis_name=axis_name
+    f = _jitted_spmd_smooth(mesh, axis_name, int(n_trajectories))
+    return f(model, key, vals, lws, times)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_spmd_smooth(mesh, axis_name, n_trajectories):
+    """Compiled-once FFBS pass; the model is a replicated pytree argument
+    (parameter updates never recompile — see :func:`_jitted_spmd_filter`)."""
+
+    def run(model, key, vals, lws, times):
+        return spmd_ffbs_loop(model, n_trajectories, key, vals, lws, times, axis_name)
+
+    return jax.jit(
+        shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, axis_name), P(None, axis_name), P()),
+            out_specs=P(),
+        )
     )
-    f = shard_map(
-        lambda k, v, w, t: body(k, v, w, t),
-        mesh=mesh,
-        in_specs=(P(), P(None, axis_name), P(None, axis_name), P()),
-        out_specs=P(),
-    )
-    return jax.jit(f)(key, vals, lws, times)
 
 
 def spmd_smoothed_log_likelihood(

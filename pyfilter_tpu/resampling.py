@@ -222,15 +222,19 @@ def rejection(
     """Rejection resampling (Murray, Lee & Jacob, arXiv:1202.6163 §3.3).
 
     Slot ``i`` first tries ITSELF with probability ``w_i / w_max``, then draws
-    uniform candidates ``j``, accepting with probability ``w_j / w_max``. The
-    output law is exactly multinomial (unlike ``metropolis`` there is no bias),
-    heavy particles tend to keep their own slot (good memory locality), and the
-    only global statistic needed is the max weight — a single ``pmax`` when
-    sharded. The trip count is random: expected rounds = ``N * w_max`` (the
-    scheme is only economical when weights are not too degenerate).
+    uniform candidates ``j``, accepting with probability ``w_j / w_max``.
+    Expected offspring counts are exactly ``N * w`` with no chain-length
+    bias knob (the advantage over ``metropolis``); the per-slot ancestor law
+    is deliberately self-favoring (slot ``i`` keeps ``i`` with probability
+    ``w_i/w_max + (1 - w_i/w_max) p_i > p_i`` — the paper's design, for
+    memory locality), so the joint law is not literally N iid multinomial
+    draws. The only global statistic needed is the max weight — a single
+    ``pmax`` when sharded. The trip count is random: expected rounds =
+    ``N * w_max`` (the scheme is only economical when weights are not too
+    degenerate).
 
-    ``max_rounds`` bounds the ``while_loop`` for safety; unfinished slots (a
-    ~``(1 - 1/(N w_max))**max_rounds`` tail) keep their last candidate.
+    ``max_rounds`` bounds the ``while_loop`` for safety; slots in the
+    ~``(1 - 1/(N w_max))**max_rounds`` unfinished tail keep themselves.
     """
     lw = _as_log_weights(weights, normalized)
     n = lw.shape[0]

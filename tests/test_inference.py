@@ -914,6 +914,21 @@ def test_pmmh_gradient_proposal_rides_fused_tier():
         np.testing.assert_array_equal(fused[name], step[name])
 
 
+def test_pmmh_remainder_chunk_reuses_compile():
+    """n_steps is a static shape: the remainder chunk (12 = 5+5+2) must ride
+    the SAME compiled scan via key padding + device-side no-op steps instead
+    of re-tracing the full-re-filter transition graph for length 2."""
+    from pyfilter_tpu.inference.batch.mcmc import utils as mcmc_utils
+
+    y = simulate(25)
+    mcmc_utils._pmmh_chain_scan._clear_cache()
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 30, proposal=proposals.LinearGaussianObservations())
+        alg = inf.PMMH(filt, 12, num_chains=4, context=ctx, key=jax.random.PRNGKey(2))
+        alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=5)
+    assert mcmc_utils._pmmh_chain_scan._cache_size() == 1
+
+
 def test_pmmh_second_order_gradient_proposal():
     """``use_second_order=True`` (NotImplementedError in the reference,
     gradient.py:59-60): the Hessian-preconditioned MVN kernel must ride the

@@ -462,6 +462,31 @@ def test_local_metropolis_law_tracks_weights(key):
     np.testing.assert_allclose(got, want, atol=0.015)
 
 
+def test_spmd_filter_param_update_no_recompile(key):
+    """The repo-wide invariant (CLAUDE.md): parameter updates NEVER
+    recompile. The SPMD entry points cache one compiled executable per
+    (mesh, static config) and take the model as a pytree argument."""
+    from pyfilter_tpu.parallel import spmd
+    from pyfilter_tpu.timeseries import models as tsm
+
+    mesh = parallel.make_mesh()
+    y = jnp.zeros((5,))
+
+    def make(kappa):
+        return ts.LinearStateSpaceModel(
+            tsm.OrnsteinUhlenbeck(kappa, 1.0, 0.1), (1.0, 0.05)
+        )
+
+    _, _, ll1, _ = parallel.spmd_batch_filter(make(0.5), 512, key, y, mesh)
+    jitted = spmd._jitted_spmd_filter(
+        mesh, "particles", 512, 0.9, 1, None, "systematic", 32, "sisr", False
+    )
+    traces_after_first = jitted._cache_size()
+    _, _, ll2, _ = parallel.spmd_batch_filter(make(0.8), 512, key, y, mesh)
+    assert jitted._cache_size() == traces_after_first  # no retrace, no recompile
+    assert float(ll1) != float(ll2)  # and the parameters genuinely differed
+
+
 def test_distributed_categorical_law_and_take(key):
     """The Gumbel-max sharded categorical must reproduce the softmax law of
     its global logits row (O(rows) comm — no all-gather), and the psum row
@@ -599,6 +624,32 @@ def test_spmd_apf_matches_kalman_oracle(key):
     np.testing.assert_allclose(
         np.asarray(means_opt), np.asarray(exact.filter_means).squeeze(), atol=0.08
     )
+
+
+def test_local_metropolis_small_mesh_no_double_counting(key):
+    """Regression: with 2*halo+1 > p the ring window wraps and later blocks
+    duplicate earlier shards — unmasked, a 2-device mesh at halo=1 gave the
+    neighbor shard exactly 2x the selection probability. With uniform weights
+    the ancestor mass must split evenly between the two shards."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pyfilter_tpu.parallel import collective
+
+    mesh2 = parallel.make_mesh((2,), ("particles",), devices=jax.devices()[:2])
+    n = 4096
+    lw = jnp.zeros((n,))
+
+    g_idx, _ = shard_map(
+        lambda lw_: collective.local_metropolis(
+            jax.random.PRNGKey(3), lw_, "particles", halo=1, n_iter=64
+        ),
+        mesh=mesh2,
+        in_specs=(P("particles"),),
+        out_specs=(P("particles"), P("particles")),
+    )(lw)
+    frac_shard1 = float(np.mean(np.asarray(g_idx) >= n // 2))
+    assert abs(frac_shard1 - 0.5) < 0.05, frac_shard1
 
 
 def test_spmd_filter_metropolis_resampler_matches_oracle(key):
