@@ -57,8 +57,9 @@ def spmd_filter_loop(
     ``proposal`` (default Bootstrap): any per-particle-LOCAL proposal — one
     whose ``sample_and_weight`` touches only ``prediction.get_timeseries_state()``
     (Bootstrap, LinearGaussianObservations). Proposals that collapse the
-    cloud through its weights (the Gaussian-approximate family) need global
-    moments and are not supported on this path.
+    cloud through its weights need global moments and cannot ride
+    ``proposal=``; the Gaussian particle filter is available as
+    ``filter_type="gpf"`` instead (psum'd moments).
 
     ``resampler``: ``"systematic"`` (halo exchange + all-gather fallback,
     exact law) or ``"metropolis"`` (communication-local: ``2*halo`` ppermutes,
@@ -72,6 +73,11 @@ def spmd_filter_loop(
     values and pre-weights through one distributed resample, propose from the
     resampled cloud, subtract the gathered pre-weights, and add the psum'd
     auxiliary normalizer to the loglik.
+
+    ``filter_type="gpf"`` runs the Gaussian particle filter: the cloud
+    collapses to a moment-matched Gaussian of the propagated predictive —
+    the global moments are two psums, which is why the Gaussian-approximate
+    family needs its own step here instead of riding ``proposal=``.
 
     Returns ``(final_values, final_log_weights, log_likelihood, means)`` —
     values/weights are the LOCAL shard, loglik and the per-step weighted-mean
@@ -175,7 +181,47 @@ def spmd_filter_loop(
         out = (mean, (x.value, lw, x.time_index)) if record_history else mean
         return (x, lw, ll), out
 
-    body = apf_step if filter_type == "apf" else step
+    def gpf_step(carry, inp):
+        # Gaussian particle filter (filters/particle/gpf.py semantics): no
+        # resampling; the cloud collapses to a moment-matched Gaussian of the
+        # propagated predictive — the moments are the ONLY cross-particle
+        # statistic, and they are two psums
+        from ..distributions import MultivariateNormal, Normal, robust_cholesky
+
+        x, lw, ll = carry
+        k, y_t = inp
+        k_dev = jax.random.fold_in(k, dev)
+        k_sub, k_prop, k_sample = jax.random.split(k_dev, 3)
+        if oes > 1:
+            x = model.hidden.propagate_substeps(k_sub, x, oes - 1)
+
+        probs = psum_normalize(lw, axis_name)
+        x_prop = model.hidden.propagate(k_prop, x)
+        pb = probs.reshape(probs.shape + (1,) * ev)
+        mean = jax.lax.psum(jnp.sum(pb * x_prop.value, axis=0), axis_name)
+        if ev == 0:
+            var = jax.lax.psum(
+                jnp.sum(probs * jnp.square(x_prop.value - mean), axis=0), axis_name
+            )
+            predictive = Normal(mean, jnp.sqrt(var))
+        else:
+            centered = x_prop.value - mean
+            cov = jax.lax.psum(
+                jnp.einsum("n,ni,nj->ij", probs, centered, centered), axis_name
+            )
+            predictive = MultivariateNormal(mean, scale_tril=robust_cholesky(cov))
+
+        x_vals = predictive.expand((n_local,)).sample(k_sample)
+        x = x_prop.copy(values=x_vals)
+        w = model.build_density(x).log_prob(y_t)
+        ll = ll + distributed_log_likelihood(w, jnp.zeros_like(w), axis_name)
+        lw = w
+        mean_f = weighted_mean(psum_normalize(lw, axis_name), x.value)
+        out = (mean_f, (x.value, lw, x.time_index)) if record_history else mean_f
+        return (x, lw, ll), out
+
+    bodies = {"sisr": step, "apf": apf_step, "gpf": gpf_step}
+    body = bodies[filter_type]
 
     keys = jax.random.split(k_scan, y.shape[0])
     (x, lw, ll), outs = jax.lax.scan(body, (x0, lw0, jnp.float32(0.0)), (keys, y))

@@ -652,6 +652,26 @@ def test_local_metropolis_small_mesh_no_double_counting(key):
     assert abs(frac_shard1 - 0.5) < 0.05, frac_shard1
 
 
+def test_spmd_gpf_matches_kalman_oracle(key):
+    """The SPMD Gaussian particle filter (moment-matched predictive via two
+    psums, no resampling) against the exact Kalman filter — and against the
+    single-device GPF's own estimate."""
+    ssm = _model()
+    y = ssm.sample_states(jax.random.PRNGKey(0), 60).y
+    mesh = parallel.make_mesh()
+    n = 4096
+    exact = pf.KalmanFilter(ssm).batch_filter(y)
+
+    _, _, ll, means = parallel.spmd_batch_filter(ssm, n, key, y, mesh, filter_type="gpf")
+    assert abs(float(ll) - float(exact.log_likelihood)) < 1.2
+    np.testing.assert_allclose(
+        np.asarray(means), np.asarray(exact.filter_means).squeeze(), atol=0.08
+    )
+
+    lib = pf.GPF(ssm, n).batch_filter(key, y)
+    assert abs(float(ll) - float(lib.log_likelihood)) < 1.2
+
+
 def test_spmd_filter_metropolis_resampler_matches_oracle(key):
     """The SPMD filter with the collective-free Metropolis resampler stays a
     valid bootstrap filter. The chain bias is O(1/n_iter) in the loglik
