@@ -141,12 +141,25 @@ def spmd_filter_loop(
         k_sub, k_final = jax.random.split(k_dev)
         if oes > 1:
             x = model.hidden.propagate_substeps(k_sub, x, oes - 1)
-        shim = ParticleFilterPrediction(
-            x, lw, psum_normalize(lw, axis_name), None
-        )
-        x, inc = proposal.sample_and_weight(k_final, model, y_t, shim)
-        ll = ll + distributed_log_likelihood(inc, lw, axis_name)
-        lw = lw + inc
+
+        def do_correct(op):
+            x_, lw_ = op
+            shim = ParticleFilterPrediction(
+                x_, lw_, psum_normalize(lw_, axis_name), None
+            )
+            x_new, inc = proposal.sample_and_weight(k_final, model, y_t, shim)
+            return x_new, lw_ + inc, distributed_log_likelihood(inc, lw_, axis_name)
+
+        def do_skip(op):
+            # all-NaN observation: propagate from the transition only, zero
+            # loglik increment (BaseFilter.filter's NaN skip, filters/base.py)
+            x_, lw_ = op
+            x_new = model.hidden.propagate(k_final, x_)
+            return x_new, lw_, jnp.float32(0.0)
+
+        skip = jnp.all(jnp.isnan(y_t))
+        x, lw, inc_ll = jax.lax.cond(skip, do_skip, do_correct, (x, lw))
+        ll = ll + inc_ll
         mean = weighted_mean(psum_normalize(lw, axis_name), x.value)
         out = (mean, (x.value, lw, x.time_index)) if record_history else mean
         return (x, lw, ll), out
@@ -160,23 +173,32 @@ def spmd_filter_loop(
         if oes > 1:
             x = model.hidden.propagate_substeps(k_sub, x, oes - 1)
 
-        # pre-weight with p(y | E[x]) — per-particle local (apf.py:38)
-        pre_w = proposal.pre_weight(model, y_t, x)
-        probs_prev = psum_normalize(lw, axis_name)
-        (vals, prew_res), _ = resample(k_res, pre_w + lw, (x.value, pre_w))
-        x = x.copy(values=vals)
+        def do_correct(op):
+            x_, lw_ = op
+            # pre-weight with p(y | E[x]) — per-particle local (apf.py:38)
+            pre_w = proposal.pre_weight(model, y_t, x_)
+            probs_prev = psum_normalize(lw_, axis_name)
+            (vals, prew_res), _ = resample(k_res, pre_w + lw_, (x_.value, pre_w))
+            x_ = x_.copy(values=vals)
 
-        zeros = jnp.zeros_like(lw)
-        shim = ParticleFilterPrediction(x, zeros, zeros + 1.0 / n_particles, None)
-        x, inc = proposal.sample_and_weight(k_final, model, y_t, shim)
-        w = inc - prew_res  # subtract the gathered pre-weights (apf.py:61)
+            zeros = jnp.zeros_like(lw_)
+            shim = ParticleFilterPrediction(x_, zeros, zeros + 1.0 / n_particles, None)
+            x_new, inc = proposal.sample_and_weight(k_final, model, y_t, shim)
+            w = inc - prew_res  # subtract the gathered pre-weights (apf.py:61)
 
-        # aux normalizer: log sum_prev(prev_probs * exp(pre_w)) across shards
-        aux = jnp.log(
-            jax.lax.psum(jnp.sum(probs_prev * jnp.exp(pre_w)), axis_name)
-        )
-        ll = ll + distributed_log_likelihood(w, zeros, axis_name) + aux
-        lw = w
+            # aux normalizer: log sum_prev(prev_probs * exp(pre_w)) across shards
+            aux = jnp.log(
+                jax.lax.psum(jnp.sum(probs_prev * jnp.exp(pre_w)), axis_name)
+            )
+            return x_new, w, distributed_log_likelihood(w, zeros, axis_name) + aux
+
+        def do_skip(op):
+            x_, lw_ = op
+            return model.hidden.propagate(k_final, x_), lw_, jnp.float32(0.0)
+
+        skip = jnp.all(jnp.isnan(y_t))
+        x, lw, inc_ll = jax.lax.cond(skip, do_skip, do_correct, (x, lw))
+        ll = ll + inc_ll
         mean = weighted_mean(psum_normalize(lw, axis_name), x.value)
         out = (mean, (x.value, lw, x.time_index)) if record_history else mean
         return (x, lw, ll), out
@@ -211,11 +233,19 @@ def spmd_filter_loop(
             )
             predictive = MultivariateNormal(mean, scale_tril=robust_cholesky(cov))
 
-        x_vals = predictive.expand((n_local,)).sample(k_sample)
-        x = x_prop.copy(values=x_vals)
-        w = model.build_density(x).log_prob(y_t)
-        ll = ll + distributed_log_likelihood(w, jnp.zeros_like(w), axis_name)
-        lw = w
+        def do_correct(_):
+            x_vals = predictive.expand((n_local,)).sample(k_sample)
+            x_new = x_prop.copy(values=x_vals)
+            w = model.build_density(x_new).log_prob(y_t)
+            return x_new, w, distributed_log_likelihood(w, jnp.zeros_like(w), axis_name)
+
+        def do_skip(_):
+            # all-NaN observation: keep the propagated cloud and weights
+            return x_prop, lw, jnp.float32(0.0)
+
+        skip = jnp.all(jnp.isnan(y_t))
+        x, lw, inc_ll = jax.lax.cond(skip, do_skip, do_correct, None)
+        ll = ll + inc_ll
         mean_f = weighted_mean(psum_normalize(lw, axis_name), x.value)
         out = (mean_f, (x.value, lw, x.time_index)) if record_history else mean_f
         return (x, lw, ll), out

@@ -652,6 +652,31 @@ def test_local_metropolis_small_mesh_no_double_counting(key):
     assert abs(frac_shard1 - 0.5) < 0.05, frac_shard1
 
 
+@pytest.mark.parametrize("filter_type", ["sisr", "apf", "gpf"])
+def test_spmd_filter_nan_skip(key, filter_type):
+    """All-NaN observations are skipped on the SPMD path exactly as the
+    filter framework's NaN skip: zero loglik increment in the gap, hidden
+    state still propagating — matched against the NaN-aware exact Kalman
+    filter."""
+    ssm = _model()
+    y = np.array(ssm.sample_states(jax.random.PRNGKey(0), 60).y)
+    y[20:30] = np.nan
+    y = jnp.asarray(y)
+    mesh = parallel.make_mesh()
+
+    _, _, ll, means = parallel.spmd_batch_filter(
+        ssm, 4096, key, y, mesh, filter_type=filter_type
+    )
+    exact = pf.KalmanFilter(ssm).batch_filter(y)
+    assert np.isfinite(float(ll))
+    tol = 1.5 if filter_type == "apf" else 1.2  # bootstrap-APF loglik scatters
+    if filter_type != "apf":
+        assert abs(float(ll) - float(exact.log_likelihood)) < tol
+    np.testing.assert_allclose(
+        np.asarray(means), np.asarray(exact.filter_means).squeeze(), atol=0.15
+    )
+
+
 def test_spmd_gpf_matches_kalman_oracle(key):
     """The SPMD Gaussian particle filter (moment-matched predictive via two
     psums, no resampling) against the exact Kalman filter — and against the
