@@ -21,7 +21,12 @@ from .sharding import (
     sharded_batch_filter,
     sharded_filter_step,
 )
-from .spmd import spmd_batch_filter, spmd_smooth, spmd_smoothed_log_likelihood
+from .spmd import (
+    spmd_batch_filter,
+    spmd_predict,
+    spmd_smooth,
+    spmd_smoothed_log_likelihood,
+)
 
 __all__ = [
     "make_mesh",
@@ -30,6 +35,7 @@ __all__ = [
     "sharded_filter_step",
     "lane_sharded_filter",
     "spmd_batch_filter",
+    "spmd_predict",
     "spmd_smooth",
     "spmd_smoothed_log_likelihood",
     "collective",

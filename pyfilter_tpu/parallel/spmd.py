@@ -424,6 +424,59 @@ def _jitted_spmd_smooth(mesh, axis_name, n_trajectories):
     )
 
 
+def spmd_predict(
+    model,
+    key,
+    values,
+    log_weights,
+    n_steps: int,
+    mesh: Mesh,
+    time_index=None,
+    axis_name: str = "particles",
+):
+    """K-step-ahead predictive moments from a sharded filter cloud (the SPMD
+    analogue of ``Correction.predict_path`` + weighted moments): propagate
+    the local shard forward ``n_steps`` (zero communication) and psum the
+    per-step weighted mean/variance. Returns ``(means, variances)`` of shape
+    ``(n_steps, *event)``, replicated."""
+    t0 = jnp.asarray(0.0 if time_index is None else time_index, jnp.float32)
+    f = _jitted_spmd_predict(mesh, axis_name, int(n_steps))
+    return f(model, key, values, log_weights, t0)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_spmd_predict(mesh, axis_name, n_steps):
+    from ..timeseries import TimeseriesState
+
+    def run(model, key, values, log_weights, t0):
+        dev = jax.lax.axis_index(axis_name)
+        ev = model.hidden.event_ndim
+        probs = psum_normalize(log_weights, axis_name)
+        pb = probs.reshape(probs.shape + (1,) * ev)
+
+        def step(x, k):
+            x = model.hidden.propagate(k, x)
+            mean = jax.lax.psum(jnp.sum(pb * x.value, axis=0), axis_name)
+            var = jax.lax.psum(
+                jnp.sum(pb * jnp.square(x.value - mean), axis=0), axis_name
+            )
+            return x, (mean, var)
+
+        x0 = TimeseriesState(t0, values, ev)
+        keys = jax.random.split(jax.random.fold_in(key, dev), n_steps)
+        _, (means, variances) = jax.lax.scan(step, x0, keys)
+        return means, variances
+
+    return jax.jit(
+        shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis_name), P(axis_name), P()),
+            out_specs=(P(), P()),
+        )
+    )
+
+
 def spmd_smoothed_log_likelihood(
     model,
     n_particles: int,

@@ -677,6 +677,30 @@ def test_spmd_filter_nan_skip(key, filter_type):
     )
 
 
+def test_spmd_predict_matches_process_moments(key):
+    """K-step prediction from a sharded cloud: the psum'd predictive moments
+    of an OU process must track its closed-form conditional moments."""
+    kappa, gamma, sigma = 0.5, 1.0, 0.2
+    from pyfilter_tpu.timeseries import models as tsm
+
+    ssm = ts.LinearStateSpaceModel(tsm.OrnsteinUhlenbeck(kappa, gamma, sigma), (1.0, 0.05))
+    mesh = parallel.make_mesh()
+    n, steps = 8192, 10
+
+    x0 = 3.0  # far from the stationary mean: the decay is visible
+    vals = jnp.full((n,), x0)
+    lw = jnp.zeros((n,))
+    means, variances = parallel.spmd_predict(ssm, key, vals, lw, steps, mesh)
+    assert means.shape == (steps,) and variances.shape == (steps,)
+
+    t = np.arange(1, steps + 1)
+    decay = np.exp(-kappa * t)
+    want_mean = gamma + (x0 - gamma) * decay
+    want_var = sigma**2 * (1 - decay**2) / (2 * kappa)
+    np.testing.assert_allclose(np.asarray(means), want_mean, atol=0.02)
+    np.testing.assert_allclose(np.asarray(variances), want_var, rtol=0.1, atol=5e-4)
+
+
 def test_spmd_gpf_matches_kalman_oracle(key):
     """The SPMD Gaussian particle filter (moment-matched predictive via two
     psums, no resampling) against the exact Kalman filter — and against the
