@@ -89,6 +89,18 @@ def main():
     )
     print(f"explicit SPMD (metropolis):   {float(ll_m):9.3f}")
 
+    # --- the GPF family, smoothing, and prediction ride the same mesh ------
+    _, _, ll_g, _ = parallel.spmd_batch_filter(ssm, n, key, y, mesh, filter_type="gpf")
+    print(f"explicit SPMD GPF:            {float(ll_g):9.3f}")
+
+    vals_f, lw_f, _, _, history = parallel.spmd_batch_filter(
+        ssm, n, key, y, mesh, record_history=True
+    )
+    sm = parallel.spmd_smooth(ssm, jax.random.PRNGKey(2), history, mesh, n_trajectories=256)
+    print(f"distributed FFBS trajectories: {tuple(sm.shape)} (O(M)-comm backward steps)")
+    pred_means, _ = parallel.spmd_predict(ssm, jax.random.PRNGKey(3), vals_f, lw_f, 5, mesh)
+    print(f"5-step predictive means:      {np.round(np.asarray(pred_means), 3)}")
+
     err = np.abs(np.asarray(means) - np.asarray(exact.filter_means).squeeze()).max()
     print(f"max |filter mean - exact|:    {err:9.4f}")
 
