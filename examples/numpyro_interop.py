@@ -62,7 +62,8 @@ def run_with_numpyro(y, n_particles, n_steps):
 
 def run_standalone(y, n_particles):
     """No numpyro available: evaluate the factor and its gradient directly —
-    the exact quantities numpyro's ELBO would consume."""
+    the exact quantities numpyro's ELBO would consume. Returns the factor
+    profile over sigma (for the plot)."""
 
     def factor(log_sigma):
         filt = pf.APF(build_ssm(jnp.exp(log_sigma)), n_particles)
@@ -74,7 +75,9 @@ def run_standalone(y, n_particles):
     # at sigma above truth the gradient should push log-sigma DOWN
     assert float(grad) < 0.0
     print("standalone factor contract OK (numpyro not installed)")
-    return None
+    sigmas = np.linspace(0.05, 0.3, 8)
+    profile = [float(factor(jnp.log(s))) for s in sigmas]
+    return ("factor profile over sigma", sigmas, profile)
 
 
 def main():
@@ -96,19 +99,25 @@ def main():
     except ImportError:
         losses = run_standalone(y, n_particles)
 
-    if losses is not None:
-        os.makedirs(args.out, exist_ok=True)
-        import matplotlib
+    os.makedirs(args.out, exist_ok=True)
+    import matplotlib
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
 
-        fig, ax = plt.subplots(figsize=(8, 4))
+    fig, ax = plt.subplots(figsize=(8, 4))
+    if isinstance(losses, tuple):  # standalone fallback: factor profile
+        label, sigmas, profile = losses
+        ax.plot(sigmas, profile, "C0.-", lw=1)
+        ax.axvline(TRUE_SIGMA, color="k", ls="--", lw=1, label="true sigma")
+        ax.set(xlabel="sigma", ylabel="smoothed loglik factor", title=label)
+        ax.legend(loc="best", frameon=False)
+    else:
         ax.plot(losses, lw=1)
         ax.set(xlabel="SVI step", ylabel="negative ELBO", title="numpyro interop")
-        path = os.path.join(args.out, "numpyro_interop.png")
-        fig.savefig(path, dpi=120, bbox_inches="tight")
-        print("wrote", path)
+    path = os.path.join(args.out, "numpyro_interop.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    print("wrote", path)
 
 
 if __name__ == "__main__":

@@ -98,7 +98,9 @@ def main():
     )
     sm = parallel.spmd_smooth(ssm, jax.random.PRNGKey(2), history, mesh, n_trajectories=256)
     print(f"distributed FFBS trajectories: {tuple(sm.shape)} (O(M)-comm backward steps)")
-    pred_means, _ = parallel.spmd_predict(ssm, jax.random.PRNGKey(3), vals_f, lw_f, 5, mesh)
+    pred_means, _ = parallel.spmd_predict(
+        ssm, jax.random.PRNGKey(3), vals_f, lw_f, 5, mesh, time_index=len(y)
+    )
     print(f"5-step predictive means:      {np.round(np.asarray(pred_means), 3)}")
 
     err = np.abs(np.asarray(means) - np.asarray(exact.filter_means).squeeze()).max()

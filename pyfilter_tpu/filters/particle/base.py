@@ -22,6 +22,43 @@ from ..state import ParticleFilterCorrection
 from .proposals import Bootstrap, Proposal
 
 
+def smoothed_joint_log_likelihood(model, times, smoothed, y, oes: int = 1):
+    """Joint log-density of smoothed trajectories under (differentiable)
+    model parameters: transition terms from every recorded step, observation
+    terms at each ``oes``-th recorded state, initial density on the first —
+    averaged over the trajectory axis. Shared by the single-device VI factor
+    and ``parallel.spmd_smoothed_log_likelihood``.
+
+    ``smoothed``: ``(T+1, n_trajectories, *lanes, *event)``; ``times``:
+    ``(T+1,)`` — broadcast-shaped against the trajectory/lane axes here so
+    time-INHOMOGENEOUS models (e.g. ``TrendingOU``, whose ``mean_scale``
+    reads ``x.time_index``) see a time per step, not a time per trajectory.
+    """
+    ev = model.hidden.event_ndim
+    # time axis must broadcast against (n_traj, *lanes), not align with it
+    t_shaped = jnp.reshape(times, times.shape[:1] + (1,) * (smoothed.ndim - 1 - ev))
+
+    x_tm1 = TimeseriesState(t_shaped[:-1], smoothed[:-1], ev)
+    x_t_obs = TimeseriesState(t_shaped[1::oes], smoothed[1::oes], ev)
+
+    hidden_density = model.hidden.build_density(x_tm1)
+    obs_density = model.build_density(x_t_obs)
+
+    y = jnp.asarray(y)
+    y_event_ndim = len(model.event_shape)
+    obs_batch_extra = smoothed.ndim - 1 - ev  # trajectory + lane axes
+    y_shaped = y.reshape(
+        y.shape[:1] + (1,) * obs_batch_extra + y.shape[1 : 1 + y_event_ndim]
+    )
+
+    ll = (
+        jnp.sum(hidden_density.log_prob(smoothed[1:]), axis=0)
+        + jnp.sum(obs_density.log_prob(y_shaped), axis=0)
+        + model.hidden.initial_distribution().log_prob(smoothed[0])
+    )
+    return jnp.mean(ll, axis=0)
+
+
 class ParticleFilter(BaseFilter):
     """Abstract base class for particle filters (reference particle/base.py).
 
@@ -273,28 +310,8 @@ class ParticleFilter(BaseFilter):
         smoothed = jax.lax.stop_gradient(filt.smooth(k_smooth, result, method="ffbs"))
         times = result.states.time_indexes
 
-        ev = model.hidden.event_ndim
-        oes = model.observe_every_step
-
         # history spans t = 0..T: transitions from all-but-last, observations
         # at every oes-th recorded state (reference particle/base.py:196-202)
-        x_tm1 = TimeseriesState(times[:-1], smoothed[:-1], ev)
-        x_t_obs = TimeseriesState(times[1::oes], smoothed[1::oes], ev)
-
-        hidden_density = model.hidden.build_density(x_tm1)
-        obs_density = model.build_density(x_t_obs)
-
-        y_event_ndim = len(model.event_shape)
-        # reshape y to broadcast over the trajectory axis (reference base.py:211-213)
-        obs_batch_extra = smoothed.ndim - 1 - ev  # trajectory + lane axes
-        y_shaped = y.reshape(
-            y.shape[:1] + (1,) * obs_batch_extra + y.shape[1 : 1 + y_event_ndim]
+        return smoothed_joint_log_likelihood(
+            model, times, smoothed, y, oes=model.observe_every_step
         )
-
-        init_density = model.hidden.initial_distribution()
-        ll = (
-            jnp.sum(hidden_density.log_prob(smoothed[1:]), axis=0)
-            + jnp.sum(obs_density.log_prob(y_shaped), axis=0)
-            + init_density.log_prob(smoothed[0])
-        )
-        return jnp.mean(ll, axis=0)

@@ -148,13 +148,17 @@ class GradientBasedProposal(RandomWalk):
             y.shape[:1] + (1,) * obs_batch_extra + y.shape[1 : 1 + y_event_ndim]
         )
 
+        # time axis broadcasts against the trajectory/lane axes — NOT aligned
+        # with them (time-inhomogeneous models read x.time_index in mean_scale)
+        t_shaped = jnp.reshape(times, times.shape[:1] + (1,) * (smoothed.ndim - 1 - ev))
+
         def joint(vec):
             ctx2 = context.unstack_parameters(vec, constrained=False)
             filt2 = filter_.initialize_model(ctx2)
             model = filt2.model
 
-            x_tm1 = TimeseriesState(times[:-1], smoothed[:-1], ev)
-            x_t = TimeseriesState(times[1:], smoothed[1:], ev)
+            x_tm1 = TimeseriesState(t_shaped[:-1], smoothed[:-1], ev)
+            x_t = TimeseriesState(t_shaped[1:], smoothed[1:], ev)
 
             hidden_ll = jnp.sum(model.hidden.build_density(x_tm1).log_prob(smoothed[1:]), axis=0)
             obs_ll = jnp.sum(model.build_density(x_t).log_prob(y_shaped), axis=0)

@@ -354,16 +354,19 @@ def distributed_categorical(key: jax.Array, logits: jax.Array, axis_name: str) -
 
     ``logits``: ``(rows, N/P)`` — the LOCAL shard of each row's global
     category axis (unnormalized log-probabilities; normalization cancels in
-    the argmax). Returns ``(rows,)`` GLOBAL category indices, replicated.
+    the argmax). NaN/+inf logits are scrubbed to -inf (a NaN would poison the
+    pmax and return the -1 sentinel, which ``distributed_take_rows`` turns
+    into a silent zero row). Returns ``(rows,)`` GLOBAL category indices,
+    replicated.
     """
-    p = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
     n_local = logits.shape[-1]
+    logits = _scrub(logits)
 
     # distinct noise per (row, global category): fold the device id in
-    g = -jnp.log(-jnp.log(
-        jax.random.uniform(jax.random.fold_in(key, my), logits.shape, dtype=logits.dtype)
-    ))
+    g = jax.random.gumbel(
+        jax.random.fold_in(key, my), logits.shape, dtype=logits.dtype
+    )
     z = logits + g
     local_best = jnp.max(z, axis=-1)  # (rows,)
     local_arg = my * n_local + jnp.argmax(z, axis=-1).astype(jnp.int32)

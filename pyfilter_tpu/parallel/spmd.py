@@ -217,23 +217,25 @@ def spmd_filter_loop(
         if oes > 1:
             x = model.hidden.propagate_substeps(k_sub, x, oes - 1)
 
-        probs = psum_normalize(lw, axis_name)
         x_prop = model.hidden.propagate(k_prop, x)
-        pb = probs.reshape(probs.shape + (1,) * ev)
-        mean = jax.lax.psum(jnp.sum(pb * x_prop.value, axis=0), axis_name)
-        if ev == 0:
-            var = jax.lax.psum(
-                jnp.sum(probs * jnp.square(x_prop.value - mean), axis=0), axis_name
-            )
-            predictive = Normal(mean, jnp.sqrt(var))
-        else:
-            centered = x_prop.value - mean
-            cov = jax.lax.psum(
-                jnp.einsum("n,ni,nj->ij", probs, centered, centered), axis_name
-            )
-            predictive = MultivariateNormal(mean, scale_tril=robust_cholesky(cov))
 
         def do_correct(_):
+            # moments + collapse only on real observations — a skip step
+            # would otherwise still pay the two psums and the Cholesky
+            probs = psum_normalize(lw, axis_name)
+            pb = probs.reshape(probs.shape + (1,) * ev)
+            mean = jax.lax.psum(jnp.sum(pb * x_prop.value, axis=0), axis_name)
+            if ev == 0:
+                var = jax.lax.psum(
+                    jnp.sum(probs * jnp.square(x_prop.value - mean), axis=0), axis_name
+                )
+                predictive = Normal(mean, jnp.sqrt(var))
+            else:
+                centered = x_prop.value - mean
+                cov = jax.lax.psum(
+                    jnp.einsum("n,ni,nj->ij", probs, centered, centered), axis_name
+                )
+                predictive = MultivariateNormal(mean, scale_tril=robust_cholesky(cov))
             x_vals = predictive.expand((n_local,)).sample(k_sample)
             x_new = x_prop.copy(values=x_vals)
             w = model.build_density(x_new).log_prob(y_t)
@@ -381,7 +383,7 @@ def spmd_smooth(
     key,
     history,
     mesh: Mesh,
-    n_trajectories: int | None = None,
+    n_trajectories: int = 256,
     axis_name: str = "particles",
 ):
     """FFBS smoothing of an SPMD filter history
@@ -391,6 +393,10 @@ def spmd_smooth(
     replicated. Communication is O(n_trajectories) per backward step (the
     Gumbel-max distributed categorical); compute is the same O(M * N/P)
     density evaluations per device the single-device pass does at O(M * N).
+
+    ``n_trajectories`` deliberately defaults to a modest 256 — unlike the
+    single-device ``smooth()``'s M=N: on this path N is huge by design, and
+    M=N would build an (N, N/P) per-device logit matrix per backward step.
     """
     if int(model.observe_every_step) != 1:
         raise NotImplementedError(
@@ -399,9 +405,6 @@ def spmd_smooth(
             "intermediary sub-steps"
         )
     vals, lws, times = history
-    if n_trajectories is None:
-        n_trajectories = vals.shape[1]
-
     f = _jitted_spmd_smooth(mesh, axis_name, int(n_trajectories))
     return f(model, key, vals, lws, times)
 
@@ -431,15 +434,21 @@ def spmd_predict(
     log_weights,
     n_steps: int,
     mesh: Mesh,
-    time_index=None,
+    time_index,
     axis_name: str = "particles",
 ):
     """K-step-ahead predictive moments from a sharded filter cloud (the SPMD
     analogue of ``Correction.predict_path`` + weighted moments): propagate
     the local shard forward ``n_steps`` (zero communication) and psum the
     per-step weighted mean/variance. Returns ``(means, variances)`` of shape
-    ``(n_steps, *event)``, replicated."""
-    t0 = jnp.asarray(0.0 if time_index is None else time_index, jnp.float32)
+    ``(n_steps, *event)``, replicated.
+
+    ``time_index`` is REQUIRED — the time the cloud was filtered to (after
+    ``spmd_batch_filter`` over ``T`` observations:
+    ``T * model.observe_every_step``). Time-inhomogeneous models (e.g.
+    ``TrendingOU``) read it in ``mean_scale``; a silent 0 default would
+    predict from the wrong epoch."""
+    t0 = jnp.asarray(time_index, jnp.float32)
     f = _jitted_spmd_predict(mesh, axis_name, int(n_steps))
     return f(model, key, values, log_weights, t0)
 
@@ -499,7 +508,15 @@ def spmd_smoothed_log_likelihood(
     re-evaluation is plain local computation — gradients flow through the
     densities only, and the backward pass never touches a collective.
     """
-    from ..timeseries import TimeseriesState
+    from ..filters.particle.base import smoothed_joint_log_likelihood
+
+    if int(model.observe_every_step) != 1:
+        # fail BEFORE paying the full sharded filter pass — spmd_smooth would
+        # raise the same error only after minutes of compile+run at scale
+        raise NotImplementedError(
+            "spmd_smoothed_log_likelihood needs observe_every_step == 1 "
+            "(the SPMD history records no intermediary sub-steps)"
+        )
 
     frozen = jax.tree_util.tree_map(jax.lax.stop_gradient, model)
     k_filter, k_smooth = jax.random.split(key)
@@ -513,20 +530,4 @@ def spmd_smoothed_log_likelihood(
     smoothed = jax.lax.stop_gradient(
         spmd_smooth(frozen, k_smooth, history, mesh, n_trajectories, axis_name)
     )
-    times = history[2]
-
-    ev = model.hidden.event_ndim
-    x_tm1 = TimeseriesState(times[:-1], smoothed[:-1], ev)
-    x_t = TimeseriesState(times[1:], smoothed[1:], ev)
-    hidden_density = model.hidden.build_density(x_tm1)
-    obs_density = model.build_density(x_t)
-
-    y_event_ndim = len(model.event_shape)
-    y_shaped = y.reshape(y.shape[:1] + (1,) + y.shape[1 : 1 + y_event_ndim])
-
-    ll = (
-        jnp.sum(hidden_density.log_prob(smoothed[1:]), axis=0)
-        + jnp.sum(obs_density.log_prob(y_shaped), axis=0)
-        + model.hidden.initial_distribution().log_prob(smoothed[0])
-    )
-    return jnp.mean(ll, axis=0)
+    return smoothed_joint_log_likelihood(model, history[2], smoothed, y)

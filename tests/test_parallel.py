@@ -690,7 +690,7 @@ def test_spmd_predict_matches_process_moments(key):
     x0 = 3.0  # far from the stationary mean: the decay is visible
     vals = jnp.full((n,), x0)
     lw = jnp.zeros((n,))
-    means, variances = parallel.spmd_predict(ssm, key, vals, lw, steps, mesh)
+    means, variances = parallel.spmd_predict(ssm, key, vals, lw, steps, mesh, time_index=0)
     assert means.shape == (steps,) and variances.shape == (steps,)
 
     t = np.arange(1, steps + 1)
@@ -699,6 +699,60 @@ def test_spmd_predict_matches_process_moments(key):
     want_var = sigma**2 * (1 - decay**2) / (2 * kappa)
     np.testing.assert_allclose(np.asarray(means), want_mean, atol=0.02)
     np.testing.assert_allclose(np.asarray(variances), want_var, rtol=0.1, atol=5e-4)
+
+
+def test_spmd_vi_factor_time_inhomogeneous(key):
+    """Regression: the smoothed-joint factor must broadcast the time axis
+    against the trajectory axis, not align with it — a time-inhomogeneous
+    model (TrendingOU reads x.time_index in mean_scale) previously crashed,
+    or silently mis-broadcast when n_trajectories happened to equal T."""
+    from pyfilter_tpu.timeseries import models as tsm
+
+    mesh = parallel.make_mesh()
+    ssm = ts.LinearStateSpaceModel(
+        tsm.TrendingOU(0.5, 1.0, 0.05, 0.2), (1.0, 0.1)
+    )
+    y = ssm.sample_states(jax.random.PRNGKey(0), 30).y
+
+    def factor(beta, m):
+        model = ts.LinearStateSpaceModel(
+            tsm.TrendingOU(0.5, 1.0, beta, 0.2), (1.0, 0.1)
+        )
+        return parallel.spmd_smoothed_log_likelihood(
+            model, 512, key, y, mesh, n_trajectories=m
+        )
+
+    val, grad_low = jax.value_and_grad(factor)(jnp.asarray(0.01), 128)
+    assert np.isfinite(float(val))
+    assert float(grad_low) > 0  # trend slope below truth: push beta up
+
+    # the silent-wrongness shape: n_trajectories == T must give the same
+    # answer as any other M (within FFBS Monte-Carlo noise)
+    v_eq = float(factor(jnp.asarray(0.05), 30))
+    v_ref = float(factor(jnp.asarray(0.05), 128))
+    assert abs(v_eq - v_ref) < 8.0, (v_eq, v_ref)
+
+    # the single-device factor handles the same model (shared helper)
+    single = float(pf.SISR(ssm, 512).smoothed_log_likelihood(key, y))
+    assert abs(single - v_ref) < 8.0, (single, v_ref)
+
+
+def test_spmd_predict_time_inhomogeneous(key):
+    """spmd_predict must respect the supplied time_index: a TrendingOU cloud
+    filtered to t=30 predicts along the trend at t>30, not from t=0."""
+    from pyfilter_tpu.timeseries import models as tsm
+
+    kappa, gamma, beta, sigma = 0.5, 1.0, 0.05, 0.1
+    ssm = ts.LinearStateSpaceModel(
+        tsm.TrendingOU(kappa, gamma, beta, sigma), (1.0, 0.05)
+    )
+    mesh = parallel.make_mesh()
+    y = ssm.sample_states(jax.random.PRNGKey(0), 30).y
+    vals, lw, _, means = parallel.spmd_batch_filter(ssm, 2048, key, y, mesh)
+
+    pred, _ = parallel.spmd_predict(ssm, key, vals, lw, 5, mesh, time_index=30)
+    trend = gamma + beta * np.arange(31, 36)
+    np.testing.assert_allclose(np.asarray(pred), trend, atol=0.35)
 
 
 def test_spmd_gpf_matches_kalman_oracle(key):
