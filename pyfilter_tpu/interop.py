@@ -41,7 +41,9 @@ import jax
 import jax.numpy as jnp
 
 
-def numpyro_filter_factor(name: str, filter_, y, key=None, model=None) -> jax.Array:
+def numpyro_filter_factor(
+    name: str, filter_, y, key=None, model=None, mesh=None, **spmd_kwargs
+) -> jax.Array:
     """Add the filter's smoothed log-likelihood as a ``numpyro.factor``.
 
     Call inside a numpyro model, after the SSM the filter holds was built
@@ -51,6 +53,10 @@ def numpyro_filter_factor(name: str, filter_, y, key=None, model=None) -> jax.Ar
     is what makes the factor reproducible under ``numpyro.handlers.seed``.
     Returns the factor value (per lane when the filter is lane-batched,
     mirroring the reference's vectorized ``pyro.factor``).
+
+    ``mesh`` (optional): compute the factor at particle-sharded scale via
+    :func:`pyfilter_tpu.parallel.spmd_smoothed_log_likelihood` (extra
+    keyword arguments — ``n_trajectories``, ``halo``, … — pass through).
     """
     import numpyro
 
@@ -62,6 +68,18 @@ def numpyro_filter_factor(name: str, filter_, y, key=None, model=None) -> jax.Ar
                 "(SVI/MCMC do this automatically) or pass key= explicitly"
             )
 
-    ll = filter_.smoothed_log_likelihood(key, jnp.asarray(y), model=model)
+    if mesh is not None:
+        from .parallel import spmd_smoothed_log_likelihood
+
+        ll = spmd_smoothed_log_likelihood(
+            model if model is not None else filter_.model,
+            filter_.n_particles,
+            key,
+            jnp.asarray(y),
+            mesh,
+            **spmd_kwargs,
+        )
+    else:
+        ll = filter_.smoothed_log_likelihood(key, jnp.asarray(y), model=model)
     numpyro.factor(name, ll)
     return ll

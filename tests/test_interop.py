@@ -81,3 +81,21 @@ def test_factor_differentiable_through_parameters(fake_numpyro):
     val, grad = jax.value_and_grad(factor)(jnp.log(0.3))
     assert np.isfinite(float(val)) and np.isfinite(float(grad))
     assert float(grad) < 0.0
+
+
+def test_factor_mesh_mode(fake_numpyro, key):
+    """mesh= routes the factor through the particle-sharded SPMD pass; the
+    value must agree with the single-device factor within FFBS MC noise."""
+    from pyfilter_tpu import parallel
+
+    _, y = _ssm(0.05).sample_states(jax.random.PRNGKey(3), 40).get_paths()
+    filt = pf.SISR(_ssm(0.05), 512)
+    mesh = parallel.make_mesh()
+
+    ll_mesh = interop.numpyro_filter_factor(
+        "pf_loglik", filt, y, key=key, mesh=mesh, n_trajectories=128
+    )
+    assert fake_numpyro and fake_numpyro[-1][0] == "pf_loglik"
+    assert np.isfinite(float(ll_mesh))
+    ll_single = filt.smoothed_log_likelihood(key, jnp.asarray(y))
+    assert abs(float(ll_mesh) - float(ll_single)) < 8.0
