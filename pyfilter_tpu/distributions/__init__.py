@@ -21,14 +21,18 @@ from .bijectors import (
     biject_to,
 )
 from .core import (
+    Bernoulli,
     Beta,
+    Binomial,
     Categorical,
     Delta,
     Exponential,
     Gamma,
     InverseGamma,
     LogNormal,
+    NegativeBinomial,
     Normal,
+    Poisson,
     StudentT,
     Uniform,
 )
@@ -48,6 +52,10 @@ __all__ = [
     "StudentT",
     "Categorical",
     "Delta",
+    "Poisson",
+    "Bernoulli",
+    "Binomial",
+    "NegativeBinomial",
     "MultivariateNormal",
     "Independent",
     "TransformedDistribution",

@@ -2,7 +2,9 @@
 
 JAX-native equivalents of the pyro/torch distributions the reference and its
 examples use (SURVEY.md §2.9): Normal, LogNormal, Uniform, Exponential, Gamma,
-Beta, StudentT, Categorical, plus a Delta (point-mass) convenience.
+Beta, StudentT, Categorical, plus a Delta (point-mass) convenience, plus the
+discrete count observation densities (Poisson, Bernoulli, Binomial,
+NegativeBinomial) the reference gets from pyro for non-Gaussian SSMs.
 """
 
 from __future__ import annotations
@@ -11,7 +13,7 @@ import math
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import betaln, gammainc, gammaln, ndtr, ndtri
+from jax.scipy.special import betaln, gammainc, gammaincc, gammaln, ndtr, ndtri, xlogy
 
 from . import constraints
 from .base import Distribution
@@ -407,6 +409,199 @@ class Categorical(Distribution):
         k = jnp.arange(self.num_categories, dtype=self.probs.dtype)
         m = self.mean[..., None]
         return jnp.sum(self.probs * jnp.square(k - m), axis=-1)
+
+
+class Poisson(Distribution):
+    """Poisson counts with intensity ``rate``.
+
+    Samples are returned in the ``rate`` float dtype (torch/pyro convention) so
+    count observations flow through the float weight/impute paths unchanged.
+    Covers the pyro observation densities the reference consumes for count
+    data (SURVEY.md §2.9 distribution contract).
+    """
+
+    arg_names = ("rate",)
+    arg_constraints = {"rate": constraints.positive}
+
+    def __init__(self, rate):
+        self.rate = rate
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.rate)
+
+    @property
+    def support(self):
+        return constraints.nonnegative
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.rate, 0.0)
+        k = jax.random.poisson(key, jnp.asarray(self.rate, dtype), shape=shape)
+        return jnp.asarray(k, dtype)
+
+    def log_prob(self, value):
+        return xlogy(value, self.rate) - self.rate - gammaln(value + 1.0)
+
+    def cdf(self, value):
+        # P(X <= k) = Q(floor(k)+1, rate), the regularized upper incomplete gamma
+        return gammaincc(jnp.floor(value) + 1.0, self.rate)
+
+    @property
+    def mean(self):
+        return jnp.asarray(self.rate) + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        return jnp.asarray(self.rate) + jnp.zeros(self.batch_shape)
+
+
+def _resolve_logits(logits, probs):
+    if (logits is None) == (probs is None):
+        raise ValueError("exactly one of logits or probs must be given")
+    if probs is not None:
+        probs = jnp.asarray(probs)
+        logits = jnp.log(probs) - jnp.log1p(-probs)
+    return logits
+
+
+class Bernoulli(Distribution):
+    """Bernoulli in {0, 1}; parameterized by ``logits`` or ``probs``.
+
+    ``log_prob`` uses the softplus form (no exp/log round-trip), stable for
+    extreme logits. Samples are floats (torch convention).
+    """
+
+    arg_names = ("logits",)
+
+    def __init__(self, logits=None, probs=None):
+        self.logits = _resolve_logits(logits, probs)
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.logits)
+
+    @property
+    def support(self):
+        return constraints.Interval(0.0, 1.0)
+
+    @property
+    def probs(self):
+        return jax.nn.sigmoid(self.logits)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.logits, 0.0)
+        return jnp.asarray(jax.random.bernoulli(key, self.probs, shape=shape), dtype)
+
+    def log_prob(self, value):
+        # v*log(sigmoid(l)) + (1-v)*log(sigmoid(-l))
+        l = self.logits
+        return -value * jax.nn.softplus(-l) - (1.0 - value) * jax.nn.softplus(l)
+
+    @property
+    def mean(self):
+        return self.probs + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        p = self.probs
+        return p * (1.0 - p) + jnp.zeros(self.batch_shape)
+
+
+class Binomial(Distribution):
+    """Binomial counts out of ``total_count`` trials; ``logits`` or ``probs``."""
+
+    arg_names = ("total_count", "logits")
+
+    def __init__(self, total_count, logits=None, probs=None):
+        self.total_count = total_count
+        self.logits = _resolve_logits(logits, probs)
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.total_count, self.logits)
+
+    @property
+    def support(self):
+        return constraints.nonnegative
+
+    @property
+    def probs(self):
+        return jax.nn.sigmoid(self.logits)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.logits, 0.0)
+        n = jnp.asarray(self.total_count, dtype)
+        return jnp.asarray(jax.random.binomial(key, n, self.probs, shape=shape), dtype)
+
+    def log_prob(self, value):
+        n, l = jnp.asarray(self.total_count), self.logits
+        log_comb = gammaln(n + 1.0) - gammaln(value + 1.0) - gammaln(n - value + 1.0)
+        return log_comb - value * jax.nn.softplus(-l) - (n - value) * jax.nn.softplus(l)
+
+    @property
+    def mean(self):
+        return self.total_count * self.probs + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        p = self.probs
+        return self.total_count * p * (1.0 - p) + jnp.zeros(self.batch_shape)
+
+
+class NegativeBinomial(Distribution):
+    """Negative binomial: failures before ``total_count`` successes, torch
+    parameterization (``probs`` = success probability, mean = r*p/(1-p)) —
+    the standard over-dispersed count observation density.
+
+    Sampling uses the exact Gamma-Poisson mixture: ``lam ~ Gamma(r, (1-p)/p)``
+    then ``k ~ Poisson(lam)`` — two vectorized draws, no rejection loop (TPU-
+    friendly: static shapes, no data-dependent control flow).
+    """
+
+    arg_names = ("total_count", "logits")
+
+    def __init__(self, total_count, logits=None, probs=None):
+        self.total_count = total_count
+        self.logits = _resolve_logits(logits, probs)
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.total_count, self.logits)
+
+    @property
+    def support(self):
+        return constraints.nonnegative
+
+    @property
+    def probs(self):
+        return jax.nn.sigmoid(self.logits)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.logits, 0.0)
+        k_gamma, k_pois = jax.random.split(key)
+        r = jnp.broadcast_to(jnp.asarray(self.total_count, dtype), shape)
+        # rate = Gamma(r, 1) * p/(1-p) = Gamma(r, 1) * exp(logits)
+        lam = jax.random.gamma(k_gamma, r, dtype=dtype) * jnp.exp(jnp.asarray(self.logits, dtype))
+        return jnp.asarray(jax.random.poisson(k_pois, lam, shape=shape), dtype)
+
+    def log_prob(self, value):
+        r, l = jnp.asarray(self.total_count), self.logits
+        log_comb = gammaln(value + r) - gammaln(r) - gammaln(value + 1.0)
+        # + r*log(1-p) + k*log(p)
+        return log_comb - r * jax.nn.softplus(l) - value * jax.nn.softplus(-l)
+
+    @property
+    def mean(self):
+        # r * p/(1-p) = r * exp(logits)
+        return self.total_count * jnp.exp(self.logits) + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        return self.mean / jax.nn.sigmoid(-self.logits)
 
 
 class Delta(Distribution):

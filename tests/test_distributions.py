@@ -210,3 +210,61 @@ def test_equivalent_to():
     assert dist.Normal(0.0, 1.0).equivalent_to(dist.Normal(0.0, 1.0))
     assert not dist.Normal(0.0, 1.0).equivalent_to(dist.Normal(0.0, 2.0))
     assert not dist.Normal(0.0, 1.0).equivalent_to(dist.Exponential(1.0))
+
+
+# -- discrete count distributions (pyro observation densities, SURVEY §2.9) ----
+
+DISCRETE_CASES = [
+    (lambda: dist.Poisson(3.7), lambda: st.poisson(3.7)),
+    (lambda: dist.Bernoulli(probs=0.3), lambda: st.bernoulli(0.3)),
+    (lambda: dist.Binomial(12.0, probs=0.4), lambda: st.binom(12, 0.4)),
+    # torch convention: probs = success prob, counts failures -> scipy nbinom(r, 1-p)
+    (lambda: dist.NegativeBinomial(5.0, probs=0.35), lambda: st.nbinom(5, 0.65)),
+]
+
+
+@pytest.mark.parametrize("make_d,make_ref", DISCRETE_CASES, ids=lambda c: "case")
+def test_discrete_log_prob_matches_scipy(make_d, make_ref):
+    d, ref = make_d(), make_ref()
+    k = np.asarray(ref.rvs(size=60, random_state=3), dtype=np.float32)
+    lp = np.asarray(d.log_prob(jnp.asarray(k)))
+    np.testing.assert_allclose(lp, ref.logpmf(k), rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("make_d,make_ref", DISCRETE_CASES, ids=lambda c: "case")
+def test_discrete_sampling_moments(key, make_d, make_ref):
+    d, ref = make_d(), make_ref()
+    x = np.asarray(d.sample(key, (200_000,)), dtype=np.float64)
+    assert x.dtype == np.float64 or x.dtype == np.float32  # float samples (torch convention)
+    np.testing.assert_allclose(x.mean(), ref.mean(), atol=4 * ref.std() / np.sqrt(len(x)) + 1e-3)
+    np.testing.assert_allclose(x.var(), ref.var(), rtol=0.05)
+    np.testing.assert_allclose(np.asarray(d.mean), ref.mean(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d.variance), ref.var(), rtol=1e-5)
+
+
+def test_poisson_cdf_matches_scipy():
+    d = dist.Poisson(2.9)
+    k = jnp.arange(10.0)
+    np.testing.assert_allclose(np.asarray(d.cdf(k)), st.poisson(2.9).cdf(np.arange(10)), rtol=1e-5)
+
+
+def test_bernoulli_extreme_logits_stable():
+    d = dist.Bernoulli(logits=jnp.asarray([-80.0, 80.0]))
+    lp = np.asarray(d.log_prob(jnp.asarray([0.0, 1.0])))
+    assert np.all(np.isfinite(lp)) and np.all(lp <= 0.0)
+    np.testing.assert_allclose(lp, 0.0, atol=1e-6)
+
+
+def test_discrete_batch_shapes_and_jit(key):
+    d = dist.Poisson(jnp.full((3, 4), 2.0))
+    assert d.batch_shape == (3, 4)
+    assert d.sample(key, (7,)).shape == (7, 3, 4)
+
+    @jax.jit
+    def lp(d, k):
+        return d.log_prob(k)
+
+    assert lp(d, jnp.ones((3, 4))).shape == (3, 4)
+
+    nb = dist.NegativeBinomial(jnp.full(5, 4.0), logits=jnp.zeros(5))
+    assert nb.sample(key, (2,)).shape == (2, 5)

@@ -485,3 +485,43 @@ def test_masked_batch_filter_matches_prefix(key):
             np.asarray(got.step_log_likelihoods)[:37],
             np.asarray(ref.step_log_likelihoods),
         )
+
+
+def test_poisson_count_observations(key):
+    """Non-Gaussian count SSM: AR(1) log-intensity observed through Poisson
+    counts — the pyro discrete observation-density use case the reference
+    gets for free (SURVEY.md §2.9). Bootstrap SISR and APF both filter the
+    counts; the filtered log-intensity tracks the simulated truth."""
+    hidden = models.AR(0.3, 0.9, 0.25)
+    ssm = ts.StateSpaceModel(hidden, lambda x: dist.Poisson(jnp.exp(x.value)), ())
+
+    x_true, y = ssm.sample_states(jax.random.PRNGKey(77), 150).get_paths()
+    assert np.all(np.asarray(y) >= 0.0)
+
+    for filt_cls in (SISR, APF):
+        res = filt_cls(ssm, 3_000).batch_filter(key, y)
+        assert np.isfinite(float(res.log_likelihood))
+        means = np.asarray(res.filter_means, np.float64).ravel()
+        truth = np.asarray(x_true, np.float64).ravel()
+        corr = np.corrcoef(means, truth)[0, 1]
+        assert corr > 0.75, (filt_cls.__name__, corr)
+
+
+def test_negative_binomial_observations(key):
+    """Over-dispersed counts: NegativeBinomial observation density through the
+    bootstrap filter (log-mean random walk; torch parameterization)."""
+    hidden = models.RandomWalk(0.15)
+    r = 8.0
+
+    def obs(x):
+        # mean = r * p/(1-p) = exp(x.value + 1.0)  ->  logits = x + 1 - log r
+        return dist.NegativeBinomial(r, logits=x.value + 1.0 - jnp.log(r))
+
+    ssm = ts.StateSpaceModel(hidden, obs, ())
+    x_true, y = ssm.sample_states(jax.random.PRNGKey(5), 120).get_paths()
+
+    res = SISR(ssm, 3_000).batch_filter(key, y)
+    assert np.isfinite(float(res.log_likelihood))
+    means = np.asarray(res.filter_means, np.float64).ravel()
+    truth = np.asarray(x_true, np.float64).ravel()
+    assert np.corrcoef(means, truth)[0, 1] > 0.6
