@@ -25,16 +25,19 @@ from .core import (
     Beta,
     Binomial,
     Categorical,
+    Cauchy,
     Delta,
     Exponential,
     Gamma,
     InverseGamma,
+    Laplace,
     LogNormal,
     NegativeBinomial,
     Normal,
     Poisson,
     StudentT,
     Uniform,
+    Weibull,
 )
 from .independent import Independent
 from .mvn import MultivariateNormal, robust_cholesky
@@ -56,6 +59,9 @@ __all__ = [
     "Bernoulli",
     "Binomial",
     "NegativeBinomial",
+    "Laplace",
+    "Cauchy",
+    "Weibull",
     "MultivariateNormal",
     "Independent",
     "TransformedDistribution",

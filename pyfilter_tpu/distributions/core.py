@@ -365,6 +365,142 @@ class StudentT(Distribution):
         return jnp.where(self.df > 2, v, jnp.nan) + jnp.zeros(self.batch_shape)
 
 
+class Laplace(Distribution):
+    """Laplace (double-exponential) — the standard robust/heavy-tailed
+    observation noise and sparsity prior. Closed-form icdf → QMC-compatible."""
+
+    arg_names = ("loc", "scale")
+    has_icdf = True
+    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.loc, self.scale, 0.0)
+        return self.loc + self.scale * jax.random.laplace(key, shape, dtype=dtype)
+
+    def log_prob(self, value):
+        z = jnp.abs(value - self.loc) / self.scale
+        return -z - jnp.log(2.0 * self.scale) + jnp.zeros(self.batch_shape)
+
+    def cdf(self, value):
+        z = (value - self.loc) / self.scale
+        # 0.5 * exp(z) below loc; 1 - 0.5 * exp(-z) above
+        return jnp.where(z < 0, 0.5 * jnp.exp(z), 1.0 - 0.5 * jnp.exp(-z))
+
+    def icdf(self, q):
+        # sign(q - 1/2) * log(1 - 2|q - 1/2|), stable at both tails
+        a = q - 0.5
+        return self.loc - self.scale * jnp.sign(a) * jnp.log1p(-2.0 * jnp.abs(a))
+
+    @property
+    def mean(self):
+        return self.loc + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        return 2.0 * jnp.square(self.scale) + jnp.zeros(self.batch_shape)
+
+
+class Cauchy(Distribution):
+    """Cauchy — extreme heavy tails (undefined mean/variance, torch
+    convention: both report NaN). Closed-form icdf → QMC-compatible."""
+
+    arg_names = ("loc", "scale")
+    has_icdf = True
+    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.loc, self.scale, 0.0)
+        return self.loc + self.scale * jax.random.cauchy(key, shape, dtype=dtype)
+
+    def log_prob(self, value):
+        z = (value - self.loc) / self.scale
+        return -jnp.log1p(jnp.square(z)) - jnp.log(math.pi * self.scale) + jnp.zeros(self.batch_shape)
+
+    def cdf(self, value):
+        z = (value - self.loc) / self.scale
+        return jnp.arctan(z) / math.pi + 0.5
+
+    def icdf(self, q):
+        return self.loc + self.scale * jnp.tan(math.pi * (q - 0.5))
+
+    @property
+    def mean(self):
+        return jnp.full(self.batch_shape, jnp.nan) + self.loc * 0.0
+
+    @property
+    def variance(self):
+        return jnp.full(self.batch_shape, jnp.nan) + self.scale * 0.0
+
+
+class Weibull(Distribution):
+    """Weibull with ``scale`` λ and ``concentration`` k (torch parameterization;
+    duration/survival observation density). Closed-form icdf → QMC-compatible."""
+
+    arg_names = ("scale", "concentration")
+    has_icdf = True
+    arg_constraints = {"scale": constraints.positive, "concentration": constraints.positive}
+
+    def __init__(self, scale, concentration):
+        self.scale = scale
+        self.concentration = concentration
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.scale, self.concentration)
+
+    @property
+    def support(self):
+        return constraints.positive
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.scale, self.concentration, 0.0)
+        # inverse-CDF of a unit exponential: X = λ * E^(1/k)
+        e = jax.random.exponential(key, shape, dtype=dtype)
+        return self.scale * jnp.power(e, 1.0 / jnp.asarray(self.concentration, dtype))
+
+    def log_prob(self, value):
+        lam, k = self.scale, self.concentration
+        z = value / lam
+        return jnp.log(k / lam) + (k - 1.0) * jnp.log(z) - jnp.power(z, k)
+
+    def cdf(self, value):
+        return -jnp.expm1(-jnp.power(value / self.scale, self.concentration))
+
+    def icdf(self, q):
+        return self.scale * jnp.power(-jnp.log1p(-q), 1.0 / self.concentration)
+
+    @property
+    def mean(self):
+        k = self.concentration
+        return self.scale * jnp.exp(gammaln(1.0 + 1.0 / k)) + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        k = self.concentration
+        m1 = jnp.exp(gammaln(1.0 + 1.0 / k))
+        m2 = jnp.exp(gammaln(1.0 + 2.0 / k))
+        return jnp.square(self.scale) * (m2 - jnp.square(m1)) + jnp.zeros(self.batch_shape)
+
+
 class Categorical(Distribution):
     """Categorical over the last axis of ``logits``/``probs``."""
 

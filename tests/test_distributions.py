@@ -19,6 +19,8 @@ CASES = [
     (lambda: dist.Gamma(2.5, 1.3), lambda: st.gamma(2.5, scale=1 / 1.3)),
     (lambda: dist.Beta(2.0, 3.0), lambda: st.beta(2.0, 3.0)),
     (lambda: dist.StudentT(4.0, 0.3, 1.5), lambda: st.t(4.0, loc=0.3, scale=1.5)),
+    (lambda: dist.Laplace(0.4, 1.3), lambda: st.laplace(0.4, 1.3)),
+    (lambda: dist.Weibull(2.0, 1.5), lambda: st.weibull_min(1.5, scale=2.0)),
 ]
 
 
@@ -41,13 +43,30 @@ def test_sampling_moments(key, make_d, make_ref):
 
 @pytest.mark.parametrize(
     "make_d",
-    [lambda: dist.Normal(0.5, 2.0), lambda: dist.Uniform(-1.0, 3.0), lambda: dist.Exponential(1.7)],
+    [
+        lambda: dist.Normal(0.5, 2.0),
+        lambda: dist.Uniform(-1.0, 3.0),
+        lambda: dist.Exponential(1.7),
+        lambda: dist.Laplace(0.4, 1.3),
+        lambda: dist.Cauchy(-0.2, 0.8),
+        lambda: dist.Weibull(2.0, 1.5),
+    ],
 )
 def test_icdf_inverts_cdf(make_d):
     d = make_d()
     q = jnp.asarray([0.01, 0.25, 0.5, 0.75, 0.99])
     x = d.icdf(q)
     np.testing.assert_allclose(np.asarray(d.cdf(x)), np.asarray(q), rtol=1e-4, atol=1e-5)
+
+
+def test_cauchy_log_prob_and_median(key):
+    d, ref = dist.Cauchy(-0.2, 0.8), st.cauchy(-0.2, 0.8)
+    x = np.asarray(ref.rvs(size=50, random_state=1), dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(d.log_prob(jnp.asarray(x))), ref.logpdf(x), rtol=2e-4, atol=1e-5)
+    # undefined moments report NaN (torch convention); the sample median is the location
+    assert np.isnan(np.asarray(d.mean)) and np.isnan(np.asarray(d.variance))
+    s = np.asarray(d.sample(key, (200_000,)), dtype=np.float64)
+    np.testing.assert_allclose(np.median(s), -0.2, atol=0.01)
 
 
 def test_batch_shapes(key):
