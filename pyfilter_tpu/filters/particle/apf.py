@@ -50,15 +50,25 @@ class APF(ParticleFilter):
             res_prew = batched_gather(pre_weights, indices, 0)
         resampled_x = ts_state.copy(values=res_vals)
 
-        zeros = jnp.zeros_like(resample_weights)
-        resampled_prediction = ParticleFilterPrediction(
-            resampled_x, zeros, zeros + 1.0 / self.n_particles, indices
-        )
+        if self.differentiable:
+            # zero-valued Ścibior–Wood correction on the auxiliary resample
+            # (base._ancestor_correction): the carried weights and the
+            # uniform normalized weights both keep the ancestor gradient
+            corr = self._ancestor_correction(resample_weights, indices)
+            resampled_prediction = ParticleFilterPrediction(
+                resampled_x, corr, jax.nn.softmax(corr, axis=0), indices
+            )
+        else:
+            corr = 0.0
+            zeros = jnp.zeros_like(resample_weights)
+            resampled_prediction = ParticleFilterPrediction(
+                resampled_x, zeros, zeros + 1.0 / self.n_particles, indices
+            )
 
         x, inc_weights = self.proposal.sample_and_weight(
             k_prop, self.model, y, resampled_prediction
         )
-        weights = inc_weights - res_prew
+        weights = inc_weights - res_prew + corr
 
         aux_norm = jnp.log(
             jnp.sum(prediction.normalized_weights * jnp.exp(pre_weights), axis=0)

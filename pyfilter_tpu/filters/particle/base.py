@@ -79,6 +79,7 @@ class ParticleFilter(BaseFilter):
         "ess_threshold",
         "record_moments",
         "fused_resample",
+        "differentiable",
     )
 
     def __init__(
@@ -101,6 +102,13 @@ class ParticleFilter(BaseFilter):
         # TPU for large single-lane clouds with a systematic resampler; True
         # forces it (systematic semantics); False disables.
         fused_resample: bool = None,
+        # differentiable filtering: carry the Ścibior–Wood stop-gradient
+        # ancestor correction through every resample so the marginal
+        # log-likelihood is differentiable w.r.t. model parameters with the
+        # correct expected gradient (arXiv:2106.10314; PAPERS.md
+        # arXiv:2111.01409). Forward values are bit-identical to the default
+        # path — the correction is exactly zero-valued.
+        differentiable: bool = False,
         # reference-signature aliases (particle/base.py:19-27) for drop-in
         # migration: `resampling=` and `record_intermediary_states=`
         resampling=None,
@@ -127,6 +135,7 @@ class ParticleFilter(BaseFilter):
         self.ess_threshold = float(ess_threshold)
         self.record_moments = record_moments
         self.fused_resample = fused_resample
+        self.differentiable = bool(differentiable)
 
     def _use_fused_resample(self, value: jax.Array) -> bool:
         """Trace-time decision: route the resample+gather through the fused
@@ -157,6 +166,26 @@ class ParticleFilter(BaseFilter):
         if self.batch_shape:
             return systematic_expand_lanes(key, weights, values, normalized=normalized)
         return systematic_expand(key, weights, values, normalized=normalized)
+
+    def _ancestor_correction(self, log_weights, indices) -> jax.Array:
+        """Ścibior–Wood stop-gradient resampling correction (arXiv:2106.10314).
+
+        Returns per-particle log-weight terms that evaluate to exactly 0 but
+        carry ``∂ log w̄^{a_i}`` of each output slot's chosen ancestor, so
+        gradients of the marginal-likelihood estimator flow through the
+        (otherwise non-differentiable) resample. Every downstream use of the
+        post-resample weights must include this term — the filters therefore
+        also replace the constant ``1/N`` normalized weights with
+        ``softmax(correction)`` (same value, live gradient).
+        """
+        from ...utils import normalize_log
+
+        lw_norm = normalize_log(log_weights)
+        gathered = batched_gather(lw_norm, indices, 0)
+        # a zero-mass ancestor is never selected except through ULP-level
+        # cumsum ties; guard the -inf - (-inf) = nan that would produce
+        gathered = jnp.where(jnp.isfinite(gathered), gathered, 0.0)
+        return gathered - jax.lax.stop_gradient(gathered)
 
     # -- reference aliases -----------------------------------------------------
     @property

@@ -1,7 +1,10 @@
 """GPF — Gaussian particle filter of Kotecha & Djuric.
 
 Reference: pyfilter/filters/particle/gpf.py. Never resamples; propagates the
-cloud through a moment-matched Gaussian predictive.
+cloud through a moment-matched Gaussian predictive. Because there is no
+resample, its log-likelihood is differentiable w.r.t. model parameters as-is
+(``differentiable=True`` is a no-op here — SISR/APF need the stop-gradient
+ancestor correction, GPF does not).
 """
 
 from __future__ import annotations

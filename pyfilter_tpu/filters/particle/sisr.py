@@ -53,8 +53,18 @@ class SISR(ParticleFilter):
             mask_p = mask[None]  # broadcast over particle axis
             indices = jnp.where(mask_p, fresh_idx, identity)
 
-            new_weights = jnp.where(mask_p, 0.0, weights)
-            new_normalized = jnp.where(mask_p, 1.0 / self.n_particles, normalized)
+            if self.differentiable:
+                # zero-valued, gradient-carrying reset (base._ancestor_correction)
+                corr = self._ancestor_correction(weights, fresh_idx)
+                new_weights = jnp.where(mask_p, corr, weights)
+                new_normalized = jnp.where(
+                    mask_p, jax.nn.softmax(corr, axis=0), normalized
+                )
+            else:
+                new_weights = jnp.where(mask_p, 0.0, weights)
+                new_normalized = jnp.where(
+                    mask_p, 1.0 / self.n_particles, normalized
+                )
 
             new_vals = jnp.where(
                 mask.reshape((1,) + mask.shape + (1,) * ts_state.event_ndim),
@@ -77,11 +87,14 @@ class SISR(ParticleFilter):
             else:
                 indices = self.resampler(key, normalized, normalized=True)
                 new_vals = batched_gather(ts_state.value, indices, ts_state.event_ndim)
+            if self.differentiable:
+                corr = self._ancestor_correction(weights, indices)
+                new_w, new_norm = corr, jax.nn.softmax(corr, axis=0)
+            else:
+                new_w = jnp.zeros_like(weights)
+                new_norm = jnp.full_like(normalized, 1.0 / self.n_particles)
             return ParticleFilterPrediction(
-                ts_state.copy(values=new_vals),
-                jnp.zeros_like(weights),
-                jnp.full_like(normalized, 1.0 / self.n_particles),
-                indices,
+                ts_state.copy(values=new_vals), new_w, new_norm, indices
             )
 
         def passthrough(key):

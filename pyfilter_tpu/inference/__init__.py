@@ -22,7 +22,7 @@ from .state import (
     SMC2State,
 )
 from .utils import QuasiMultivariateNormal, calc_mean_chol, construct_mvn
-from .variational import SVIResult, fit_svi
+from .variational import MLEResult, SVIResult, fit_mle, fit_svi
 
 __all__ = [
     "InferenceContext",
@@ -56,6 +56,8 @@ __all__ = [
     "batch",
     "variational",
     "fit_svi",
+    "fit_mle",
+    "MLEResult",
     "SVIResult",
     "diagnostics",
     "potential_scale_reduction",

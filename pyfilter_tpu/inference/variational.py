@@ -150,3 +150,99 @@ def fit_svi(
         done += n
 
     return SVIResult(guide, jnp.concatenate(losses), ctx)
+
+
+class MLEResult(NamedTuple):
+    theta: jax.Array  # (1, D) unconstrained stacked parameters
+    losses: jax.Array
+    context: InferenceContext
+
+    def parameters(self):
+        """Fitted constrained parameter values, by name."""
+        ctx = self.context.unstack_parameters(self.theta, constrained=False)
+        return {n: np.asarray(v) for n, v in ctx.get_parameters(constrained=True)}
+
+
+def fit_mle(
+    build_model: Callable,
+    y: jax.Array,
+    filter_factory: Callable,
+    key,
+    num_steps: int = 200,
+    learning_rate: float = 5e-2,
+    context: InferenceContext = None,
+    map_estimate: bool = False,
+    chunk_size: int = None,
+) -> MLEResult:
+    """Maximum-likelihood (or MAP) point estimation by direct stochastic
+    gradient ascent on the particle filter's marginal log-likelihood.
+
+    New capability beyond the reference (whose only gradient path is the
+    FFBS-smoothed pyro factor, reference filters/particle/base.py:176-229):
+    the filter runs with ``differentiable=True`` — the Ścibior–Wood
+    stop-gradient resampling correction (arXiv:2106.10314) makes
+    ``result.log_likelihood`` differentiable w.r.t. model parameters with the
+    correct expected gradient, so Adam can climb the likelihood surface
+    directly, no smoothing pass needed. A fresh PRNG key per step keeps the
+    gradient estimator unbiased across iterations (stochastic-approximation
+    style rather than fixed-seed optimization of one realization).
+
+    ``map_estimate=True`` adds the log-prior, yielding the posterior mode.
+    ``chunk_size``: Adam steps per compiled ``lax.scan`` (default: all in one
+    dispatch), same contract as :func:`fit_svi`.
+    """
+    import functools
+
+    import optax
+
+    k_ctx, k_loop = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
+
+    ctx = context if context is not None else InferenceContext(key=k_ctx)
+    if ctx.batch_shape is None:
+        ctx.set_batch_shape(())
+    elif tuple(ctx.batch_shape) != ():
+        raise ValueError(
+            "fit_mle is a point estimator — the context's batch shape must be "
+            "() (use fit_svi / the sequential algorithms for lane-batched "
+            "posterior inference)"
+        )
+
+    filt = filter_factory(build_model)
+    filt = filt.replace(differentiable=True)
+    filt = filt.initialize_model(ctx)
+
+    theta0 = ctx.stack_parameters(constrained=False)  # (1, D)
+    y = jnp.asarray(y)
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(theta0)
+
+    def loss_fn(theta, k):
+        ctx2 = ctx.unstack_parameters(theta, constrained=False)
+        filt2 = filt.initialize_model(ctx2)
+        obj = filt2.batch_filter(k, y, use_jit=False).log_likelihood
+        if map_estimate:
+            obj = obj + ctx2.eval_priors(constrained=False)
+        return -jnp.sum(obj)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_chunk(theta, o, k, n):
+        def body(carry, _):
+            theta, o, k = carry
+            k, k_i = jax.random.split(k)
+            loss, grads = jax.value_and_grad(loss_fn)(theta, k_i)
+            updates, o = opt.update(grads, o)
+            theta = theta + updates
+            return (theta, o, k), loss
+
+        (theta, o, k), losses = jax.lax.scan(body, (theta, o, k), None, length=n)
+        return theta, o, k, losses
+
+    chunk = num_steps if chunk_size is None else max(int(chunk_size), 1)
+    theta, losses, done = theta0, [], 0
+    while done < num_steps:
+        n = min(chunk, num_steps - done)
+        theta, opt_state, k_loop, chunk_losses = run_chunk(theta, opt_state, k_loop, n)
+        losses.append(chunk_losses)
+        done += n
+
+    return MLEResult(theta, jnp.concatenate(losses), ctx)
