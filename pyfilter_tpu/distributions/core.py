@@ -501,6 +501,321 @@ class Weibull(Distribution):
         return jnp.square(self.scale) * (m2 - jnp.square(m1)) + jnp.zeros(self.batch_shape)
 
 
+class HalfNormal(Distribution):
+    """|N(0, scale²)| — the standard weakly-informative scale prior.
+    Closed-form icdf → QMC-compatible."""
+
+    arg_names = ("scale",)
+    has_icdf = True
+    arg_constraints = {"scale": constraints.positive}
+
+    def __init__(self, scale=1.0):
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.scale)
+
+    @property
+    def support(self):
+        return constraints.positive
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.scale, 0.0)
+        return jnp.abs(self.scale * jax.random.normal(key, shape, dtype=dtype))
+
+    def log_prob(self, value):
+        z = value / self.scale
+        return (
+            math.log(2.0)
+            - 0.5 * jnp.square(z)
+            - jnp.log(self.scale)
+            - _LOG_SQRT_2PI
+            + jnp.zeros(self.batch_shape)
+        )
+
+    def cdf(self, value):
+        return 2.0 * ndtr(value / self.scale) - 1.0
+
+    def icdf(self, q):
+        return self.scale * ndtri(0.5 * (q + 1.0))
+
+    @property
+    def mean(self):
+        return self.scale * math.sqrt(2.0 / math.pi) + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        return jnp.square(self.scale) * (1.0 - 2.0 / math.pi) + jnp.zeros(self.batch_shape)
+
+
+class HalfCauchy(Distribution):
+    """|Cauchy(0, scale)| — the heavy-tailed scale prior (Gelman's default for
+    hierarchical variance components). Closed-form icdf → QMC-compatible."""
+
+    arg_names = ("scale",)
+    has_icdf = True
+    arg_constraints = {"scale": constraints.positive}
+
+    def __init__(self, scale=1.0):
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.scale)
+
+    @property
+    def support(self):
+        return constraints.positive
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.scale, 0.0)
+        return jnp.abs(self.scale * jax.random.cauchy(key, shape, dtype=dtype))
+
+    def log_prob(self, value):
+        z = value / self.scale
+        return (
+            math.log(2.0 / math.pi)
+            - jnp.log1p(jnp.square(z))
+            - jnp.log(self.scale)
+            + jnp.zeros(self.batch_shape)
+        )
+
+    def cdf(self, value):
+        return (2.0 / math.pi) * jnp.arctan(value / self.scale)
+
+    def icdf(self, q):
+        return self.scale * jnp.tan(0.5 * math.pi * q)
+
+    @property
+    def mean(self):
+        return jnp.full(self.batch_shape, jnp.nan) + self.scale * 0.0
+
+    @property
+    def variance(self):
+        return jnp.full(self.batch_shape, jnp.nan) + self.scale * 0.0
+
+
+class Gumbel(Distribution):
+    """Gumbel (type-I extreme value) — block-maxima observation density.
+    Closed-form icdf → QMC-compatible."""
+
+    arg_names = ("loc", "scale")
+    has_icdf = True
+    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
+    _EULER = 0.5772156649015329
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.loc, self.scale, 0.0)
+        return self.loc + self.scale * jax.random.gumbel(key, shape, dtype=dtype)
+
+    def log_prob(self, value):
+        z = (value - self.loc) / self.scale
+        return -(z + jnp.exp(-z)) - jnp.log(self.scale) + jnp.zeros(self.batch_shape)
+
+    def cdf(self, value):
+        z = (value - self.loc) / self.scale
+        return jnp.exp(-jnp.exp(-z))
+
+    def icdf(self, q):
+        return self.loc - self.scale * jnp.log(-jnp.log(q))
+
+    @property
+    def mean(self):
+        return self.loc + self.scale * self._EULER + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        return jnp.square(math.pi * jnp.asarray(self.scale)) / 6.0 + jnp.zeros(
+            self.batch_shape
+        )
+
+
+class Logistic(Distribution):
+    """Logistic — near-Gaussian body with heavier tails; the latent noise of
+    logit-link models. Closed-form icdf → QMC-compatible."""
+
+    arg_names = ("loc", "scale")
+    has_icdf = True
+    arg_constraints = {"loc": constraints.real, "scale": constraints.positive}
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.loc, self.scale, 0.0)
+        return self.loc + self.scale * jax.random.logistic(key, shape, dtype=dtype)
+
+    def log_prob(self, value):
+        z = (value - self.loc) / self.scale
+        # -z - 2*softplus(-z) is the stable form of log( e^{-z} / (1+e^{-z})² )
+        return -z - 2.0 * jax.nn.softplus(-z) - jnp.log(self.scale) + jnp.zeros(self.batch_shape)
+
+    def cdf(self, value):
+        return jax.nn.sigmoid((value - self.loc) / self.scale)
+
+    def icdf(self, q):
+        return self.loc + self.scale * (jnp.log(q) - jnp.log1p(-q))
+
+    @property
+    def mean(self):
+        return self.loc + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        return jnp.square(math.pi * jnp.asarray(self.scale)) / 3.0 + jnp.zeros(
+            self.batch_shape
+        )
+
+
+class Chi2(Distribution):
+    """Chi-squared with ``df`` degrees of freedom = Gamma(df/2, rate=1/2)."""
+
+    arg_names = ("df",)
+    arg_constraints = {"df": constraints.positive}
+
+    def __init__(self, df):
+        self.df = df
+
+    def _gamma(self) -> Gamma:
+        return Gamma(jnp.asarray(self.df) / 2.0, 0.5)
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.df)
+
+    @property
+    def support(self):
+        return constraints.positive
+
+    def sample(self, key, sample_shape=()):
+        return self._gamma().sample(key, sample_shape)
+
+    def log_prob(self, value):
+        return self._gamma().log_prob(value)
+
+    def cdf(self, value):
+        return self._gamma().cdf(value)
+
+    @property
+    def mean(self):
+        return jnp.asarray(self.df) + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        return 2.0 * jnp.asarray(self.df) + jnp.zeros(self.batch_shape)
+
+
+class TruncatedNormal(Distribution):
+    """Normal(loc, scale²) truncated to ``[low, high]`` (either bound may be
+    ±inf). Sampling uses ``jax.random.truncated_normal`` (robust in the
+    tails); the icdf is closed-form → QMC-compatible."""
+
+    arg_names = ("loc", "scale", "low", "high")
+    has_icdf = True
+    arg_constraints = {
+        "loc": constraints.real,
+        "scale": constraints.positive,
+        "low": constraints.real,
+        "high": constraints.real,
+    }
+
+    def __init__(self, loc=0.0, scale=1.0, low=-jnp.inf, high=jnp.inf):
+        self.loc = loc
+        self.scale = scale
+        self.low = low
+        self.high = high
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale, self.low, self.high)
+
+    @property
+    def support(self):
+        return constraints.Interval(self.low, self.high)
+
+    def _std_bounds(self):
+        a = (jnp.asarray(self.low) - self.loc) / self.scale
+        b = (jnp.asarray(self.high) - self.loc) / self.scale
+        return a, b
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.loc, self.scale, 0.0)
+        a, b = self._std_bounds()
+        z = jax.random.truncated_normal(
+            key, jnp.asarray(a, dtype), jnp.asarray(b, dtype), shape, dtype=dtype
+        )
+        return self.loc + self.scale * z
+
+    def _log_z(self):
+        a, b = self._std_bounds()
+        return jnp.log(ndtr(b) - ndtr(a))
+
+    def log_prob(self, value):
+        z = (value - self.loc) / self.scale
+        in_support = (value >= self.low) & (value <= self.high)
+        lp = (
+            -0.5 * jnp.square(z)
+            - jnp.log(self.scale)
+            - _LOG_SQRT_2PI
+            - self._log_z()
+        )
+        return jnp.where(in_support, lp, -jnp.inf)
+
+    def cdf(self, value):
+        a, b = self._std_bounds()
+        ca = ndtr(a)
+        raw = (ndtr((value - self.loc) / self.scale) - ca) / (ndtr(b) - ca)
+        return jnp.clip(raw, 0.0, 1.0)
+
+    def icdf(self, q):
+        a, b = self._std_bounds()
+        ca, cb = ndtr(a), ndtr(b)
+        return self.loc + self.scale * ndtri(ca + q * (cb - ca))
+
+    @property
+    def mean(self):
+        a, b = self._std_bounds()
+        z = ndtr(b) - ndtr(a)
+        pa, pb = _std_normal_pdf(a), _std_normal_pdf(b)
+        return self.loc + self.scale * (pa - pb) / z + jnp.zeros(self.batch_shape)
+
+    @property
+    def variance(self):
+        a, b = self._std_bounds()
+        z = ndtr(b) - ndtr(a)
+        pa, pb = _std_normal_pdf(a), _std_normal_pdf(b)
+        # x·φ(x) → 0 as x → ±inf: mask the indeterminate inf·0 products
+        apa = jnp.where(jnp.isfinite(a), a * pa, 0.0)
+        bpb = jnp.where(jnp.isfinite(b), b * pb, 0.0)
+        frac = (apa - bpb) / z
+        return jnp.square(self.scale) * (1.0 + frac - jnp.square((pa - pb) / z)) + jnp.zeros(
+            self.batch_shape
+        )
+
+
+def _std_normal_pdf(x):
+    return jnp.exp(-0.5 * jnp.square(x)) / math.sqrt(2.0 * math.pi)
+
+
 class Categorical(Distribution):
     """Categorical over the last axis of ``logits``/``probs``."""
 

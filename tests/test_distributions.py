@@ -21,6 +21,14 @@ CASES = [
     (lambda: dist.StudentT(4.0, 0.3, 1.5), lambda: st.t(4.0, loc=0.3, scale=1.5)),
     (lambda: dist.Laplace(0.4, 1.3), lambda: st.laplace(0.4, 1.3)),
     (lambda: dist.Weibull(2.0, 1.5), lambda: st.weibull_min(1.5, scale=2.0)),
+    (lambda: dist.HalfNormal(1.4), lambda: st.halfnorm(scale=1.4)),
+    (lambda: dist.Gumbel(0.3, 1.2), lambda: st.gumbel_r(0.3, 1.2)),
+    (lambda: dist.Logistic(-0.5, 0.9), lambda: st.logistic(-0.5, 0.9)),
+    (lambda: dist.Chi2(3.5), lambda: st.chi2(3.5)),
+    (
+        lambda: dist.TruncatedNormal(0.5, 2.0, -1.0, 3.0),
+        lambda: st.truncnorm(-0.75, 1.25, loc=0.5, scale=2.0),
+    ),
 ]
 
 
@@ -50,6 +58,11 @@ def test_sampling_moments(key, make_d, make_ref):
         lambda: dist.Laplace(0.4, 1.3),
         lambda: dist.Cauchy(-0.2, 0.8),
         lambda: dist.Weibull(2.0, 1.5),
+        lambda: dist.HalfNormal(1.4),
+        lambda: dist.HalfCauchy(0.7),
+        lambda: dist.Gumbel(0.3, 1.2),
+        lambda: dist.Logistic(-0.5, 0.9),
+        lambda: dist.TruncatedNormal(0.5, 2.0, -1.0, 3.0),
     ],
 )
 def test_icdf_inverts_cdf(make_d):
@@ -67,6 +80,34 @@ def test_cauchy_log_prob_and_median(key):
     assert np.isnan(np.asarray(d.mean)) and np.isnan(np.asarray(d.variance))
     s = np.asarray(d.sample(key, (200_000,)), dtype=np.float64)
     np.testing.assert_allclose(np.median(s), -0.2, atol=0.01)
+
+
+def test_halfcauchy_log_prob_and_median(key):
+    d, ref = dist.HalfCauchy(0.7), st.halfcauchy(scale=0.7)
+    x = np.asarray(ref.rvs(size=50, random_state=1), dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(d.log_prob(jnp.asarray(x))), ref.logpdf(x), rtol=2e-4, atol=1e-5
+    )
+    assert np.isnan(np.asarray(d.mean)) and np.isnan(np.asarray(d.variance))
+    s = np.asarray(d.sample(key, (200_000,)), dtype=np.float64)
+    np.testing.assert_allclose(np.median(s), ref.median(), rtol=0.02)
+
+
+def test_truncated_normal_one_sided(key):
+    """Infinite bounds must behave: N(1, 0.5²) truncated to [0, inf)."""
+    d = dist.TruncatedNormal(1.0, 0.5, low=0.0)
+    ref = st.truncnorm(-2.0, np.inf, loc=1.0, scale=0.5)
+    x = np.asarray(ref.rvs(size=50, random_state=2), dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(d.log_prob(jnp.asarray(x))), ref.logpdf(x), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(d.mean), ref.mean(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d.variance), ref.var(), rtol=1e-4)
+    s = np.asarray(d.sample(key, (200_000,)), dtype=np.float64)
+    assert (s >= 0).all()
+    np.testing.assert_allclose(s.mean(), ref.mean(), atol=4 * ref.std() / np.sqrt(len(s)))
+    # out-of-support density is -inf
+    assert np.asarray(d.log_prob(jnp.asarray(-0.1))) == -np.inf
 
 
 def test_batch_shapes(key):
