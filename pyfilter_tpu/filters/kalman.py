@@ -192,3 +192,83 @@ class KalmanFilter:
             latest_state=last,
             states=None,
         )
+
+    # -- smoothing ------------------------------------------------------------
+    def _effective_transition(self, n: int):
+        """Compose ``n`` hidden transitions into one affine-Gaussian step:
+        ``F_eff = F^n``, ``b_eff = Σ F^i b``, ``Q_eff = Σ F^i Q F^i'``."""
+        f_eff = jnp.eye(self._d_x, dtype=self.F.dtype)
+        b_eff = jnp.zeros(self._d_x, dtype=self.F.dtype)
+        q_eff = jnp.zeros((self._d_x, self._d_x), dtype=self.F.dtype)
+        for _ in range(int(n)):
+            b_eff = self.F @ b_eff + self.b
+            q_eff = self.F @ q_eff @ self.F.T + self.Q
+            f_eff = self.F @ f_eff
+        return f_eff, b_eff, q_eff
+
+    def smooth(self, y):
+        """Exact Rauch–Tung–Striebel smoother: posterior marginals
+        ``p(x_t | y_{1:T})`` at the observation times.
+
+        Exact counterpart of the particle smoothers (`ParticleFilter.smooth`;
+        reference particle/base.py:105-157 — the reference has no exact
+        smoother). Returns ``(means, covs)`` of shapes ``(T, d)`` and
+        ``(T, d, d)``. All-NaN observations are skipped exactly as in
+        :meth:`filter`.
+        """
+        y = jnp.asarray(y, jnp.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+        oes = int(self.model.observe_every_step)
+        f1, b1, q1 = self._effective_transition(1)
+        fo, bo, qo = self._effective_transition(oes)
+
+        def forward_step(m, p, y_t, f_mat, b_vec, q_mat):
+            m_pred = f_mat @ m + b_vec
+            p_pred = f_mat @ p @ f_mat.T + q_mat
+            s_mat = self.H @ p_pred @ self.H.T + self.R
+            chol = jnp.linalg.cholesky(s_mat)
+            innov = jnp.where(jnp.isnan(y_t), 0.0, y_t - (self.H @ m_pred + self.d))
+            k_gain = p_pred @ self.H.T @ jax.scipy.linalg.cho_solve(
+                (chol, True), jnp.eye(self._d_y)
+            )
+            observed = ~jnp.isnan(y_t).all()
+            m_f = jnp.where(observed, m_pred + k_gain @ innov, m_pred)
+            p_f = jnp.where(observed, p_pred - k_gain @ self.H @ p_pred, p_pred)
+            return m_pred, p_pred, m_f, p_f
+
+        # first observation: one transition from the initial state (matching
+        # batch_filter / the particle filters' timing)
+        rec0 = forward_step(self.m0, self.P0, y[0], f1, b1, q1)
+
+        def fwd(carry, y_t):
+            m, p = carry
+            m_pred, p_pred, m_f, p_f = forward_step(m, p, y_t, fo, bo, qo)
+            return (m_f, p_f), (m_pred, p_pred, m_f, p_f)
+
+        _, rec_rest = jax.lax.scan(fwd, (rec0[2], rec0[3]), y[1:])
+        m_pred, p_pred, m_f, p_f = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), rec0, rec_rest
+        )
+
+        def backward(carry, inp):
+            ms_next, ps_next = carry
+            m_f_t, p_f_t, m_pred_next, p_pred_next = inp
+            # G = P_f F' P_pred^{-1}  (all covariances symmetric)
+            gain = jnp.linalg.solve(p_pred_next, fo @ p_f_t).T
+            ms = m_f_t + gain @ (ms_next - m_pred_next)
+            ps = p_f_t + gain @ (ps_next - p_pred_next) @ gain.T
+            return (ms, ps), (ms, ps)
+
+        last = (m_f[-1], p_f[-1])
+        if y.shape[0] == 1:
+            return m_f, p_f
+        _, (ms_rest, ps_rest) = jax.lax.scan(
+            backward,
+            last,
+            (m_f[:-1], p_f[:-1], m_pred[1:], p_pred[1:]),
+            reverse=True,
+        )
+        means = jnp.concatenate([ms_rest, m_f[-1][None]], axis=0)
+        covs = jnp.concatenate([ps_rest, p_f[-1][None]], axis=0)
+        return means, covs
