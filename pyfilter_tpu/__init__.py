@@ -12,7 +12,15 @@ __version__ = "0.1.0"
 
 from . import distributions, examples, filters, inference, interop, io, ops, parallel, resampling, timeseries, utils
 from .compile_cache import enable_compile_cache
-from .filters import APF, GPF, SISR, FilterResult, KalmanFilter, ParticleFilter
+from .filters import (
+    APF,
+    GPF,
+    SISR,
+    ExtendedKalmanFilter,
+    FilterResult,
+    KalmanFilter,
+    ParticleFilter,
+)
 from .inference import NESS, NESSMC2, PMMH, SMC2, SMC2FW, make_context
 from .utils import get_ess, log_likelihood, normalize
 
@@ -24,6 +32,7 @@ __all__ = [
     "ops",
     "parallel",
     "KalmanFilter",
+    "ExtendedKalmanFilter",
     "timeseries",
     "resampling",
     "utils",

@@ -2,6 +2,7 @@
 
 from . import particle
 from .base import BaseFilter
+from .ekf import EKFState, ExtendedKalmanFilter
 from .kalman import KalmanFilter, KalmanState
 from .particle import APF, GPF, SISR, ParticleFilter
 from .result import FilterHistory, FilterResult
@@ -16,6 +17,8 @@ __all__ = [
     "BaseFilter",
     "KalmanFilter",
     "KalmanState",
+    "ExtendedKalmanFilter",
+    "EKFState",
     "ParticleFilter",
     "SISR",
     "APF",

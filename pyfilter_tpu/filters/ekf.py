@@ -1,0 +1,228 @@
+"""Extended Kalman filter — autodiff-linearized Gaussian filtering.
+
+New capability beyond the reference (which is particle-only; its closest
+analogue is the ``Linearized``/``LocalLinearization`` proposals,
+reference pyfilter/filters/particle/proposals/linearized.py, which linearize
+inside a particle filter rather than replacing it): the EKF propagates a
+single Gaussian belief through the model's (possibly nonlinear) transition
+and observation means, with Jacobians taken by ``jax.jacfwd`` at every step —
+the TPU-native formulation of the classical hand-derived-Jacobian EKF.
+
+Unlike :class:`KalmanFilter` (which extracts constant matrices through numpy
+at construction), everything here is traced JAX: the filter re-linearizes at
+the running mean each step, handles state-dependent diffusion (evaluated at
+the mean), works on any :class:`StateSpaceModel` whose transition and
+observation densities expose ``mean``/``variance``, and is differentiable
+w.r.t. model parameters (``jax.grad`` through ``batch_filter`` works).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..timeseries import TimeseriesState
+from .result import FilterResult
+
+
+class EKFState(NamedTuple):
+    mean: jax.Array       # (d,)
+    cov: jax.Array        # (d, d)
+    log_likelihood: jax.Array
+    time_index: jax.Array
+
+    @property
+    def x(self) -> TimeseriesState:
+        return TimeseriesState(self.time_index, self.mean, 1)
+
+    def get_mean(self):
+        return self.mean
+
+    def get_variance(self):
+        return jnp.diagonal(self.cov, axis1=-2, axis2=-1)
+
+
+class ExtendedKalmanFilter:
+    """First-order EKF over a :class:`StateSpaceModel`.
+
+    Requirements: the hidden transition density and the observation density
+    must be (approximately) Gaussian — their ``mean`` is differentiated for
+    the Jacobians and their ``variance`` supplies the (diagonal) noise
+    covariances, both re-evaluated at the running mean every step.
+    """
+
+    def __init__(self, model):
+        self.model = model
+        hidden = model.hidden
+        self._ev = int(hidden.event_ndim)
+        init = hidden.initial_distribution()
+        self._d_x = int(init.event_shape[0]) if self._ev == 1 else 1
+        self._d_y = int(model.event_shape[0]) if model.event_shape else 1
+
+    # -- model probes (vector-canonical views of the densities) ---------------
+    def _state(self, v, t) -> TimeseriesState:
+        return TimeseriesState(t, v if self._ev == 1 else v[0], self._ev)
+
+    def _trans_mean(self, v, t):
+        d = self.model.hidden.build_density(self._state(v, t))
+        return jnp.atleast_1d(jnp.asarray(d.mean))
+
+    def _trans_var(self, v, t):
+        d = self.model.hidden.build_density(self._state(v, t))
+        return jnp.atleast_1d(jnp.asarray(d.variance))
+
+    def _obs_mean(self, v, t):
+        d = self.model.build_density(self._state(v, t))
+        return jnp.atleast_1d(jnp.asarray(d.mean))
+
+    def _obs_var(self, v, t):
+        d = self.model.build_density(self._state(v, t))
+        return jnp.atleast_1d(jnp.asarray(d.variance))
+
+    # -- filter ----------------------------------------------------------------
+    def initialize(self) -> EKFState:
+        init = self.model.hidden.initial_distribution()
+        m0 = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(init.mean, jnp.float32)), (self._d_x,)
+        )
+        v0 = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(init.variance, jnp.float32)), (self._d_x,)
+        )
+        return EKFState(m0, jnp.diag(v0), jnp.asarray(0.0), jnp.asarray(0.0))
+
+    def _predict(self, m, p, t):
+        """One linearized transition; returns the step Jacobian for smoothing."""
+        f_jac = jax.jacfwd(lambda v: self._trans_mean(v, t))(m)
+        q = jnp.diag(self._trans_var(m, t))
+        m_new = self._trans_mean(m, t)
+        p_new = f_jac @ p @ f_jac.T + q
+        return m_new, p_new, f_jac
+
+    def filter(self, y_t, state: EKFState, n_transitions: int = None) -> EKFState:
+        """One predict+update move with all-NaN observation skip (same timing
+        contract as ``KalmanFilter.filter``)."""
+        y_t = jnp.atleast_1d(jnp.asarray(y_t, jnp.float32))
+        if n_transitions is None:
+            n_transitions = int(self.model.observe_every_step)
+
+        m, p, t = state.mean, state.cov, state.time_index
+        for _ in range(n_transitions):
+            m, p, _ = self._predict(m, p, t)
+            t = t + 1.0
+
+        h_jac = jax.jacfwd(lambda v: self._obs_mean(v, t))(m)
+        r = jnp.diag(self._obs_var(m, t))
+        s_mat = h_jac @ p @ h_jac.T + r
+        chol = jnp.linalg.cholesky(s_mat)
+        innov = jnp.where(jnp.isnan(y_t), 0.0, y_t - self._obs_mean(m, t))
+
+        solved = jax.scipy.linalg.cho_solve((chol, True), innov)
+        k_gain = p @ h_jac.T @ jax.scipy.linalg.cho_solve(
+            (chol, True), jnp.eye(self._d_y)
+        )
+
+        log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        ll_t = -0.5 * (innov @ solved + log_det + self._d_y * math.log(2.0 * math.pi))
+
+        observed = ~jnp.isnan(y_t).all()
+        m_new = jnp.where(observed, m + k_gain @ innov, m)
+        p_new = jnp.where(observed, p - k_gain @ h_jac @ p, p)
+        ll_new = state.log_likelihood + jnp.where(observed, ll_t, 0.0)
+        return EKFState(m_new, p_new, ll_new, t)
+
+    def batch_filter(self, y) -> FilterResult:
+        """Linearized Gaussian filtering over the whole sequence as one
+        ``lax.scan`` (time axis leading)."""
+        y = jnp.asarray(y, jnp.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+
+        state1 = self.filter(y[0], self.initialize(), n_transitions=1)
+        first = (state1.log_likelihood, state1.mean, jnp.diagonal(state1.cov))
+
+        def step(state, y_t):
+            new = self.filter(y_t, state)
+            step_ll = new.log_likelihood - state.log_likelihood
+            return new, (step_ll, new.mean, jnp.diagonal(new.cov))
+
+        last, rest = jax.lax.scan(step, state1, y[1:])
+        step_lls, means, variances = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), first, rest
+        )
+        return FilterResult(
+            log_likelihood=last.log_likelihood,
+            step_log_likelihoods=step_lls,
+            filter_means=means,
+            filter_variances=variances,
+            latest_state=last,
+            states=None,
+        )
+
+    # -- smoothing --------------------------------------------------------------
+    def smooth(self, y):
+        """Extended RTS smoother: the backward pass reuses each step's
+        composed transition Jacobian (re-linearization at the filtered means).
+        Returns ``(means, covs)`` of shapes ``(T, d)`` and ``(T, d, d)``.
+        """
+        y = jnp.asarray(y, jnp.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+        oes = int(self.model.observe_every_step)
+
+        def forward_move(m, p, t, y_t, n):
+            f_total = jnp.eye(self._d_x)
+            for _ in range(n):
+                m, p, f_jac = self._predict(m, p, t)
+                f_total = f_jac @ f_total
+                t = t + 1.0
+            m_pred, p_pred = m, p
+
+            h_jac = jax.jacfwd(lambda v: self._obs_mean(v, t))(m)
+            r = jnp.diag(self._obs_var(m, t))
+            s_mat = h_jac @ p @ h_jac.T + r
+            chol = jnp.linalg.cholesky(s_mat)
+            innov = jnp.where(jnp.isnan(y_t), 0.0, y_t - self._obs_mean(m, t))
+            k_gain = p @ h_jac.T @ jax.scipy.linalg.cho_solve(
+                (chol, True), jnp.eye(self._d_y)
+            )
+            observed = ~jnp.isnan(y_t).all()
+            m_f = jnp.where(observed, m + k_gain @ innov, m)
+            p_f = jnp.where(observed, p - k_gain @ h_jac @ p, p)
+            return (m_pred, p_pred, m_f, p_f, f_total), t
+
+        rec0, t1 = forward_move(
+            *self.initialize()[:2], jnp.asarray(0.0), y[0], 1
+        )
+
+        def fwd(carry, y_t):
+            m, p, t = carry
+            rec, t_new = forward_move(m, p, t, y_t, oes)
+            return (rec[2], rec[3], t_new), rec
+
+        _, rec_rest = jax.lax.scan(fwd, (rec0[2], rec0[3], t1), y[1:])
+        m_pred, p_pred, m_f, p_f, f_steps = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), rec0, rec_rest
+        )
+
+        def backward(carry, inp):
+            ms_next, ps_next = carry
+            m_f_t, p_f_t, m_pred_next, p_pred_next, f_next = inp
+            gain = jnp.linalg.solve(p_pred_next, f_next @ p_f_t).T
+            ms = m_f_t + gain @ (ms_next - m_pred_next)
+            ps = p_f_t + gain @ (ps_next - p_pred_next) @ gain.T
+            return (ms, ps), (ms, ps)
+
+        if y.shape[0] == 1:
+            return m_f, p_f
+        _, (ms_rest, ps_rest) = jax.lax.scan(
+            backward,
+            (m_f[-1], p_f[-1]),
+            (m_f[:-1], p_f[:-1], m_pred[1:], p_pred[1:], f_steps[1:]),
+            reverse=True,
+        )
+        means = jnp.concatenate([ms_rest, m_f[-1][None]], axis=0)
+        covs = jnp.concatenate([ps_rest, p_f[-1][None]], axis=0)
+        return means, covs
