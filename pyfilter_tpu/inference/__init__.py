@@ -3,7 +3,7 @@
 from . import batch, diagnostics, prior, sequential, variational
 from .base import BaseAlgorithm
 from .diagnostics import effective_sample_size, potential_scale_reduction, summarize_chains
-from .batch.mcmc import PMMH, GradientBasedProposal, RandomWalk, SymmetricMH, run_pmmh
+from .batch.mcmc import PGAS, PMMH, GradientBasedProposal, RandomWalk, SymmetricMH, run_pmmh
 from .context import (
     InferenceContext,
     NotSamePriorError,
@@ -39,6 +39,7 @@ __all__ = [
     "NESSMC2",
     "SMC2FW",
     "PMMH",
+    "PGAS",
     "run_pmmh",
     "RandomWalk",
     "SymmetricMH",

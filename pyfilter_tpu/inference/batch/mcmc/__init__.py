@@ -1,6 +1,7 @@
 """Particle MCMC (reference inference/batch/mcmc/)."""
 
 from . import proposals
+from .pgas import PGAS, PGASResult, csmc_sweep
 from .pmmh import PMMH
 from .proposals import BaseProposal, GradientBasedProposal, RandomWalk, SymmetricMH
 from .state import PMMHResult
@@ -8,6 +9,9 @@ from .utils import PMMHStep, run_pmmh
 
 __all__ = [
     "PMMH",
+    "PGAS",
+    "PGASResult",
+    "csmc_sweep",
     "PMMHResult",
     "run_pmmh",
     "PMMHStep",

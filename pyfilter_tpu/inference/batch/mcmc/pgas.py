@@ -1,0 +1,233 @@
+"""PGAS — particle Gibbs with ancestor sampling (Lindsten, Jordan & Schön 2014).
+
+New capability beyond the reference (whose only batch PMCMC kernel is PMMH,
+pyfilter/inference/batch/mcmc/pmmh.py): a conditional-SMC Gibbs sampler over
+the joint posterior :math:`p(\\theta, x_{0:T} | y_{1:T})`. Each iteration
+
+1. refreshes the retained trajectory with a conditional SMC sweep in which
+   particle slot 0 is pinned to the reference path and its ancestor is
+   *resampled* against :math:`\\bar w_{t-1}^j\\, f(x^*_t | x_{t-1}^j)`
+   (ancestor sampling — breaks the path-degeneracy that plain particle Gibbs
+   suffers at long T), then
+2. moves :math:`\\theta` by Metropolis-Hastings against the EXACT joint
+   density of the retained trajectory (an O(T) density evaluation via
+   ``smoothed_joint_log_likelihood`` — no O(T·N) re-filter per proposal,
+   which is PMMH's per-iteration cost).
+
+The whole chain runs as one compiled ``lax.scan`` over iterations (inner scan
+over time), chunked like the fused PMMH chain — the SMC2 dispatch-fusion
+recipe applied to a Gibbs kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ....filters.particle.base import smoothed_joint_log_likelihood
+from ....timeseries import TimeseriesState
+from ....utils import batched_gather, normalize_log
+from ... import prior as prior_ops
+from ...base import BaseAlgorithm
+from ...logging import TQDMWrapper
+
+
+def csmc_sweep(key, model, y, ref_traj, n_particles: int, ancestor_sampling: bool = True):
+    """One conditional-SMC sweep: returns a fresh trajectory ``(T+1, *event)``
+    whose law leaves the smoothing posterior ``p(x_{0:T} | y, \\theta)``
+    invariant when ``ref_traj`` is the retained path.
+
+    Bootstrap proposal, multinomial resampling every step (the standard CSMC
+    construction). ``ancestor_sampling=False`` gives plain conditional SMC
+    (slot 0 keeps its own lineage).
+    """
+    hidden = model.hidden
+    ev = hidden.event_ndim
+    y = jnp.asarray(y)
+    n_obs = y.shape[0]
+
+    k_init, k_scan, k_draw = jax.random.split(key, 3)
+
+    init = hidden.initial_sample(k_init, (n_particles,))
+    vals0 = init.value.at[0].set(ref_traj[0])
+
+    def step(carry, inp):
+        vals, lw, t = carry
+        y_t, ref_t, k = inp
+        k_anc, k_as, k_prop = jax.random.split(k, 3)
+
+        logits = normalize_log(lw)  # (N,)
+        anc = jax.random.categorical(k_anc, logits, shape=(n_particles,))
+
+        state_prev = TimeseriesState(t, vals, ev)
+        if ancestor_sampling:
+            # ancestor-sample slot 0 against w_{t-1}^j · f(x*_t | x_{t-1}^j)
+            trans_lp = hidden.build_density(state_prev).log_prob(ref_t)  # (N,)
+            a0 = jax.random.categorical(k_as, logits + trans_lp)
+        else:
+            a0 = jnp.asarray(0, anc.dtype)
+        anc = anc.at[0].set(a0)
+
+        picked = batched_gather(vals, anc, ev)
+        prop = hidden.propagate(k_prop, TimeseriesState(t, picked, ev))
+        new_vals = prop.value.at[0].set(ref_t)
+
+        state_new = TimeseriesState(t + 1.0, new_vals, ev)
+        lp = model.build_density(state_new).log_prob(y_t)  # (N,)
+        # all-NaN observation → skip (uniform weights), matching the filters
+        new_lw = jnp.where(jnp.isnan(y_t).all(), jnp.zeros_like(lp), lp)
+        return (new_vals, new_lw, t + 1.0), (new_vals, new_lw, anc)
+
+    keys = jax.random.split(k_scan, n_obs)
+    lw0 = jnp.zeros((n_particles,), vals0.dtype if vals0.dtype.kind == "f" else jnp.float32)
+    (_, lw_last, _), (all_vals, all_lw, all_anc) = jax.lax.scan(
+        step, (vals0, lw0, jnp.asarray(0.0)), (y, ref_traj[1:], keys)
+    )
+
+    # backward genealogy trace from a draw of the final weights
+    idx_last = jax.random.categorical(k_draw, normalize_log(lw_last))
+
+    def back(idx, inp):
+        vals_t, anc_t = inp
+        out = jnp.take(vals_t, idx, axis=0)
+        return jnp.take(anc_t, idx, axis=0), out
+
+    idx0, traj_rest = jax.lax.scan(back, idx_last, (all_vals, all_anc), reverse=True)
+    x0 = jnp.take(vals0, idx0, axis=0)
+    return jnp.concatenate([x0[None], traj_rest], axis=0)
+
+
+class PGASResult:
+    """Per-iteration parameter draws; ``samples[name]`` stacks to
+    ``(num_samples, *event)``. ``acceptance_rate`` is the θ-move rate."""
+
+    def __init__(self, samples, acceptance_rate, trajectory):
+        self.samples = samples
+        self.acceptance_rate = float(acceptance_rate)
+        self.trajectory = trajectory
+
+    def as_arrays(self):
+        return {k: np.asarray(v) for k, v in self.samples.items()}
+
+
+class PGAS(BaseAlgorithm):
+    """Particle Gibbs with ancestor sampling over ``filter_``'s model builder.
+
+    ``filter_`` supplies the model builder and ``n_particles`` (its proposal
+    is unused — CSMC is bootstrap by construction). Single chain; the θ-move
+    is a random-walk MH on the unconstrained parameter space with step size
+    ``rw_scale``, targeting the exact joint density of the retained
+    trajectory. Requires ``observe_every_step == 1``.
+    """
+
+    _default_chunk_size: int = 256
+
+    def __init__(
+        self,
+        filter_,
+        num_samples: int,
+        rw_scale: float = 5e-2,
+        ancestor_sampling: bool = True,
+        context=None,
+        key=None,
+    ):
+        super().__init__(filter_=filter_, context=context, key=key)
+        self.num_samples = int(num_samples)
+        self.rw_scale = float(rw_scale)
+        self.ancestor_sampling = bool(ancestor_sampling)
+
+        self.context.set_batch_shape(())
+        self._filter = self._filter.set_batch_shape(())
+
+    def fit(self, y, logging=None, chunk_size: int = None) -> PGASResult:
+        y = jnp.asarray(y)
+        filt = self._filter.initialize_model(self.context)
+        if int(filt.model.observe_every_step) != 1:
+            raise NotImplementedError(
+                "PGAS requires observe_every_step == 1 (the CSMC sweep pins "
+                "the reference path at every transition)"
+            )
+        n = filt.n_particles
+        ctx = self.context
+        key = self._next_key()
+        k_init, k_chain = jax.random.split(key)
+
+        # initialize the retained trajectory with one FFBS draw
+        init_filt = filt.replace(record_states=True)
+        res = init_filt.batch_filter(k_init, y)
+        traj = init_filt.smooth(k_init, res, method="ffbs")[:, 0]
+
+        theta0 = ctx.stack_parameters(constrained=False)  # (1, D)
+        times = jnp.arange(y.shape[0] + 1, dtype=jnp.float32)
+
+        def joint(theta, trajectory):
+            ctx2 = ctx.unstack_parameters(theta, constrained=False)
+            model = self._filter.initialize_model(ctx2).model
+            ll = smoothed_joint_log_likelihood(
+                model, times, trajectory[:, None], y, oes=1
+            )
+            return jnp.sum(ll) + jnp.sum(ctx2.eval_priors(constrained=False)), model
+
+        def body(carry, k):
+            theta, trajectory = carry
+            k_sweep, k_prop, k_acc = jax.random.split(k, 3)
+
+            # (1) trajectory refresh by conditional SMC given θ
+            _, model = joint(theta, trajectory)
+            trajectory = csmc_sweep(
+                k_sweep, model, y, trajectory, n, self.ancestor_sampling
+            )
+
+            # (2) θ | trajectory via random-walk MH on the exact joint
+            theta_star = theta + self.rw_scale * jax.random.normal(
+                k_prop, theta.shape, theta.dtype
+            )
+            lp_cur, _ = joint(theta, trajectory)
+            lp_star, _ = joint(theta_star, trajectory)
+            accept = jnp.log(jax.random.uniform(k_acc, ())) < lp_star - lp_cur
+            theta = jnp.where(accept, theta_star, theta)
+            return (theta, trajectory), (theta, accept)
+
+        chunk = self.num_samples if chunk_size is None else max(int(chunk_size), 1)
+        if chunk_size is None:
+            chunk = min(self.num_samples, self._default_chunk_size)
+
+        scan_chunk = jax.jit(
+            lambda carry, ks: jax.lax.scan(body, carry, ks), static_argnums=()
+        )
+
+        thetas, accepts = [], []
+        carry = (theta0, traj)
+        done = 0
+        logger = logging if logging is not None else TQDMWrapper()
+        with logger.initialize(self, self.num_samples):
+            while done < self.num_samples:
+                m = min(chunk, self.num_samples - done)
+                k_chain, k_use = jax.random.split(k_chain)
+                carry, (th, acc) = scan_chunk(carry, jax.random.split(k_use, m))
+                thetas.append(np.asarray(th))
+                accepts.append(np.asarray(acc))
+                done += m
+                logger.do_log(done, None)
+
+        theta_chain = np.concatenate(thetas, axis=0)  # (S, 1, D)
+        acc_rate = float(np.concatenate(accepts).mean())
+
+        # unstack the recorded chain into named constrained samples
+        samples = {}
+        chain = jnp.asarray(theta_chain[:, 0])  # (S, D)
+        index = 0
+        for name in ctx.parameters:
+            shape = ctx.get_shape(name, constrained=False)
+            numel = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            block = chain[:, index : index + numel].reshape((chain.shape[0],) + shape)
+            samples[name] = np.asarray(
+                prior_ops.get_constrained(ctx.get_prior(name), block)
+            )
+            index += numel
+
+        # absorb the final draw into the user-held context
+        final_ctx = ctx.unstack_parameters(carry[0], constrained=False)
+        ctx.absorb(final_ctx)
+        return PGASResult(samples, acc_rate, np.asarray(carry[1]))

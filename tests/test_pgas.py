@@ -1,0 +1,101 @@
+"""PGAS tests: CSMC kernel invariance against the exact RTS smoother (fixed
+θ), joint posterior recovery on AR(1), and ancestor-sampling mixing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyfilter_tpu as pf
+import pyfilter_tpu.distributions as dist
+from pyfilter_tpu import inference as inf, timeseries as ts
+from pyfilter_tpu.inference.batch.mcmc import csmc_sweep
+from pyfilter_tpu.timeseries import models
+
+ALPHA, BETA, SIGMA = 0.2, 0.7, 0.4
+OBS_STD = 0.3
+
+
+def build_ssm(beta=BETA, sigma=SIGMA):
+    return ts.LinearStateSpaceModel(models.AR(ALPHA, beta, sigma), (1.0, OBS_STD))
+
+
+def test_csmc_invariance_matches_rts():
+    """Iterating the CSMC kernel at fixed θ must leave the smoothing posterior
+    invariant: the long-run trajectory average equals the RTS smoothed mean."""
+    ssm = build_ssm()
+    _, y = ssm.sample_states(jax.random.PRNGKey(0), 40).get_paths()
+    rts_mean, rts_cov = pf.KalmanFilter(ssm).smooth(y)
+    rts_mean = np.asarray(rts_mean)[:, 0]
+    rts_std = np.sqrt(np.asarray(rts_cov)[:, 0, 0])
+
+    n_sweeps, burn = 400, 100
+
+    def gibbs(carry, k):
+        traj = csmc_sweep(k, ssm, y, carry, 32)
+        return traj, traj
+
+    traj0 = jnp.zeros(y.shape[0] + 1)
+    keys = jax.random.split(jax.random.PRNGKey(1), n_sweeps)
+    _, trajs = jax.jit(lambda t0, ks: jax.lax.scan(gibbs, t0, ks))(traj0, keys)
+    trajs = np.asarray(trajs)[burn:]  # (S, T+1)
+
+    avg = trajs.mean(axis=0)[1:]  # observation-time states
+    # autocorrelated sweeps: allow a generous MC band in units of rts_std
+    err = np.abs(avg - rts_mean) / rts_std
+    assert err.mean() < 0.25, err.mean()
+    assert err.max() < 0.8, err.max()
+    # marginal spread must match the smoothing std, not the filter/prior std
+    std_ratio = trajs.std(axis=0)[1:] / rts_std
+    assert 0.75 < std_ratio.mean() < 1.25, std_ratio.mean()
+
+
+def test_ancestor_sampling_beats_plain_csmc_mixing():
+    """Without ancestor sampling the early-time states barely move between
+    sweeps (path degeneracy); AS must decorrelate them measurably faster."""
+    ssm = build_ssm()
+    _, y = ssm.sample_states(jax.random.PRNGKey(2), 60).get_paths()
+
+    def run(as_flag):
+        def gibbs(carry, k):
+            traj = csmc_sweep(k, ssm, y, carry, 16, ancestor_sampling=as_flag)
+            return traj, traj[1]  # an early-time state
+
+        keys = jax.random.split(jax.random.PRNGKey(3), 200)
+        _, early = jax.jit(lambda ks: jax.lax.scan(gibbs, jnp.zeros(y.shape[0] + 1), ks))(keys)
+        e = np.asarray(early)
+        # lag-1 autocorrelation of the early state across sweeps; a state
+        # that NEVER moves (full path degeneracy) is perfectly correlated
+        e = e - e.mean()
+        var = float((e**2).mean())
+        if var < 1e-12:
+            return 1.0
+        return float((e[1:] * e[:-1]).mean() / var)
+
+    rho_as, rho_plain = run(True), run(False)
+    assert rho_as < rho_plain - 0.05, (rho_as, rho_plain)
+
+
+@pytest.mark.slow
+def test_pgas_recovers_parameters():
+    """Joint θ/trajectory sampling: posterior means bracket the truth."""
+    _, y = build_ssm().sample_states(jax.random.PRNGKey(4), 300).get_paths()
+
+    def build_model(ctx):
+        beta = ctx.named_parameter("beta", dist.Uniform(0.0, 1.0))
+        sigma = ctx.named_parameter("sigma", dist.LogNormal(-1.0, 1.0))
+        return build_ssm(beta, sigma)
+
+    with inf.make_context(key=jax.random.PRNGKey(5)) as ctx:
+        filt = pf.SISR(build_model, 64)
+        alg = inf.PGAS(filt, 800, rw_scale=0.08, context=ctx)
+        res = alg.fit(y)
+
+    assert 0.05 < res.acceptance_rate < 0.95, res.acceptance_rate
+    beta_s = res.samples["beta"][200:]
+    sigma_s = res.samples["sigma"][200:]
+    for name, s, true in (("beta", beta_s, BETA), ("sigma", sigma_s, SIGMA)):
+        z = abs(s.mean() - true) / (s.std() + 1e-6)
+        assert z < 4.0, (name, s.mean(), true, s.std())
+    # the retained trajectory is a plausible smoothing draw
+    assert np.isfinite(res.trajectory).all()
