@@ -18,6 +18,7 @@ from .filters import (
     SISR,
     ExtendedKalmanFilter,
     FilterResult,
+    UnscentedKalmanFilter,
     KalmanFilter,
     ParticleFilter,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "parallel",
     "KalmanFilter",
     "ExtendedKalmanFilter",
+    "UnscentedKalmanFilter",
     "timeseries",
     "resampling",
     "utils",

@@ -6,6 +6,7 @@ from .ekf import EKFState, ExtendedKalmanFilter
 from .kalman import KalmanFilter, KalmanState
 from .particle import APF, GPF, SISR, ParticleFilter
 from .result import FilterHistory, FilterResult
+from .ukf import UnscentedKalmanFilter
 from .state import ParticleFilterCorrection, ParticleFilterPrediction
 
 # reference import-path aliases (pyfilter.filters exports Prediction/Correction,
@@ -19,6 +20,7 @@ __all__ = [
     "KalmanState",
     "ExtendedKalmanFilter",
     "EKFState",
+    "UnscentedKalmanFilter",
     "ParticleFilter",
     "SISR",
     "APF",
