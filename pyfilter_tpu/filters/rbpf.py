@@ -1,0 +1,223 @@
+"""Rao-Blackwellized particle filter (marginalized PF / mixture Kalman filter).
+
+New capability beyond the reference (whose filters always sample the full
+state): for conditionally linear-Gaussian models
+
+.. math::
+    n_{t+1} &\\sim p(\\cdot \\mid n_t)                        \\\\
+    l_{t+1} &= F(n_{t+1})\\, l_t + b(n_{t+1}) + w,\\quad w \\sim N(0, Q(n_{t+1})) \\\\
+    y_t     &= d(n_t) + H(n_t)\\, l_t + v,\\quad v \\sim N(0, R(n_t))
+
+the linear block ``l`` is marginalized analytically: each particle carries a
+Kalman belief ``(m, P)`` over ``l`` alongside its sampled nonlinear state
+``n``, and is weighted by the EXACT innovation likelihood (Chen & Liu 2000;
+Doucet, de Freitas, Murphy & Russell 2000). Sampling only the nonlinear
+coordinates collapses the Monte-Carlo variance (Rao-Blackwell theorem) — the
+gain is test-measured against a joint bootstrap filter at equal N.
+
+TPU shape: the per-particle Kalman recursions are a ``vmap`` over the cloud —
+N tiny matmuls batch into MXU-friendly einsums; the time loop is one
+``lax.scan``; the nonlinear resample gathers ``(n, m, P)`` together.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import systematic_counts
+from ..timeseries import TimeseriesState
+from ..utils import batched_gather, get_ess, log_likelihood, normalize
+from .result import FilterResult
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearSubstructure:
+    """Conditionally linear-Gaussian block, as functions of the (single-
+    particle) nonlinear :class:`TimeseriesState`. Each callable returns the
+    matrix/vector for ONE particle — the filter vmaps over the cloud.
+
+    ``trans_matrix(n) -> (d_l, d_l)``; ``trans_offset(n) -> (d_l,)``;
+    ``trans_cov(n) -> (d_l, d_l)``; ``obs_matrix(n) -> (d_y, d_l)``;
+    ``obs_offset(n) -> (d_y,)``; ``obs_cov(n) -> (d_y, d_y)``;
+    ``init_mean``/``init_cov``: the prior over ``l_0``.
+    """
+
+    trans_matrix: Callable
+    trans_offset: Callable
+    trans_cov: Callable
+    obs_matrix: Callable
+    obs_offset: Callable
+    obs_cov: Callable
+    init_mean: jax.Array
+    init_cov: jax.Array
+
+
+class RBPFState(NamedTuple):
+    n: TimeseriesState   # nonlinear particles, values (N, *event_n)
+    m: jax.Array         # (N, d_l) conditional means over l
+    p: jax.Array         # (N, d_l, d_l) conditional covariances
+    log_weights: jax.Array  # (N,)
+    log_likelihood: jax.Array
+
+    def normalized_weights(self):
+        return normalize(self.log_weights)
+
+
+class RaoBlackwellizedPF:
+    """Marginalized particle filter over ``nonlinear`` × ``linear``.
+
+    ``nonlinear`` is any process from the ``timeseries`` layer (its density
+    must not depend on ``l``); ``linear`` is a :class:`LinearSubstructure`.
+    Single-lane (no batch axis); ``ess_threshold`` gates systematic
+    resampling exactly as in :class:`SISR`.
+    """
+
+    def __init__(
+        self,
+        nonlinear,
+        linear: LinearSubstructure,
+        particles: int,
+        resampling_method=systematic_counts,
+        ess_threshold: float = 0.9,
+    ):
+        self.nonlinear = nonlinear
+        self.linear = linear
+        self.n_particles = int(particles)
+        self.resampler = resampling_method
+        self.ess_threshold = float(ess_threshold)
+        self._d_l = int(jnp.shape(jnp.atleast_1d(jnp.asarray(linear.init_mean)))[0])
+
+    # -- init ---------------------------------------------------------------
+    def initialize(self, key) -> RBPFState:
+        n0 = self.nonlinear.initial_sample(key, (self.n_particles,))
+        m0 = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(self.linear.init_mean, jnp.float32)),
+            (self.n_particles, self._d_l),
+        )
+        p0 = jnp.broadcast_to(
+            jnp.asarray(self.linear.init_cov, jnp.float32).reshape(self._d_l, self._d_l),
+            (self.n_particles, self._d_l, self._d_l),
+        )
+        lw = jnp.zeros((self.n_particles,), jnp.float32)
+        return RBPFState(n0, m0, p0, lw, jnp.asarray(0.0))
+
+    # -- one particle's Kalman move ------------------------------------------
+    def _kalman_move(self, n_new_one: TimeseriesState, n_obs_one: TimeseriesState, m, p, y_t):
+        lin = self.linear
+        f_mat = lin.trans_matrix(n_new_one)
+        b = lin.trans_offset(n_new_one)
+        q = lin.trans_cov(n_new_one)
+        m_pred = f_mat @ m + b
+        p_pred = f_mat @ p @ f_mat.T + q
+
+        h_mat = lin.obs_matrix(n_obs_one)
+        d_off = lin.obs_offset(n_obs_one)
+        r = lin.obs_cov(n_obs_one)
+        s_mat = h_mat @ p_pred @ h_mat.T + r
+        chol = jnp.linalg.cholesky(s_mat)
+        innov = jnp.where(jnp.isnan(y_t), 0.0, y_t - (d_off + h_mat @ m_pred))
+
+        solved = jax.scipy.linalg.cho_solve((chol, True), innov)
+        d_y = y_t.shape[0]
+        log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        ll_inc = -0.5 * (innov @ solved + log_det + d_y * math.log(2.0 * math.pi))
+
+        k_gain = p_pred @ h_mat.T @ jax.scipy.linalg.cho_solve((chol, True), jnp.eye(d_y))
+        m_new = m_pred + k_gain @ innov
+        p_new = p_pred - k_gain @ h_mat @ p_pred
+        return m_new, p_new, m_pred, p_pred, ll_inc
+
+    # -- one filter step -------------------------------------------------------
+    def step(self, key, y_t, state: RBPFState) -> RBPFState:
+        y_t = jnp.atleast_1d(jnp.asarray(y_t, jnp.float32))
+        k_res, k_prop = jax.random.split(key)
+
+        normalized = state.normalized_weights()
+        ess = get_ess(normalized, normalized=True)
+
+        def resample(_):
+            idx = self.resampler(k_res, normalized, normalized=True)
+            return (
+                batched_gather(state.n.value, idx, self.nonlinear.event_ndim),
+                state.m[idx],
+                state.p[idx],
+                jnp.zeros_like(state.log_weights),
+                jnp.full_like(normalized, 1.0 / self.n_particles),
+            )
+
+        def passthrough(_):
+            return state.n.value, state.m, state.p, state.log_weights, normalized
+
+        n_vals, m, p, lw, norm_prev = jax.lax.cond(
+            ess < self.ess_threshold * self.n_particles, resample, passthrough, None
+        )
+        n_state = state.n.copy(values=n_vals)
+
+        n_new = self.nonlinear.propagate(k_prop, n_state)
+
+        ev = self.nonlinear.event_ndim
+        one_new = lambda v: TimeseriesState(n_new.time_index, v, ev)
+        one_obs = lambda v: TimeseriesState(n_new.time_index, v, ev)
+        m_new, p_new, m_pred, p_pred, ll_inc = jax.vmap(
+            lambda nv, mi, pi: self._kalman_move(one_new(nv), one_obs(nv), mi, pi, y_t)
+        )(n_new.value, m, p)
+
+        observed = ~jnp.isnan(y_t).all()
+        m_new = jnp.where(observed, m_new, m_pred)
+        p_new = jnp.where(observed, p_new, p_pred)
+        ll_inc = jnp.where(observed, ll_inc, jnp.zeros_like(ll_inc))
+
+        step_ll = jnp.where(observed, log_likelihood(ll_inc, norm_prev), 0.0)
+        return RBPFState(
+            n_new, m_new, p_new, lw + ll_inc, state.log_likelihood + step_ll
+        )
+
+    # -- whole sequence ----------------------------------------------------------
+    def batch_filter(self, key, y) -> FilterResult:
+        """Marginalized filtering over the whole sequence as one ``lax.scan``.
+        ``filter_means``/``filter_variances`` stack the weighted nonlinear
+        moments and the marginal linear moments (law of total variance over
+        the particle mixture) as ``(T, d_n + d_l)``."""
+        y = jnp.asarray(y, jnp.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+        k_init, k_scan = jax.random.split(key)
+        state0 = self.initialize(k_init)
+
+        ev = self.nonlinear.event_ndim
+
+        def moments(state: RBPFState):
+            w = state.normalized_weights()
+            n_flat = state.n.value.reshape(self.n_particles, -1)
+            n_mean = w @ n_flat
+            n_var = w @ jnp.square(n_flat - n_mean)
+            l_mean = w @ state.m
+            diag_p = jnp.diagonal(state.p, axis1=-2, axis2=-1)
+            l_var = w @ (diag_p + jnp.square(state.m - l_mean))
+            return (
+                jnp.concatenate([n_mean, l_mean]),
+                jnp.concatenate([n_var, l_var]),
+            )
+
+        def scan_step(carry, inp):
+            state, k = carry, None
+            y_t, k_t = inp
+            new = self.step(k_t, y_t, state)
+            mean, var = moments(new)
+            return new, (new.log_likelihood - state.log_likelihood, mean, var)
+
+        keys = jax.random.split(k_scan, y.shape[0])
+        last, (step_lls, means, variances) = jax.lax.scan(scan_step, state0, (y, keys))
+        return FilterResult(
+            log_likelihood=last.log_likelihood,
+            step_log_likelihoods=step_lls,
+            filter_means=means,
+            filter_variances=variances,
+            latest_state=last,
+            states=None,
+        )

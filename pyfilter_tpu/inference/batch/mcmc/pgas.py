@@ -100,7 +100,12 @@ def csmc_sweep(key, model, y, ref_traj, n_particles: int, ancestor_sampling: boo
 
 class PGASResult:
     """Per-iteration parameter draws; ``samples[name]`` stacks to
-    ``(num_samples, *event)``. ``acceptance_rate`` is the θ-move rate."""
+    ``(num_samples, *event)``. ``acceptance_rate`` is the θ-move rate.
+
+    ``as_arrays`` exposes a singleton chain axis ``(num_samples, 1, *event)``
+    so the chain diagnostics compose directly:
+    ``inference.summarize_chains(pgas_result)`` (split-R-hat halves the single
+    chain, the conventional single-chain diagnostic)."""
 
     def __init__(self, samples, acceptance_rate, trajectory):
         self.samples = samples
@@ -108,7 +113,7 @@ class PGASResult:
         self.trajectory = trajectory
 
     def as_arrays(self):
-        return {k: np.asarray(v) for k, v in self.samples.items()}
+        return {k: np.asarray(v)[:, None] for k, v in self.samples.items()}
 
 
 class PGAS(BaseAlgorithm):
@@ -129,13 +134,25 @@ class PGAS(BaseAlgorithm):
         num_samples: int,
         rw_scale: float = 5e-2,
         ancestor_sampling: bool = True,
+        num_theta_steps: int = 5,
+        initializer: str = "mean",
         context=None,
         key=None,
     ):
+        """``num_theta_steps``: MH θ-moves per Gibbs sweep — each is an O(T)
+        density evaluation (vs the sweep's O(T·N)), so several per sweep mix
+        the tight θ | x conditional at negligible cost. ``initializer``:
+        ``"mean"`` starts the chain at the prior mean (unconstrained-space MC
+        estimate, the PMMH default); ``"sample"`` keeps the context's prior
+        draw."""
         super().__init__(filter_=filter_, context=context, key=key)
         self.num_samples = int(num_samples)
         self.rw_scale = float(rw_scale)
         self.ancestor_sampling = bool(ancestor_sampling)
+        self.num_theta_steps = max(int(num_theta_steps), 1)
+        if initializer not in ("mean", "sample"):
+            raise ValueError("initializer must be 'mean' or 'sample'")
+        self.initializer = initializer
 
         self.context.set_batch_shape(())
         self._filter = self._filter.set_batch_shape(())
@@ -151,14 +168,30 @@ class PGAS(BaseAlgorithm):
         n = filt.n_particles
         ctx = self.context
         key = self._next_key()
-        k_init, k_chain = jax.random.split(key)
+        k_init, k_mean, k_chain = jax.random.split(key, 3)
 
-        # initialize the retained trajectory with one FFBS draw
+        if self.initializer == "mean":
+            # start at the unconstrained prior mean (MC estimate) — a random
+            # prior draw can cost hundreds of sweeps of burn-in
+            parts = []
+            for name, k_p in zip(
+                ctx.parameters, jax.random.split(k_mean, max(len(ctx.parameters), 1))
+            ):
+                prior = ctx.get_prior(name)
+                draws = prior.sample(k_p, (4096,))
+                u = prior_ops.get_unconstrained(prior, draws)
+                parts.append(jnp.reshape(u, (4096, -1)).mean(axis=0))
+            theta0 = jnp.concatenate(parts)[None]  # (1, D)
+            filt = self._filter.initialize_model(
+                ctx.unstack_parameters(theta0, constrained=False)
+            )
+        else:
+            theta0 = ctx.stack_parameters(constrained=False)  # (1, D)
+
+        # initialize the retained trajectory with one FFBS draw at theta0
         init_filt = filt.replace(record_states=True)
         res = init_filt.batch_filter(k_init, y)
         traj = init_filt.smooth(k_init, res, method="ffbs")[:, 0]
-
-        theta0 = ctx.stack_parameters(constrained=False)  # (1, D)
         times = jnp.arange(y.shape[0] + 1, dtype=jnp.float32)
 
         def joint(theta, trajectory):
@@ -171,7 +204,7 @@ class PGAS(BaseAlgorithm):
 
         def body(carry, k):
             theta, trajectory = carry
-            k_sweep, k_prop, k_acc = jax.random.split(k, 3)
+            k_sweep, k_theta = jax.random.split(k)
 
             # (1) trajectory refresh by conditional SMC given θ
             _, model = joint(theta, trajectory)
@@ -179,15 +212,25 @@ class PGAS(BaseAlgorithm):
                 k_sweep, model, y, trajectory, n, self.ancestor_sampling
             )
 
-            # (2) θ | trajectory via random-walk MH on the exact joint
-            theta_star = theta + self.rw_scale * jax.random.normal(
-                k_prop, theta.shape, theta.dtype
+            # (2) θ | trajectory: num_theta_steps random-walk MH moves on the
+            # exact joint — O(T) each, so cheap relative to the sweep
+            def mh_move(th_lp, k_i):
+                th, lp_cur = th_lp
+                k_prop, k_acc = jax.random.split(k_i)
+                th_star = th + self.rw_scale * jax.random.normal(
+                    k_prop, th.shape, th.dtype
+                )
+                lp_star, _ = joint(th_star, trajectory)
+                accept = jnp.log(jax.random.uniform(k_acc, ())) < lp_star - lp_cur
+                th = jnp.where(accept, th_star, th)
+                lp_cur = jnp.where(accept, lp_star, lp_cur)
+                return (th, lp_cur), accept
+
+            lp0, _ = joint(theta, trajectory)
+            (theta, _), accepts = jax.lax.scan(
+                mh_move, (theta, lp0), jax.random.split(k_theta, self.num_theta_steps)
             )
-            lp_cur, _ = joint(theta, trajectory)
-            lp_star, _ = joint(theta_star, trajectory)
-            accept = jnp.log(jax.random.uniform(k_acc, ())) < lp_star - lp_cur
-            theta = jnp.where(accept, theta_star, theta)
-            return (theta, trajectory), (theta, accept)
+            return (theta, trajectory), (theta, jnp.mean(accepts))
 
         chunk = self.num_samples if chunk_size is None else max(int(chunk_size), 1)
         if chunk_size is None:

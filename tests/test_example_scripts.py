@@ -16,6 +16,7 @@ SCRIPTS = [
     "nutria_svi.py",
     "numpyro_interop.py",
     "spmd_scaling.py",
+    "gaussian_filters_and_gradients.py",
 ]
 
 

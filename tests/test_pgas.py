@@ -99,3 +99,7 @@ def test_pgas_recovers_parameters():
         assert z < 4.0, (name, s.mean(), true, s.std())
     # the retained trajectory is a plausible smoothing draw
     assert np.isfinite(res.trajectory).all()
+    # the chain diagnostics compose with the PGAS record (singleton chain axis)
+    summary = inf.summarize_chains(res)
+    assert set(summary) == {"beta", "sigma"}
+    assert np.isfinite(summary["beta"]["ess"]).all()
