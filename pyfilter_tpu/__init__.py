@@ -21,6 +21,7 @@ from .filters import (
     UnscentedKalmanFilter,
     KalmanFilter,
     ParticleFilter,
+    RaoBlackwellizedPF,
 )
 from .inference import NESS, NESSMC2, PMMH, SMC2, SMC2FW, make_context
 from .utils import get_ess, log_likelihood, normalize
@@ -35,6 +36,7 @@ __all__ = [
     "KalmanFilter",
     "ExtendedKalmanFilter",
     "UnscentedKalmanFilter",
+    "RaoBlackwellizedPF",
     "timeseries",
     "resampling",
     "utils",

@@ -5,6 +5,7 @@ from .base import BaseFilter
 from .ekf import EKFState, ExtendedKalmanFilter
 from .kalman import KalmanFilter, KalmanState
 from .particle import APF, GPF, SISR, ParticleFilter
+from .rbpf import LinearSubstructure, RaoBlackwellizedPF
 from .result import FilterHistory, FilterResult
 from .ukf import UnscentedKalmanFilter
 from .state import ParticleFilterCorrection, ParticleFilterPrediction
@@ -21,6 +22,8 @@ __all__ = [
     "ExtendedKalmanFilter",
     "EKFState",
     "UnscentedKalmanFilter",
+    "RaoBlackwellizedPF",
+    "LinearSubstructure",
     "ParticleFilter",
     "SISR",
     "APF",
