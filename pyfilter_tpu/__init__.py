@@ -8,7 +8,7 @@ parameter particles / MCMC chains are a vmapped-and-shardable lane axis, and
 randomness is explicit ``jax.random`` keys.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from . import distributions, examples, filters, inference, interop, io, ops, parallel, resampling, timeseries, utils
 from .compile_cache import enable_compile_cache
