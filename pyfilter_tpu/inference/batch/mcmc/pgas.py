@@ -100,20 +100,24 @@ def csmc_sweep(key, model, y, ref_traj, n_particles: int, ancestor_sampling: boo
 
 class PGASResult:
     """Per-iteration parameter draws; ``samples[name]`` stacks to
-    ``(num_samples, *event)``. ``acceptance_rate`` is the θ-move rate.
+    ``(num_samples, *event)`` for a single chain and
+    ``(num_samples, num_chains, *event)`` for several.
 
-    ``as_arrays`` exposes a singleton chain axis ``(num_samples, 1, *event)``
-    so the chain diagnostics compose directly:
-    ``inference.summarize_chains(pgas_result)`` (split-R-hat halves the single
-    chain, the conventional single-chain diagnostic)."""
+    ``as_arrays`` always exposes the chain axis
+    ``(num_samples, num_chains, *event)`` so the chain diagnostics compose
+    directly: ``inference.summarize_chains(pgas_result)`` (with one chain,
+    split-R-hat halves it — the conventional single-chain diagnostic)."""
 
-    def __init__(self, samples, acceptance_rate, trajectory):
+    def __init__(self, samples, acceptance_rate, trajectory, num_chains: int = 1):
         self.samples = samples
         self.acceptance_rate = float(acceptance_rate)
         self.trajectory = trajectory
+        self.num_chains = int(num_chains)
 
     def as_arrays(self):
-        return {k: np.asarray(v)[:, None] for k, v in self.samples.items()}
+        if self.num_chains == 1:
+            return {k: np.asarray(v)[:, None] for k, v in self.samples.items()}
+        return {k: np.asarray(v) for k, v in self.samples.items()}
 
 
 class PGAS(BaseAlgorithm):
@@ -136,6 +140,8 @@ class PGAS(BaseAlgorithm):
         ancestor_sampling: bool = True,
         num_theta_steps: int = 5,
         initializer: str = "mean",
+        num_chains: int = 1,
+        chain_jitter: float = 0.1,
         context=None,
         key=None,
     ):
@@ -144,7 +150,12 @@ class PGAS(BaseAlgorithm):
         the tight θ | x conditional at negligible cost. ``initializer``:
         ``"mean"`` starts the chain at the prior mean (unconstrained-space MC
         estimate, the PMMH default); ``"sample"`` keeps the context's prior
-        draw."""
+        draw.
+
+        ``num_chains`` > 1 runs independent Gibbs chains ``vmap``-ed through
+        one compiled scan (split-R̂ needs ≥ 2 chains), each started at the
+        initializer plus ``chain_jitter``·N(0,1) on the unconstrained space
+        (overdispersed starts, as the diagnostic assumes)."""
         super().__init__(filter_=filter_, context=context, key=key)
         self.num_samples = int(num_samples)
         self.rw_scale = float(rw_scale)
@@ -153,6 +164,8 @@ class PGAS(BaseAlgorithm):
         if initializer not in ("mean", "sample"):
             raise ValueError("initializer must be 'mean' or 'sample'")
         self.initializer = initializer
+        self.num_chains = max(int(num_chains), 1)
+        self.chain_jitter = float(chain_jitter)
 
         self.context.set_batch_shape(())
         self._filter = self._filter.set_batch_shape(())
@@ -188,10 +201,26 @@ class PGAS(BaseAlgorithm):
         else:
             theta0 = ctx.stack_parameters(constrained=False)  # (1, D)
 
-        # initialize the retained trajectory with one FFBS draw at theta0
-        init_filt = filt.replace(record_states=True)
-        res = init_filt.batch_filter(k_init, y)
-        traj = init_filt.smooth(k_init, res, method="ffbs")[:, 0]
+        c = self.num_chains
+        k_jit, k_traj = jax.random.split(k_init)
+        thetas0 = theta0[None] + (
+            self.chain_jitter
+            * jax.random.normal(k_jit, (c,) + theta0.shape, theta0.dtype)
+            if c > 1
+            else jnp.zeros((c,) + theta0.shape, theta0.dtype)
+        )  # (C, 1, D)
+
+        # initialize each chain's retained trajectory with one FFBS draw
+        def init_traj(theta_c, k):
+            filt2 = self._filter.initialize_model(
+                ctx.unstack_parameters(theta_c, constrained=False)
+            ).replace(record_states=True)
+            res = filt2.batch_filter(k, y, use_jit=False)
+            return filt2.smooth(k, res, method="ffbs")[:, 0]
+
+        trajs = jax.jit(jax.vmap(init_traj))(
+            thetas0, jax.random.split(k_traj, c)
+        )  # (C, T+1, *event)
         times = jnp.arange(y.shape[0] + 1, dtype=jnp.float32)
 
         def joint(theta, trajectory):
@@ -236,41 +265,46 @@ class PGAS(BaseAlgorithm):
         if chunk_size is None:
             chunk = min(self.num_samples, self._default_chunk_size)
 
-        scan_chunk = jax.jit(
-            lambda carry, ks: jax.lax.scan(body, carry, ks), static_argnums=()
-        )
+        chain_body = jax.vmap(body)  # chains ride a vmapped leading axis
+
+        scan_chunk = jax.jit(lambda carry, ks: jax.lax.scan(chain_body, carry, ks))
 
         thetas, accepts = [], []
-        carry = (theta0, traj)
+        carry = (thetas0, trajs)
         done = 0
         logger = logging if logging is not None else TQDMWrapper()
         with logger.initialize(self, self.num_samples):
             while done < self.num_samples:
                 m = min(chunk, self.num_samples - done)
                 k_chain, k_use = jax.random.split(k_chain)
-                carry, (th, acc) = scan_chunk(carry, jax.random.split(k_use, m))
+                ks = jax.random.split(k_use, (m, c))
+                carry, (th, acc) = scan_chunk(carry, ks)
                 thetas.append(np.asarray(th))
                 accepts.append(np.asarray(acc))
                 done += m
                 logger.do_log(done, None)
 
-        theta_chain = np.concatenate(thetas, axis=0)  # (S, 1, D)
+        theta_chain = np.concatenate(thetas, axis=0)  # (S, C, 1, D)
         acc_rate = float(np.concatenate(accepts).mean())
 
-        # unstack the recorded chain into named constrained samples
+        # unstack the recorded chains into named constrained samples:
+        # (S, *event) for a single chain, (S, C, *event) for several
         samples = {}
-        chain = jnp.asarray(theta_chain[:, 0])  # (S, D)
+        chain = jnp.asarray(theta_chain[:, :, 0])  # (S, C, D)
+        s_len = chain.shape[0]
         index = 0
         for name in ctx.parameters:
             shape = ctx.get_shape(name, constrained=False)
             numel = int(np.prod(shape, dtype=np.int64)) if shape else 1
-            block = chain[:, index : index + numel].reshape((chain.shape[0],) + shape)
+            block = chain[:, :, index : index + numel].reshape((s_len, c) + shape)
+            if c == 1:
+                block = block[:, 0]
             samples[name] = np.asarray(
                 prior_ops.get_constrained(ctx.get_prior(name), block)
             )
             index += numel
 
-        # absorb the final draw into the user-held context
-        final_ctx = ctx.unstack_parameters(carry[0], constrained=False)
+        # absorb the final draw (chain 0) into the user-held context
+        final_ctx = ctx.unstack_parameters(carry[0][0], constrained=False)
         ctx.absorb(final_ctx)
-        return PGASResult(samples, acc_rate, np.asarray(carry[1]))
+        return PGASResult(samples, acc_rate, np.asarray(carry[1]), num_chains=c)

@@ -76,6 +76,30 @@ def test_ancestor_sampling_beats_plain_csmc_mixing():
     assert rho_as < rho_plain - 0.05, (rho_as, rho_plain)
 
 
+def test_pgas_multichain_shapes_and_diagnostics():
+    """num_chains > 1: vmapped chains, (S, C, *event) records, and the chain
+    diagnostics (split-R-hat over genuinely independent chains) compose."""
+    _, y = build_ssm().sample_states(jax.random.PRNGKey(6), 80).get_paths()
+
+    def build_model(ctx):
+        beta = ctx.named_parameter("beta", dist.Uniform(0.0, 1.0))
+        return build_ssm(beta, SIGMA)
+
+    with inf.make_context(key=jax.random.PRNGKey(7)) as ctx:
+        alg = inf.PGAS(
+            pf.SISR(build_model, 32), 40, rw_scale=0.1, num_chains=3, context=ctx
+        )
+        res = alg.fit(y)
+
+    assert res.samples["beta"].shape == (40, 3)
+    assert res.trajectory.shape[0] == 3  # one retained path per chain
+    # overdispersed starts: the chains begin at distinct points
+    assert len(np.unique(res.samples["beta"][0])) == 3
+    summary = inf.summarize_chains(res)
+    assert np.isfinite(summary["beta"]["rhat"]).all()
+    assert np.isfinite(summary["beta"]["ess"]).all()
+
+
 @pytest.mark.slow
 def test_pgas_recovers_parameters():
     """Joint θ/trajectory sampling: posterior means bracket the truth."""
