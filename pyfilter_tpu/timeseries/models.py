@@ -5,7 +5,7 @@ dependency, SURVEY.md §2.9). The four the reference's tests/examples consume
 (tests/filters/models.py:13,56; tests/inference/models.py:17;
 stochastic-volatility.ipynb) — AR, RandomWalk, OrnsteinUhlenbeck, Verhulst —
 plus the rest of the stochproc zoo users expect when switching:
-LocalLinearTrend, TrendingOU, UCSV.
+LocalLinearTrend, TrendingOU, UCSV, Cyclical.
 """
 
 from __future__ import annotations
@@ -242,6 +242,55 @@ class UCSV(AffineProcess):
             (sigma_volatility,),
             Independent(Normal(jnp.zeros(2), jnp.ones(2)), 1),
             _ucsv_initial,
+        )
+
+    def tree_flatten(self):
+        return (self.parameters,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children[0])
+
+
+def _cyclical_mean_scale(x, rho, lamda, sigma):
+    c = x.value[..., 0]
+    c_star = x.value[..., 1]
+    cos_l = jnp.cos(lamda)
+    sin_l = jnp.sin(lamda)
+    loc = jnp.stack(
+        [rho * (c * cos_l + c_star * sin_l), rho * (-c * sin_l + c_star * cos_l)],
+        axis=-1,
+    )
+    scale = jnp.broadcast_to(jnp.asarray(sigma)[..., None], loc.shape)
+    return loc, scale
+
+
+def _cyclical_initial(rho, lamda, sigma):
+    # stationary: both components have variance sigma^2 / (1 - rho^2)
+    s = jnp.asarray(sigma) / jnp.sqrt(1.0 - jnp.square(jnp.asarray(rho)))
+    scale = jnp.broadcast_to(s[..., None], s.shape + (2,))
+    return Independent(Normal(jnp.zeros_like(scale), scale), 1)
+
+
+@register_pytree_node_class
+class Cyclical(AffineProcess):
+    r"""Harvey's stochastic cycle (structural time-series;
+    stochproc.timeseries.models equivalent — SURVEY.md §2.9): a damped
+    rotation of the 2-D state ``(c, c*)`` at frequency ``lamda``:
+
+    ``c'  = rho ( c cos lamda + c* sin lamda) + sigma * eps_1``,
+    ``c*' = rho (-c sin lamda + c* cos lamda) + sigma * eps_2``;
+
+    ``0 < rho < 1`` damps the cycle; the initial distribution is the
+    stationary law ``N(0, sigma^2 / (1 - rho^2) I)``. Linear-Gaussian, so
+    the exact Kalman filter applies (oracle-tested)."""
+
+    def __init__(self, rho, lamda, sigma):
+        super().__init__(
+            _cyclical_mean_scale,
+            (rho, lamda, sigma),
+            Independent(Normal(jnp.zeros(2), jnp.ones(2)), 1),
+            _cyclical_initial,
         )
 
     def tree_flatten(self):

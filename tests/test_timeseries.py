@@ -277,6 +277,42 @@ def test_trending_ou_tracks_trend(key):
     assert jitted(key).shape == (8,)
 
 
+def test_cyclical_matches_kalman(key):
+    """Harvey's stochastic cycle is linear-Gaussian (damped rotation):
+    F = rho * R(lamda), Q = sigma^2 I. Check the stationary initial law and
+    filter it with the exact Kalman filter vs a particle filter."""
+    import pyfilter_tpu as pf
+    from pyfilter_tpu.filters.particle import proposals
+
+    rho, lamda, sigma = 0.9, 0.5, 0.1
+    cyc = models.Cyclical(rho, lamda, sigma)
+    x0 = cyc.initial_sample(key, (4096,))
+    assert x0.value.shape == (4096, 2)
+    # stationary std = sigma / sqrt(1 - rho^2)
+    stat = sigma / np.sqrt(1.0 - rho**2)
+    assert np.asarray(x0.value).std(0) == pytest.approx(stat, rel=0.1)
+    # one step rotates the mean by rho * R(lamda)
+    x1 = cyc.propagate(key, x0)
+    rot = rho * np.array(
+        [[np.cos(lamda), np.sin(lamda)], [-np.sin(lamda), np.cos(lamda)]]
+    )
+    np.testing.assert_allclose(
+        np.asarray(x1.value).mean(0), rot @ np.asarray(x0.value).mean(0), atol=4 * sigma / 64
+    )
+
+    a = jnp.asarray([[1.0, 0.0]])  # observe the cycle component only
+    ssm = ts.LinearStateSpaceModel(cyc, (a, jnp.asarray([0.05])), event_shape=(1,))
+    y = ssm.sample_states(jax.random.PRNGKey(2), 80).y
+    exact = pf.KalmanFilter(ssm).batch_filter(y)
+    part = pf.APF(ssm, 1500, proposal=proposals.LinearGaussianObservations()).batch_filter(
+        jax.random.PRNGKey(3), y
+    )
+    assert abs(float(part.log_likelihood) - float(exact.log_likelihood)) < 1.0
+    np.testing.assert_allclose(
+        np.asarray(part.filter_means), np.asarray(exact.filter_means), atol=0.08
+    )
+
+
 def test_ucsv_level_and_volatility(key):
     import pyfilter_tpu as pf
 
