@@ -19,6 +19,7 @@ from .filters import (
     ExtendedKalmanFilter,
     FilterResult,
     UnscentedKalmanFilter,
+    EnsembleKalmanFilter,
     KalmanFilter,
     ParticleFilter,
     RaoBlackwellizedPF,
@@ -36,6 +37,7 @@ __all__ = [
     "KalmanFilter",
     "ExtendedKalmanFilter",
     "UnscentedKalmanFilter",
+    "EnsembleKalmanFilter",
     "RaoBlackwellizedPF",
     "timeseries",
     "resampling",

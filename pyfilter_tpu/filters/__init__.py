@@ -3,6 +3,7 @@
 from . import particle
 from .base import BaseFilter
 from .ekf import EKFState, ExtendedKalmanFilter
+from .enkf import EnKFState, EnsembleKalmanFilter
 from .kalman import KalmanFilter, KalmanState
 from .particle import APF, GPF, SISR, ParticleFilter
 from .rbpf import LinearSubstructure, RaoBlackwellizedPF
@@ -22,6 +23,8 @@ __all__ = [
     "ExtendedKalmanFilter",
     "EKFState",
     "UnscentedKalmanFilter",
+    "EnsembleKalmanFilter",
+    "EnKFState",
     "RaoBlackwellizedPF",
     "LinearSubstructure",
     "ParticleFilter",

@@ -1,0 +1,172 @@
+"""Ensemble Kalman filter — Monte-Carlo Gaussian filtering at scale.
+
+New capability beyond the reference (which is particle-only; SURVEY.md §2
+has no Gaussian-filter rows — the zoo here extends it): the stochastic
+(perturbed-observation) EnKF of Evensen propagates an ensemble of M states
+through the model's own stochastic transition (``hidden.propagate`` — exact,
+no linearization, non-additive noise welcome) and replaces the correction
+step's importance weighting with a linear-Gaussian update built from ensemble
+sample covariances. Degeneracy-free in high dimensions where particle filters
+collapse, at the price of a Gaussian approximation in the update.
+
+TPU mapping: the analysis step is two ``(d, M) @ (M, d_y)`` matmuls plus a
+``d_y x d_y`` solve — MXU work that scales to large ensembles; the forecast is
+the same vectorized ``propagate`` the particle filters use. Everything is one
+``lax.scan`` over time and differentiable w.r.t. model parameters.
+
+Completes the Gaussian family: :class:`KalmanFilter` (exact, linear),
+:class:`ExtendedKalmanFilter` (autodiff Jacobians),
+:class:`UnscentedKalmanFilter` (sigma points), ``EnsembleKalmanFilter``
+(Monte-Carlo).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..timeseries import TimeseriesState
+from .result import FilterResult
+
+
+class EnKFState(NamedTuple):
+    ensemble: jax.Array  # (M, d) internal 2-D layout, scalar states lifted
+    log_likelihood: jax.Array
+    time_index: jax.Array
+
+    def get_mean(self):
+        return self.ensemble.mean(axis=0)
+
+    def get_variance(self):
+        return self.ensemble.var(axis=0, ddof=1)
+
+
+class EnsembleKalmanFilter:
+    """Stochastic EnKF over a :class:`StateSpaceModel`.
+
+    Requirements: the observation density must expose ``mean``/``variance``
+    (treated as additive diagonal noise, evaluated at the ensemble mean, as in
+    :class:`UnscentedKalmanFilter`); the hidden transition only needs
+    ``propagate`` — any nonlinearity or state-dependent diffusion is carried
+    exactly by the forecast ensemble.
+
+    ``inflation`` >= 1 multiplies forecast anomalies (multiplicative covariance
+    inflation, the standard fix for sampling-noise underdispersion at small M).
+    """
+
+    def __init__(self, model, ensemble_size: int = 100, inflation: float = 1.0):
+        self.model = model
+        self.ensemble_size = int(ensemble_size)
+        self.inflation = float(inflation)
+        hidden = model.hidden
+        self._ev = int(hidden.event_ndim)
+        init = hidden.initial_distribution()
+        self._d_x = int(init.event_shape[0]) if self._ev == 1 else 1
+        self._d_y = int(model.event_shape[0]) if model.event_shape else 1
+
+    # -- model boundary (ensemble axis = particle axis) -----------------------
+    def _state(self, ens, t) -> TimeseriesState:
+        return TimeseriesState(t, ens if self._ev == 1 else ens[..., 0], self._ev)
+
+    def _lift(self, values) -> jax.Array:
+        v = jnp.asarray(values, jnp.float32)
+        return v if self._ev == 1 else v[..., None]
+
+    def _obs_density(self, ens, t):
+        return self.model.build_density(self._state(ens, t))
+
+    def _obs_mean(self, ens, t) -> jax.Array:
+        m = jnp.asarray(self._obs_density(ens, t).mean)
+        return m[:, None] if m.ndim == 1 else m  # (M, d_y)
+
+    def _obs_var_at_mean(self, ens, t) -> jax.Array:
+        d = self._obs_density(ens.mean(axis=0, keepdims=True), t)
+        v = jnp.asarray(d.variance)
+        return jnp.atleast_1d(v.reshape(-1)[: self._d_y])
+
+    # -- filtering --------------------------------------------------------------
+    def initialize(self, key) -> EnKFState:
+        x0 = self.model.hidden.initial_sample(key, (self.ensemble_size,))
+        return EnKFState(self._lift(x0.value), jnp.asarray(0.0), jnp.asarray(0.0))
+
+    def _forecast(self, key, ens, t, n_transitions: int):
+        state = self._state(ens, t)
+        state = self.model.hidden.propagate_substeps(key, state, n_transitions)
+        ens = self._lift(state.value)
+        if self.inflation != 1.0:
+            m = ens.mean(axis=0)
+            ens = m + self.inflation * (ens - m)
+        return ens, state.time_index
+
+    def _analysis(self, key, ens, y_t, t):
+        m_count = self.ensemble_size
+        g = self._obs_mean(ens, t)  # (M, d_y) noise-free obs means
+        g_bar = g.mean(axis=0)
+        b = g - g_bar  # obs anomalies
+        a = ens - ens.mean(axis=0)  # state anomalies
+        r = self._obs_var_at_mean(ens, t)  # (d_y,) diagonal
+        c_yy = b.T @ b / (m_count - 1) + jnp.diag(r)  # innovation covariance
+        c_xy = a.T @ b / (m_count - 1)  # (d, d_y)
+
+        chol = jnp.linalg.cholesky(c_yy)
+        k_gain = c_xy @ jax.scipy.linalg.cho_solve((chol, True), jnp.eye(self._d_y))
+
+        # perturbed observations: each member sees y + eps_i, eps_i ~ N(0, R)
+        eps = jnp.sqrt(r) * jax.random.normal(key, g.shape, g.dtype)
+        y_safe = jnp.where(jnp.isnan(y_t), 0.0, y_t)
+        ens_new = ens + (y_safe + eps - g) @ k_gain.T
+
+        innov = y_safe - g_bar
+        solved = jax.scipy.linalg.cho_solve((chol, True), innov)
+        log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        ll_t = -0.5 * (innov @ solved + log_det + self._d_y * math.log(2.0 * math.pi))
+
+        observed = ~jnp.isnan(y_t).all()
+        ens_new = jnp.where(observed, ens_new, ens)
+        return ens_new, jnp.where(observed, ll_t, 0.0)
+
+    def filter(self, key, y_t, state: EnKFState, n_transitions: int = None) -> EnKFState:
+        """One forecast+analysis move with all-NaN observation skip (same
+        timing contract as ``KalmanFilter.filter``)."""
+        y_t = jnp.atleast_1d(jnp.asarray(y_t, jnp.float32))
+        if n_transitions is None:
+            n_transitions = int(self.model.observe_every_step)
+        k_fore, k_ana = jax.random.split(key)
+        ens, t = self._forecast(k_fore, state.ensemble, state.time_index, n_transitions)
+        ens, ll_t = self._analysis(k_ana, ens, y_t, t)
+        return EnKFState(ens, state.log_likelihood + ll_t, t)
+
+    def batch_filter(self, key, y) -> FilterResult:
+        """Ensemble filtering over the whole sequence as one ``lax.scan``
+        (time axis leading); the log-likelihood estimate is the running sum of
+        Gaussian innovation densities ``N(y_t; E[g(X)], C_yy + R)``."""
+        y = jnp.asarray(y, jnp.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+
+        k_init, k0, k_scan = jax.random.split(key, 3)
+        state1 = self.filter(k0, y[0], self.initialize(k_init), n_transitions=1)
+        first = (state1.log_likelihood, state1.get_mean(), state1.get_variance())
+
+        def step(carry, y_t):
+            state, k = carry
+            k, k_use = jax.random.split(k)
+            new = self.filter(k_use, y_t, state)
+            step_ll = new.log_likelihood - state.log_likelihood
+            return (new, k), (step_ll, new.get_mean(), new.get_variance())
+
+        (last, _), rest = jax.lax.scan(step, (state1, k_scan), y[1:])
+        step_lls, means, variances = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), first, rest
+        )
+        return FilterResult(
+            log_likelihood=last.log_likelihood,
+            step_log_likelihoods=step_lls,
+            filter_means=means,
+            filter_variances=variances,
+            latest_state=last,
+            states=None,
+        )
