@@ -3,6 +3,7 @@
 from . import batch, diagnostics, prior, sequential, variational
 from .base import BaseAlgorithm
 from .diagnostics import effective_sample_size, potential_scale_reduction, summarize_chains
+from .batch import IF2, IF2Result
 from .batch.mcmc import PGAS, PMMH, GradientBasedProposal, RandomWalk, SymmetricMH, run_pmmh
 from .context import (
     InferenceContext,
@@ -40,6 +41,8 @@ __all__ = [
     "SMC2FW",
     "PMMH",
     "PGAS",
+    "IF2",
+    "IF2Result",
     "run_pmmh",
     "RandomWalk",
     "SymmetricMH",
