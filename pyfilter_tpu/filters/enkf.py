@@ -170,3 +170,60 @@ class EnsembleKalmanFilter:
             latest_state=last,
             states=None,
         )
+
+    # -- smoothing ---------------------------------------------------------------
+    def smooth(self, key, y):
+        """Ensemble RTS smoother (EnRTS / Raanes 2016): a backward pass that
+        moves every member by the ensemble-sampled RTS gain,
+
+        ``x_t^s = x_t^a + G_t (x_{t+1}^s - x_{t+1}^f)``,
+        ``G_t = Cov(x_t^a, x_{t+1}^f) Var(x_{t+1}^f)^{-1}``,
+
+        where the cross-covariance pairs each analysis member with ITS OWN
+        forecast propagation (the pairing survives sub-stepping). Returns the
+        smoothed ensemble ``(T, M, d)`` — its mean/variance estimate the
+        smoothing marginals, and the member paths are (approximate) joint
+        draws, the Gaussian analogue of FFBS trajectories."""
+        y = jnp.asarray(y, jnp.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+        oes = int(self.model.observe_every_step)
+        m_count = self.ensemble_size
+
+        def forward_move(key, ens, t, y_t, n):
+            k_fore, k_ana = jax.random.split(key)
+            fore, t = self._forecast(k_fore, ens, t, n)
+            ana, _ = self._analysis(k_ana, fore, y_t, t)
+            return (fore, ana), t
+
+        k_init, k0, k_scan = jax.random.split(key, 3)
+        ens0 = self.initialize(k_init).ensemble
+        (fore1, ana1), t1 = forward_move(k0, ens0, jnp.asarray(0.0), y[0], 1)
+
+        def fwd(carry, inp):
+            ens, t = carry
+            k, y_t = inp
+            (fore, ana), t_new = forward_move(k, ens, t, y_t, oes)
+            return (ana, t_new), (fore, ana)
+
+        keys = jax.random.split(k_scan, y.shape[0] - 1)
+        _, (fore_rest, ana_rest) = jax.lax.scan(fwd, (ana1, t1), (keys, y[1:]))
+        fores = jnp.concatenate([fore1[None], fore_rest], axis=0)  # (T, M, d)
+        anas = jnp.concatenate([ana1[None], ana_rest], axis=0)
+
+        def backward(smoothed_next, inp):
+            ana_t, fore_next = inp
+            a = ana_t - ana_t.mean(axis=0)
+            af = fore_next - fore_next.mean(axis=0)
+            c_xf = a.T @ af / (m_count - 1)  # (d, d) member-paired cross-cov
+            p_f = af.T @ af / (m_count - 1) + 1e-6 * jnp.eye(a.shape[1])
+            gain = jnp.linalg.solve(p_f.T, c_xf.T).T  # C P^{-1}
+            smoothed = ana_t + (smoothed_next - fore_next) @ gain.T
+            return smoothed, smoothed
+
+        if y.shape[0] == 1:
+            return anas
+        _, sm_rest = jax.lax.scan(
+            backward, anas[-1], (anas[:-1], fores[1:]), reverse=True
+        )
+        return jnp.concatenate([sm_rest, anas[-1][None]], axis=0)

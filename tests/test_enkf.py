@@ -104,6 +104,28 @@ def test_enkf_inflation_widens_ensemble():
     assert np.asarray(inflated.filter_variances).mean() > np.asarray(base.filter_variances).mean()
 
 
+def test_enks_matches_exact_rts_on_linear_model():
+    """The ensemble RTS smoother converges to the exact Kalman RTS smoother
+    on a linear-Gaussian model; smoothing tightens the filter marginals."""
+    ssm = linear_ssm()
+    _, y = ssm.sample_states(jax.random.PRNGKey(12), 60).get_paths()
+    km, kc = pf.KalmanFilter(ssm).smooth(y)
+    enkf = pf.EnsembleKalmanFilter(ssm, ensemble_size=4000)
+    sm = enkf.smooth(jax.random.PRNGKey(13), y)  # (T, M, 1)
+    np.testing.assert_allclose(
+        np.asarray(sm.mean(axis=1)), np.asarray(km), atol=0.06
+    )
+    np.testing.assert_allclose(
+        np.asarray(sm.var(axis=1, ddof=1)), np.asarray(kc)[:, :, 0], rtol=0.2
+    )
+    # smoothed variance < filtered variance away from the endpoint
+    filt = enkf.batch_filter(jax.random.PRNGKey(14), y)
+    assert (
+        np.asarray(sm.var(axis=1, ddof=1))[:-5].mean()
+        < np.asarray(filt.filter_variances)[:-5].mean()
+    )
+
+
 def test_enkf_jit_and_grad():
     """The whole batch_filter traces under jit and differentiates w.r.t. a
     model parameter, with the gradient pointing toward the truth."""
