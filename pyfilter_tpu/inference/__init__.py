@@ -3,7 +3,7 @@
 from . import batch, diagnostics, prior, sequential, variational
 from .base import BaseAlgorithm
 from .diagnostics import effective_sample_size, potential_scale_reduction, summarize_chains
-from .batch import IF2, IF2Result
+from .batch import IF2, IF2Result, TemperedSMC, TemperedSMCResult
 from .batch.mcmc import PGAS, PMMH, GradientBasedProposal, RandomWalk, SymmetricMH, run_pmmh
 from .context import (
     InferenceContext,
@@ -43,6 +43,8 @@ __all__ = [
     "PGAS",
     "IF2",
     "IF2Result",
+    "TemperedSMC",
+    "TemperedSMCResult",
     "run_pmmh",
     "RandomWalk",
     "SymmetricMH",

@@ -2,5 +2,6 @@
 
 from . import mcmc
 from .if2 import IF2, IF2Result
+from .tempered import TemperedSMC, TemperedSMCResult
 
-__all__ = ["mcmc", "IF2", "IF2Result"]
+__all__ = ["mcmc", "IF2", "IF2Result", "TemperedSMC", "TemperedSMCResult"]

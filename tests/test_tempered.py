@@ -1,0 +1,68 @@
+"""Density-tempered SMC tests: adaptive ladder, posterior recovery, evidence
+estimate, and model comparison via log-evidence."""
+
+import jax
+import numpy as np
+import pytest
+
+import pyfilter_tpu as pf
+from pyfilter_tpu import timeseries as ts, distributions as dist, inference as inf
+
+TRUE_BETA, TRUE_SIGMA = 0.7, 0.3
+
+
+def build_ssm(beta=TRUE_BETA, sigma=TRUE_SIGMA):
+    return ts.LinearStateSpaceModel(ts.models.AR(0.0, beta, sigma), (1.0, 0.2))
+
+
+def build_model(ctx):
+    beta = ctx.named_parameter("beta", dist.Uniform(0.0, 1.0))
+    sigma = ctx.named_parameter("sigma", dist.LogNormal(-1.0, 0.5))
+    return build_ssm(beta, sigma)
+
+
+def test_tempered_smc_recovers_posterior():
+    _, y = build_ssm().sample_states(jax.random.PRNGKey(0), 200).get_paths()
+
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        alg = inf.TemperedSMC(pf.SISR(build_model, 150), 400, context=ctx)
+        res = alg.fit(y)
+
+    # the adaptive ladder is strictly increasing and terminates at 1
+    lam = res.lambdas
+    assert lam[-1] == 1.0
+    assert (np.diff(lam) > 0).all()
+    assert len(res.acceptance_rates) == len(lam)
+
+    # z-scored posterior recovery on both free parameters
+    for name, true in (("beta", TRUE_BETA), ("sigma", TRUE_SIGMA)):
+        s = res.samples[name]
+        assert s.shape == (400,)
+        z = abs(s.mean() - true) / s.std()
+        assert z < 3.5, (name, s.mean(), s.std())
+
+    assert np.isfinite(res.log_evidence)
+    # the final swarm is absorbed into the user-held context
+    assert np.asarray(ctx.get_parameter("beta")).shape == (400,)
+
+
+@pytest.mark.slow
+def test_tempered_evidence_ranks_models():
+    """Log-evidence must prefer the data-generating observation scale over a
+    badly misspecified one (Bayes-factor sanity check of the estimator)."""
+    _, y = build_ssm().sample_states(jax.random.PRNGKey(2), 150).get_paths()
+
+    def run(obs_scale):
+        def build(ctx):
+            beta = ctx.named_parameter("beta", dist.Uniform(0.0, 1.0))
+            return ts.LinearStateSpaceModel(
+                ts.models.AR(0.0, beta, TRUE_SIGMA), (1.0, obs_scale)
+            )
+
+        with inf.make_context(key=jax.random.PRNGKey(3)) as ctx:
+            alg = inf.TemperedSMC(pf.SISR(build, 150), 300, context=ctx)
+            return alg.fit(y).log_evidence
+
+    good = run(0.2)  # the true observation noise
+    bad = run(1.5)
+    assert good > bad + 10.0, (good, bad)
