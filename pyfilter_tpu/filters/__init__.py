@@ -2,6 +2,7 @@
 
 from . import particle
 from .base import BaseFilter
+from .diagnostics import crps, predictive_pit
 from .ekf import EKFState, ExtendedKalmanFilter
 from .enkf import EnKFState, EnsembleKalmanFilter
 from .kalman import KalmanFilter, KalmanState
@@ -18,6 +19,8 @@ Correction = ParticleFilterCorrection
 
 __all__ = [
     "BaseFilter",
+    "predictive_pit",
+    "crps",
     "KalmanFilter",
     "KalmanState",
     "ExtendedKalmanFilter",
