@@ -21,6 +21,7 @@ from .sharding import (
     sharded_batch_filter,
     sharded_filter_step,
 )
+from .enkf import spmd_enkf
 from .spmd import (
     spmd_batch_filter,
     spmd_predict,
@@ -35,6 +36,7 @@ __all__ = [
     "sharded_filter_step",
     "lane_sharded_filter",
     "spmd_batch_filter",
+    "spmd_enkf",
     "spmd_predict",
     "spmd_smooth",
     "spmd_smoothed_log_likelihood",
