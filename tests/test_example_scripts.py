@@ -17,6 +17,7 @@ SCRIPTS = [
     "numpyro_interop.py",
     "spmd_scaling.py",
     "gaussian_filters_and_gradients.py",
+    "batch_inference_zoo.py",
 ]
 
 
