@@ -21,11 +21,37 @@ from ..utils import normalize
 from .result import FilterHistory, FilterResult
 
 
-def _history(states) -> FilterHistory:
+def _history(states, n_obs: int) -> FilterHistory:
     hist = states.states if isinstance(states, FilterResult) else states
     if hist is None:
         raise ValueError("predictive diagnostics need record_states=True")
+    if hist.values.shape[0] != n_obs + 1:
+        raise ValueError(
+            f"history has {hist.values.shape[0]} recorded states for {n_obs} "
+            "observations — pass a record_states=True (NOT record_intermediary) "
+            "history whose entries align one-to-one with the observations"
+        )
     return hist
+
+
+def _per_step(model, fn, key, hist: FilterHistory, y):
+    """vmap ``fn`` over the observation index, propagating each t-1 cloud to
+    its observation time: ONE transition for the first observation (the
+    filters' ``first_step`` timing) and ``observe_every_step`` afterwards."""
+    oes = int(model.observe_every_step)
+    n_obs = y.shape[0]
+    keys = jax.random.split(key, n_obs)
+
+    run = jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, None)), static_argnums=(5,))
+    if oes == 1:
+        return run(keys, hist.values[:n_obs], hist.log_weights[:n_obs],
+                   hist.time_indexes[:n_obs], y, 1)
+    first = jax.jit(fn, static_argnums=(5,))(
+        keys[0], hist.values[0], hist.log_weights[0], hist.time_indexes[0], y[0], 1
+    )
+    rest = run(keys[1:], hist.values[1:n_obs], hist.log_weights[1:n_obs],
+               hist.time_indexes[1:n_obs], y[1:], oes)
+    return jnp.concatenate([first[None], rest], axis=0)
 
 
 def predictive_pit(key, model, states, y) -> jax.Array:
@@ -39,27 +65,18 @@ def predictive_pit(key, model, states, y) -> jax.Array:
     density's ``cdf`` is elementwise). Under the data-generating model the
     values are iid Uniform(0,1) — histogram them (U-shape: predictive too
     narrow; hump: too wide; slope: biased)."""
-    hist = _history(states)
     y = jnp.asarray(y)
-    oes = int(model.observe_every_step)
+    hist = _history(states, y.shape[0])
     ev = int(model.hidden.event_ndim)
 
-    def one(k, v_prev, lw_prev, t_prev, y_t):
+    def one(k, v_prev, lw_prev, t_prev, y_t, n_sub):
         st = TimeseriesState(t_prev, v_prev, ev)
-        st = model.hidden.propagate_substeps(k, st, oes)
+        st = model.hidden.propagate_substeps(k, st, n_sub)
         u = model.build_density(st).cdf(y_t)  # (N, ...) per-particle CDFs
         w = normalize(lw_prev)
         return jnp.tensordot(w, u, axes=(0, 0))
 
-    n_obs = y.shape[0]
-    keys = jax.random.split(key, n_obs)
-    return jax.jit(jax.vmap(one))(
-        keys,
-        hist.values[:n_obs],
-        hist.log_weights[:n_obs],
-        hist.time_indexes[:n_obs],
-        y,
-    )
+    return _per_step(model, one, key, hist, y)
 
 
 def crps(key, model, states, y) -> jax.Array:
@@ -71,27 +88,18 @@ def crps(key, model, states, y) -> jax.Array:
     with one simulated observation ``s_k ~ p(y_t | x_t^k)`` per particle
     (O(N²) pairwise term — MXU-shaped; keep N moderate or thin the cloud
     first). Scalar observations; returns ``(T,)`` (lower is better, proper)."""
-    hist = _history(states)
     y = jnp.asarray(y)
-    oes = int(model.observe_every_step)
+    hist = _history(states, y.shape[0])
     ev = int(model.hidden.event_ndim)
 
-    def one(k, v_prev, lw_prev, t_prev, y_t):
+    def one(k, v_prev, lw_prev, t_prev, y_t, n_sub):
         k_prop, k_obs = jax.random.split(k)
         st = TimeseriesState(t_prev, v_prev, ev)
-        st = model.hidden.propagate_substeps(k_prop, st, oes)
+        st = model.hidden.propagate_substeps(k_prop, st, n_sub)
         s = jnp.squeeze(jnp.asarray(model.build_density(st).sample(k_obs)))  # (N,)
         w = normalize(lw_prev)
         e_xy = jnp.sum(w * jnp.abs(s - y_t))
         e_xx = jnp.einsum("j,k,jk->", w, w, jnp.abs(s[:, None] - s[None, :]))
         return e_xy - 0.5 * e_xx
 
-    n_obs = y.shape[0]
-    keys = jax.random.split(key, n_obs)
-    return jax.jit(jax.vmap(one))(
-        keys,
-        hist.values[:n_obs],
-        hist.log_weights[:n_obs],
-        hist.time_indexes[:n_obs],
-        y,
-    )
+    return _per_step(model, one, key, hist, y)

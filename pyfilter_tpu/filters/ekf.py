@@ -18,13 +18,13 @@ w.r.t. model parameters (``jax.grad`` through ``batch_filter`` works).
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..timeseries import TimeseriesState
+from ._masked import masked_gaussian_update
 from .result import FilterResult
 
 
@@ -115,22 +115,14 @@ class ExtendedKalmanFilter:
 
         h_jac = jax.jacfwd(lambda v: self._obs_mean(v, t))(m)
         r = jnp.diag(self._obs_var(m, t))
-        s_mat = h_jac @ p @ h_jac.T + r
-        chol = jnp.linalg.cholesky(s_mat)
-        innov = jnp.where(jnp.isnan(y_t), 0.0, y_t - self._obs_mean(m, t))
-
-        solved = jax.scipy.linalg.cho_solve((chol, True), innov)
-        k_gain = p @ h_jac.T @ jax.scipy.linalg.cho_solve(
-            (chol, True), jnp.eye(self._d_y)
+        # partial-NaN components are exactly marginalized (all-NaN skip is the
+        # degenerate case: zero gain/innovation, ll_t == 0)
+        k_gain, innov, ll_t, s_eff = masked_gaussian_update(
+            y_t, self._obs_mean(m, t), p @ h_jac.T, h_jac @ p @ h_jac.T + r
         )
-
-        log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-        ll_t = -0.5 * (innov @ solved + log_det + self._d_y * math.log(2.0 * math.pi))
-
-        observed = ~jnp.isnan(y_t).all()
-        m_new = jnp.where(observed, m + k_gain @ innov, m)
-        p_new = jnp.where(observed, p - k_gain @ h_jac @ p, p)
-        ll_new = state.log_likelihood + jnp.where(observed, ll_t, 0.0)
+        m_new = m + k_gain @ innov
+        p_new = p - k_gain @ s_eff @ k_gain.T
+        ll_new = state.log_likelihood + ll_t
         return EKFState(m_new, p_new, ll_new, t)
 
     def batch_filter(self, y) -> FilterResult:
@@ -182,15 +174,11 @@ class ExtendedKalmanFilter:
 
             h_jac = jax.jacfwd(lambda v: self._obs_mean(v, t))(m)
             r = jnp.diag(self._obs_var(m, t))
-            s_mat = h_jac @ p @ h_jac.T + r
-            chol = jnp.linalg.cholesky(s_mat)
-            innov = jnp.where(jnp.isnan(y_t), 0.0, y_t - self._obs_mean(m, t))
-            k_gain = p @ h_jac.T @ jax.scipy.linalg.cho_solve(
-                (chol, True), jnp.eye(self._d_y)
+            k_gain, innov, _, s_eff = masked_gaussian_update(
+                y_t, self._obs_mean(m, t), p @ h_jac.T, h_jac @ p @ h_jac.T + r
             )
-            observed = ~jnp.isnan(y_t).all()
-            m_f = jnp.where(observed, m + k_gain @ innov, m)
-            p_f = jnp.where(observed, p - k_gain @ h_jac @ p, p)
+            m_f = m + k_gain @ innov
+            p_f = p - k_gain @ s_eff @ k_gain.T
             return (m_pred, p_pred, m_f, p_f, f_total), t
 
         rec0, t1 = forward_move(

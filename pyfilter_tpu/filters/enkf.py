@@ -22,13 +22,13 @@ Completes the Gaussian family: :class:`KalmanFilter` (exact, linear),
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..timeseries import TimeseriesState
+from ._masked import masked_gaussian_update
 from .result import FilterResult
 
 
@@ -111,22 +111,16 @@ class EnsembleKalmanFilter:
         c_yy = b.T @ b / (m_count - 1) + jnp.diag(r)  # innovation covariance
         c_xy = a.T @ b / (m_count - 1)  # (d, d_y)
 
-        chol = jnp.linalg.cholesky(c_yy)
-        k_gain = c_xy @ jax.scipy.linalg.cho_solve((chol, True), jnp.eye(self._d_y))
+        # partial-NaN components are exactly marginalized: the masked gain has
+        # zero columns for missing slots, so the member update ignores them
+        # (all-NaN skip is the degenerate case — zero gain, ll_t == 0)
+        k_gain, _, ll_t, _ = masked_gaussian_update(y_t, g_bar, c_xy, c_yy)
 
         # perturbed observations: each member sees y + eps_i, eps_i ~ N(0, R)
         eps = jnp.sqrt(r) * jax.random.normal(key, g.shape, g.dtype)
         y_safe = jnp.where(jnp.isnan(y_t), 0.0, y_t)
         ens_new = ens + (y_safe + eps - g) @ k_gain.T
-
-        innov = y_safe - g_bar
-        solved = jax.scipy.linalg.cho_solve((chol, True), innov)
-        log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-        ll_t = -0.5 * (innov @ solved + log_det + self._d_y * math.log(2.0 * math.pi))
-
-        observed = ~jnp.isnan(y_t).all()
-        ens_new = jnp.where(observed, ens_new, ens)
-        return ens_new, jnp.where(observed, ll_t, 0.0)
+        return ens_new, ll_t
 
     def filter(self, key, y_t, state: EnKFState, n_transitions: int = None) -> EnKFState:
         """One forecast+analysis move with all-NaN observation skip (same

@@ -15,7 +15,6 @@ as well as e.g. ``models.AR``'s ``(alpha, beta, sigma)`` ordering.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax
@@ -23,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..timeseries import TimeseriesState
+from ._masked import masked_gaussian_update
 from .result import FilterResult
 
 
@@ -147,22 +147,14 @@ class KalmanFilter:
             m = self.F @ m + self.b
             p = self.F @ p @ self.F.T + self.Q
 
-        s_mat = self.H @ p @ self.H.T + self.R
-        chol = jnp.linalg.cholesky(s_mat)
-        innov = jnp.where(jnp.isnan(y_t), 0.0, y_t - (self.H @ m + self.d))
-
-        solved = jax.scipy.linalg.cho_solve((chol, True), innov)
-        k_gain = p @ self.H.T @ jax.scipy.linalg.cho_solve(
-            (chol, True), jnp.eye(self._d_y)
+        # partial-NaN components are exactly marginalized (all-NaN skip is the
+        # degenerate case: zero gain/innovation, ll_t == 0)
+        k_gain, innov, ll_t, s_eff = masked_gaussian_update(
+            y_t, self.H @ m + self.d, p @ self.H.T, self.H @ p @ self.H.T + self.R
         )
-
-        log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-        ll_t = -0.5 * (innov @ solved + log_det + self._d_y * math.log(2.0 * math.pi))
-
-        observed = ~jnp.isnan(y_t).all()
-        m_new = jnp.where(observed, m + k_gain @ innov, m)
-        p_new = jnp.where(observed, p - k_gain @ self.H @ p, p)
-        ll_new = state.log_likelihood + jnp.where(observed, ll_t, 0.0)
+        m_new = m + k_gain @ innov
+        p_new = p - k_gain @ s_eff @ k_gain.T
+        ll_new = state.log_likelihood + ll_t
 
         return KalmanState(m_new, p_new, ll_new, state.time_index + n_transitions)
 
@@ -226,15 +218,14 @@ class KalmanFilter:
         def forward_step(m, p, y_t, f_mat, b_vec, q_mat):
             m_pred = f_mat @ m + b_vec
             p_pred = f_mat @ p @ f_mat.T + q_mat
-            s_mat = self.H @ p_pred @ self.H.T + self.R
-            chol = jnp.linalg.cholesky(s_mat)
-            innov = jnp.where(jnp.isnan(y_t), 0.0, y_t - (self.H @ m_pred + self.d))
-            k_gain = p_pred @ self.H.T @ jax.scipy.linalg.cho_solve(
-                (chol, True), jnp.eye(self._d_y)
+            k_gain, innov, _, s_eff = masked_gaussian_update(
+                y_t,
+                self.H @ m_pred + self.d,
+                p_pred @ self.H.T,
+                self.H @ p_pred @ self.H.T + self.R,
             )
-            observed = ~jnp.isnan(y_t).all()
-            m_f = jnp.where(observed, m_pred + k_gain @ innov, m_pred)
-            p_f = jnp.where(observed, p_pred - k_gain @ self.H @ p_pred, p_pred)
+            m_f = m_pred + k_gain @ innov
+            p_f = p_pred - k_gain @ s_eff @ k_gain.T
             return m_pred, p_pred, m_f, p_f
 
         # first observation: one transition from the initial state (matching

@@ -12,12 +12,11 @@ traced JAX — differentiable w.r.t. model parameters and vmappable.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 
 from ..timeseries import TimeseriesState
+from ._masked import masked_gaussian_update
 from .ekf import EKFState
 from .result import FilterResult
 
@@ -103,18 +102,12 @@ class UnscentedKalmanFilter:
         diff_x = pts - m
         c_xy = (self._wc[:, None] * diff_x).T @ diff_y  # (d, d_y)
 
-        chol = jnp.linalg.cholesky(s_mat)
-        innov = jnp.where(jnp.isnan(y_t), 0.0, y_t - y_hat)
-        k_gain = c_xy @ jax.scipy.linalg.cho_solve((chol, True), jnp.eye(self._d_y))
-
-        solved = jax.scipy.linalg.cho_solve((chol, True), innov)
-        log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-        ll_t = -0.5 * (innov @ solved + log_det + self._d_y * math.log(2.0 * math.pi))
-
-        observed = ~jnp.isnan(y_t).all()
-        m_new = jnp.where(observed, m + k_gain @ innov, m)
-        p_new = jnp.where(observed, p - k_gain @ s_mat @ k_gain.T, p)
-        return m_new, p_new, ll_t, observed
+        # partial-NaN components are exactly marginalized (all-NaN skip is the
+        # degenerate case: zero gain/innovation, ll_t == 0)
+        k_gain, innov, ll_t, s_eff = masked_gaussian_update(y_t, y_hat, c_xy, s_mat)
+        m_new = m + k_gain @ innov
+        p_new = p - k_gain @ s_eff @ k_gain.T
+        return m_new, p_new, ll_t
 
     def _obs_mean_pts(self, pts, t):
         d = self.model.build_density(self._state(pts, t))
@@ -140,8 +133,8 @@ class UnscentedKalmanFilter:
             m, p, _ = self._predict(m, p, t)
             t = t + 1.0
 
-        m_new, p_new, ll_t, observed = self._update(m, p, y_t, t)
-        ll_new = state.log_likelihood + jnp.where(observed, ll_t, 0.0)
+        m_new, p_new, ll_t = self._update(m, p, y_t, t)
+        ll_new = state.log_likelihood + ll_t
         return EKFState(m_new, p_new, ll_new, t)
 
     def batch_filter(self, y) -> FilterResult:
@@ -196,7 +189,7 @@ class UnscentedKalmanFilter:
                     cross_total = cross_total @ jnp.linalg.solve(p, cross)
                 m, p, t = m_new, p_new, t + 1.0
             m_pred, p_pred = m, p
-            m_f, p_f, _, _ = self._update(m, p, y_t, t)
+            m_f, p_f, _ = self._update(m, p, y_t, t)
             return (m_pred, p_pred, m_f, p_f, cross_total), t
 
         rec0, t1 = forward_move(*self.initialize()[:2], jnp.asarray(0.0), y[0], 1)

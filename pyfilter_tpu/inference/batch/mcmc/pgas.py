@@ -195,9 +195,6 @@ class PGAS(BaseAlgorithm):
                 u = prior_ops.get_unconstrained(prior, draws)
                 parts.append(jnp.reshape(u, (4096, -1)).mean(axis=0))
             theta0 = jnp.concatenate(parts)[None]  # (1, D)
-            filt = self._filter.initialize_model(
-                ctx.unstack_parameters(theta0, constrained=False)
-            )
         else:
             theta0 = ctx.stack_parameters(constrained=False)  # (1, D)
 
@@ -212,11 +209,12 @@ class PGAS(BaseAlgorithm):
 
         # initialize each chain's retained trajectory with one FFBS draw
         def init_traj(theta_c, k):
+            k_filter, k_smooth = jax.random.split(k)
             filt2 = self._filter.initialize_model(
                 ctx.unstack_parameters(theta_c, constrained=False)
             ).replace(record_states=True)
-            res = filt2.batch_filter(k, y, use_jit=False)
-            return filt2.smooth(k, res, method="ffbs")[:, 0]
+            res = filt2.batch_filter(k_filter, y, use_jit=False)
+            return filt2.smooth(k_smooth, res, method="ffbs")[:, 0]
 
         trajs = jax.jit(jax.vmap(init_traj))(
             thetas0, jax.random.split(k_traj, c)
@@ -267,7 +265,22 @@ class PGAS(BaseAlgorithm):
 
         chain_body = jax.vmap(body)  # chains ride a vmapped leading axis
 
-        scan_chunk = jax.jit(lambda carry, ks: jax.lax.scan(chain_body, carry, ks))
+        def masked_step(carry, inp):
+            # fixed-size chunks with a validity flag: the remainder chunk
+            # rides the SAME executable (no retrace of the whole sweep graph
+            # for a one-off shape — the fused-PMMH padding recipe); invalid
+            # steps skip the sweep entirely via lax.cond
+            ks, valid = inp
+
+            def run(op):
+                return chain_body(op, ks)
+
+            def skip(op):
+                return op, (op[0], jnp.zeros((c,)))
+
+            return jax.lax.cond(valid, run, skip, carry)
+
+        scan_chunk = jax.jit(lambda carry, inp: jax.lax.scan(masked_step, carry, inp))
 
         thetas, accepts = [], []
         carry = (thetas0, trajs)
@@ -277,10 +290,11 @@ class PGAS(BaseAlgorithm):
             while done < self.num_samples:
                 m = min(chunk, self.num_samples - done)
                 k_chain, k_use = jax.random.split(k_chain)
-                ks = jax.random.split(k_use, (m, c))
-                carry, (th, acc) = scan_chunk(carry, ks)
-                thetas.append(np.asarray(th))
-                accepts.append(np.asarray(acc))
+                ks = jax.random.split(k_use, (chunk, c))
+                valid = jnp.arange(chunk) < m
+                carry, (th, acc) = scan_chunk(carry, (ks, valid))
+                thetas.append(np.asarray(th)[:m])
+                accepts.append(np.asarray(acc)[:m])
                 done += m
                 logger.do_log(done, None)
 

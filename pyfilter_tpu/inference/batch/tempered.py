@@ -185,6 +185,15 @@ class TemperedSMC(BaseAlgorithm):
                 logger.do_log(stage + 1, None)
                 if lam >= 1.0:
                     break
+        if lam < 1.0:
+            # a truncated ladder targets the wrong distribution — refuse to
+            # hand back prior-flavored samples dressed up as the posterior
+            raise RuntimeError(
+                f"temperature ladder stalled at lambda={lam:.4g} after "
+                f"{self.max_stages} stages (the swarm still targets the "
+                "partially-tempered bridge, not the posterior) — raise "
+                "max_stages, increase num_particles, or lower target_ess"
+            )
 
         samples = {}
         index = 0

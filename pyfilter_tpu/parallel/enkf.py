@@ -17,13 +17,13 @@ HLO-asserted in tests, not assumed (tests/test_parallel_enkf.py).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..filters._masked import masked_gaussian_update
 from ..filters.enkf import EnKFState
 from ..filters.result import FilterResult
 from ..timeseries import TimeseriesState
@@ -82,20 +82,14 @@ def spmd_enkf_loop(
         c_yy = jax.lax.psum(b.T @ b, axis_name) / (m_global - 1) + jnp.diag(r)
         c_xy = jax.lax.psum(a.T @ b, axis_name) / (m_global - 1)
 
-        chol = jnp.linalg.cholesky(c_yy)
-        k_gain = c_xy @ jax.scipy.linalg.cho_solve((chol, True), jnp.eye(d_y))
+        # partial-NaN components are exactly marginalized (zero gain columns;
+        # all-NaN skip is the degenerate case — zero gain, ll_t == 0)
+        k_gain, _, ll_t, _ = masked_gaussian_update(y_t, g_bar, c_xy, c_yy)
 
         eps = jnp.sqrt(r) * jax.random.normal(k, g.shape, g.dtype)
         y_safe = jnp.where(jnp.isnan(y_t), 0.0, y_t)
         ens_new = ens + (y_safe + eps - g) @ k_gain.T
-
-        innov = y_safe - g_bar
-        solved = jax.scipy.linalg.cho_solve((chol, True), innov)
-        log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-        ll_t = -0.5 * (innov @ solved + log_det + d_y * math.log(2.0 * math.pi))
-
-        observed = ~jnp.isnan(y_t).all()
-        return jnp.where(observed, ens_new, ens), jnp.where(observed, ll_t, 0.0)
+        return ens_new, ll_t
 
     def moments(ens):
         m = gmean(ens)

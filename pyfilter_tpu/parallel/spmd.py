@@ -114,7 +114,7 @@ def spmd_filter_loop(
             )
         return distributed_systematic(k_res, lw_, vals, axis_name, halo)
 
-    def step(carry, inp):
+    def step(n_sub, carry, inp):
         x, lw, ll = carry
         k, y_t = inp
         k_res, k_prop = jax.random.split(k)
@@ -136,11 +136,13 @@ def spmd_filter_loop(
         x = x.copy(values=vals)
 
         # sub-step to the observation time, then draw the final step through
-        # the proposal (== BaseFilter.filter's substep/correct split)
+        # the proposal (== BaseFilter.filter's substep/correct split; the
+        # FIRST observation uses n_sub=0 — one transition from t=0, matching
+        # BaseFilter.filter's first_step timing)
         k_dev = jax.random.fold_in(k_prop, dev)
         k_sub, k_final = jax.random.split(k_dev)
-        if oes > 1:
-            x = model.hidden.propagate_substeps(k_sub, x, oes - 1)
+        if n_sub:
+            x = model.hidden.propagate_substeps(k_sub, x, n_sub)
 
         def do_correct(op):
             x_, lw_ = op
@@ -164,14 +166,14 @@ def spmd_filter_loop(
         out = (mean, (x.value, lw, x.time_index)) if record_history else mean
         return (x, lw, ll), out
 
-    def apf_step(carry, inp):
+    def apf_step(n_sub, carry, inp):
         x, lw, ll = carry
         k, y_t = inp
         k_res, k_prop = jax.random.split(k)
         k_dev = jax.random.fold_in(k_prop, dev)
         k_sub, k_final = jax.random.split(k_dev)
-        if oes > 1:
-            x = model.hidden.propagate_substeps(k_sub, x, oes - 1)
+        if n_sub:
+            x = model.hidden.propagate_substeps(k_sub, x, n_sub)
 
         def do_correct(op):
             x_, lw_ = op
@@ -203,7 +205,7 @@ def spmd_filter_loop(
         out = (mean, (x.value, lw, x.time_index)) if record_history else mean
         return (x, lw, ll), out
 
-    def gpf_step(carry, inp):
+    def gpf_step(n_sub, carry, inp):
         # Gaussian particle filter (filters/particle/gpf.py semantics): no
         # resampling; the cloud collapses to a moment-matched Gaussian of the
         # propagated predictive — the moments are the ONLY cross-particle
@@ -214,8 +216,8 @@ def spmd_filter_loop(
         k, y_t = inp
         k_dev = jax.random.fold_in(k, dev)
         k_sub, k_prop, k_sample = jax.random.split(k_dev, 3)
-        if oes > 1:
-            x = model.hidden.propagate_substeps(k_sub, x, oes - 1)
+        if n_sub:
+            x = model.hidden.propagate_substeps(k_sub, x, n_sub)
 
         x_prop = model.hidden.propagate(k_prop, x)
 
@@ -254,9 +256,20 @@ def spmd_filter_loop(
 
     bodies = {"sisr": step, "apf": apf_step, "gpf": gpf_step}
     body = bodies[filter_type]
+    body_rest = functools.partial(body, oes - 1)
 
     keys = jax.random.split(k_scan, y.shape[0])
-    (x, lw, ll), outs = jax.lax.scan(body, (x0, lw0, jnp.float32(0.0)), (keys, y))
+    carry0 = (x0, lw0, jnp.float32(0.0))
+    if oes > 1:
+        # the first observation is corrected after ONE transition from t=0
+        # (BaseFilter.filter's first_step timing) — peel it out of the scan
+        carry1, out_first = body(0, carry0, (keys[0], y[0]))
+        (x, lw, ll), outs_rest = jax.lax.scan(body_rest, carry1, (keys[1:], y[1:]))
+        outs = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), out_first, outs_rest
+        )
+    else:
+        (x, lw, ll), outs = jax.lax.scan(body_rest, carry0, (keys, y))
     if record_history:
         means, (h_vals, h_lws, h_times) = outs
         # prepend the initial state: the history spans t = 0..T exactly as the

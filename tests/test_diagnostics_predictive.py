@@ -44,6 +44,37 @@ def test_pit_detects_overdispersed_model():
     assert stats.kstest(u, "uniform").pvalue < 1e-6
 
 
+def test_pit_first_step_timing_with_substeps():
+    """observe_every_step > 1: the FIRST observation's predictive uses ONE
+    transition from t=0 (the filters' first_step timing), the rest use oes —
+    the PF PIT values must match the exact Kalman predictive CDFs
+    (regression for the over-diffused first-step predictive)."""
+    ou = ts.LinearStateSpaceModel(
+        ts.models.OrnsteinUhlenbeck(0.5, 1.0, 0.3), (1.0, 0.2), observe_every_step=2
+    )
+    path = ou.sample_states(jax.random.PRNGKey(11), 60)
+    y = path.y
+    res = pf.SISR(ou, 3000, record_states=True).batch_filter(jax.random.PRNGKey(12), y)
+    u = np.asarray(predictive_pit(jax.random.PRNGKey(13), ou, res, y))
+
+    # exact one-step-ahead predictive from the Kalman recursion
+    kf = pf.KalmanFilter(ou)
+    f_mat, b, q = np.asarray(kf.F), np.asarray(kf.b), np.asarray(kf.Q)
+    h, d_off, r = np.asarray(kf.H), np.asarray(kf.d), np.asarray(kf.R)
+    state = kf.initialize()
+    exact_u = []
+    for i, y_t in enumerate(np.asarray(y)):
+        n = 1 if i == 0 else 2
+        m, p = np.asarray(state.mean), np.asarray(state.cov)
+        for _ in range(n):
+            m, p = f_mat @ m + b, f_mat @ p @ f_mat.T + q
+        mu = float((h @ m + d_off)[0])
+        sd = float(np.sqrt((h @ p @ h.T + r)[0, 0]))
+        exact_u.append(stats.norm.cdf(y_t, mu, sd))
+        state = kf.filter(y_t, state, n_transitions=n)
+    np.testing.assert_allclose(u, np.asarray(exact_u), atol=0.03)
+
+
 def test_crps_matches_gaussian_closed_form_and_is_proper():
     """On a linear-Gaussian model the one-step predictive is the exact Kalman
     N(mu_t, s_t): the particle CRPS must match the closed form

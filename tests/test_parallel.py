@@ -17,6 +17,39 @@ def _model():
     return ts.LinearStateSpaceModel(ar, (1.0, 0.1))
 
 
+def test_spmd_substep_timing_matches_single_device():
+    """observe_every_step > 1: the FIRST observation is corrected after ONE
+    transition (BaseFilter.filter's first_step timing) — the SPMD history
+    times must be [0, 1, 1+oes, 1+2*oes, ...] exactly as record_states gives,
+    and the loglik must agree with the exact Kalman filter (regression for
+    the first-step oes-1 extra-substep bug)."""
+    ou = ts.LinearStateSpaceModel(
+        models.OrnsteinUhlenbeck(0.5, 1.0, 0.1), (1.0, 0.05), observe_every_step=2
+    )
+    path = ou.sample_states(jax.random.PRNGKey(40), 40)
+    mesh = parallel.make_mesh()
+
+    single = pf.SISR(ou, 64, record_states=True).batch_filter(
+        jax.random.PRNGKey(41), path.y[:10]
+    )
+    _, _, _, _, hist = parallel.spmd_batch_filter(
+        ou, 512, jax.random.PRNGKey(42), path.y[:10], mesh, record_history=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hist[2]), np.asarray(single.states.time_indexes)
+    )
+
+    exact = pf.KalmanFilter(ou).batch_filter(path.y)
+    _, _, ll, _ = parallel.spmd_batch_filter(
+        ou, 8192, jax.random.PRNGKey(43), path.y, mesh
+    )
+    assert abs(float(ll) - float(exact.log_likelihood)) < 0.5
+    _, _, ll_apf, _ = parallel.spmd_batch_filter(
+        ou, 8192, jax.random.PRNGKey(44), path.y, mesh, filter_type="apf"
+    )
+    assert abs(float(ll_apf) - float(exact.log_likelihood)) < 1.5
+
+
 def test_mesh_construction():
     assert len(jax.devices()) == 8
     mesh = parallel.make_mesh()

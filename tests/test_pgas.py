@@ -100,6 +100,25 @@ def test_pgas_multichain_shapes_and_diagnostics():
     assert np.isfinite(summary["beta"]["ess"]).all()
 
 
+def test_pgas_remainder_chunk_rides_same_executable():
+    """num_samples not divisible by chunk_size: the tail chunk is padded and
+    masked device-side (no fresh compile of the whole sweep graph for a
+    one-off shape) — records must have exactly num_samples rows."""
+    _, y = build_ssm().sample_states(jax.random.PRNGKey(10), 60).get_paths()
+
+    def build_model(ctx):
+        beta = ctx.named_parameter("beta", dist.Uniform(0.0, 1.0))
+        return build_ssm(beta, SIGMA)
+
+    with inf.make_context(key=jax.random.PRNGKey(11)) as ctx:
+        alg = inf.PGAS(pf.SISR(build_model, 16), 10, rw_scale=0.1, context=ctx)
+        res = alg.fit(y, chunk_size=4)  # chunks 4, 4, 2 (last one masked)
+
+    assert res.samples["beta"].shape == (10,)
+    assert np.isfinite(res.samples["beta"]).all()
+    assert 0.0 <= res.acceptance_rate <= 1.0
+
+
 @pytest.mark.slow
 def test_pgas_recovers_parameters():
     """Joint θ/trajectory sampling: posterior means bracket the truth."""

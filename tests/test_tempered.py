@@ -46,6 +46,18 @@ def test_tempered_smc_recovers_posterior():
     assert np.asarray(ctx.get_parameter("beta")).shape == (400,)
 
 
+def test_tempered_smc_raises_on_stalled_ladder():
+    """max_stages exhausted before lambda reaches 1 must raise, not hand back
+    a partially-tempered swarm dressed up as the posterior."""
+    _, y = build_ssm().sample_states(jax.random.PRNGKey(4), 200).get_paths()
+    with inf.make_context(key=jax.random.PRNGKey(5)) as ctx:
+        alg = inf.TemperedSMC(
+            pf.SISR(build_model, 100), 200, max_stages=1, context=ctx
+        )
+        with pytest.raises(RuntimeError, match="ladder stalled"):
+            alg.fit(y)
+
+
 @pytest.mark.slow
 def test_tempered_evidence_ranks_models():
     """Log-evidence must prefer the data-generating observation scale over a
