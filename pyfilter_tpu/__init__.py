@@ -20,6 +20,7 @@ from .filters import (
     FilterResult,
     UnscentedKalmanFilter,
     EnsembleKalmanFilter,
+    GaussianMarginalFilter,
     KalmanFilter,
     ParticleFilter,
     RaoBlackwellizedPF,
@@ -38,6 +39,7 @@ __all__ = [
     "ExtendedKalmanFilter",
     "UnscentedKalmanFilter",
     "EnsembleKalmanFilter",
+    "GaussianMarginalFilter",
     "RaoBlackwellizedPF",
     "timeseries",
     "resampling",

@@ -6,6 +6,7 @@ from .diagnostics import crps, predictive_pit
 from .ekf import EKFState, ExtendedKalmanFilter
 from .enkf import EnKFState, EnsembleKalmanFilter
 from .kalman import KalmanFilter, KalmanState
+from .marginal import GaussianMarginalFilter
 from .particle import APF, GPF, SISR, ParticleFilter
 from .rbpf import LinearSubstructure, RaoBlackwellizedPF
 from .result import FilterHistory, FilterResult
@@ -27,6 +28,7 @@ __all__ = [
     "EKFState",
     "UnscentedKalmanFilter",
     "EnsembleKalmanFilter",
+    "GaussianMarginalFilter",
     "EnKFState",
     "RaoBlackwellizedPF",
     "LinearSubstructure",

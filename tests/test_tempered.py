@@ -46,6 +46,57 @@ def test_tempered_smc_recovers_posterior():
     assert np.asarray(ctx.get_parameter("beta")).shape == (400,)
 
 
+def test_tempered_smc_exact_likelihood_via_ekf_adapter():
+    """GaussianMarginalFilter: TemperedSMC on the EXACT (EKF = Kalman on a
+    linear model) likelihood — agrees with the particle run, with the
+    pseudo-marginal acceptance penalty gone and a noise-free evidence."""
+    _, y = build_ssm().sample_states(jax.random.PRNGKey(0), 200).get_paths()
+
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        alg = inf.TemperedSMC(
+            pf.GaussianMarginalFilter(build_model, kind="ekf"), 400, context=ctx
+        )
+        exact = alg.fit(y)
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        alg_pf = inf.TemperedSMC(pf.SISR(build_model, 150), 400, context=ctx)
+        noisy = alg_pf.fit(y)
+
+    assert exact.lambdas[-1] == 1.0
+    for name, true in (("beta", TRUE_BETA), ("sigma", TRUE_SIGMA)):
+        s = exact.samples[name]
+        assert abs(s.mean() - true) / s.std() < 3.5, (name, s.mean(), s.std())
+        # the two likelihood backends target the same posterior
+        tol = max(s.std(), noisy.samples[name].std())
+        assert abs(s.mean() - noisy.samples[name].mean()) < tol
+    # evidence estimates agree; exact likelihood keeps MH acceptance healthy
+    # at the final (posterior-sharp) stage where the pseudo-marginal sticks
+    assert abs(exact.log_evidence - noisy.log_evidence) < 3.0
+    assert exact.acceptance_rates[-1] > noisy.acceptance_rates[-1]
+
+
+def test_gaussian_marginal_filter_lane_logliks_match_loop():
+    """The vmapped lane likelihoods equal a per-lane EKF loop exactly."""
+    import jax.numpy as jnp
+
+    _, y = build_ssm().sample_states(jax.random.PRNGKey(2), 60).get_paths()
+    with inf.make_context(key=jax.random.PRNGKey(3)) as ctx:
+        ctx.set_batch_shape((5,))
+        filt = pf.GaussianMarginalFilter(build_model).set_batch_shape((5,))
+        filt = filt.initialize_model(ctx)
+        res = filt.batch_filter(jax.random.PRNGKey(4), y)
+        assert res.log_likelihood.shape == (5,)
+
+        betas = np.asarray(ctx.get_parameter("beta"))
+        sigmas = np.asarray(ctx.get_parameter("sigma"))
+    for i in range(5):
+        single = pf.ExtendedKalmanFilter(
+            build_ssm(float(betas[i]), float(sigmas[i]))
+        ).batch_filter(y)
+        np.testing.assert_allclose(
+            float(res.log_likelihood[i]), float(single.log_likelihood), rtol=1e-5
+        )
+
+
 def test_tempered_smc_raises_on_stalled_ladder():
     """max_stages exhausted before lambda reaches 1 must raise, not hand back
     a partially-tempered swarm dressed up as the posterior."""
