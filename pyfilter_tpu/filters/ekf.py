@@ -44,6 +44,18 @@ class EKFState(NamedTuple):
     def get_variance(self):
         return jnp.diagonal(self.cov, axis1=-2, axis2=-1)
 
+    # -- lane surgery (used when a leading chain/lane axis is present, e.g.
+    # GaussianMarginalFilter results inside PMMH) ------------------------------
+    def exchange(self, other: "EKFState", mask) -> "EKFState":
+        def mix(mine, theirs):
+            m = jnp.reshape(mask, mask.shape + (1,) * (jnp.ndim(mine) - jnp.ndim(mask)))
+            return jnp.where(m, theirs, mine)
+
+        return EKFState(*(mix(a, b) for a, b in zip(self, other)))
+
+    def resample(self, indices, entire_history: bool = True) -> "EKFState":
+        return EKFState(*(jnp.take(leaf, indices, axis=0) for leaf in self))
+
 
 class ExtendedKalmanFilter:
     """First-order EKF over a :class:`StateSpaceModel`.

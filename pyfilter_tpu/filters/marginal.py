@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.tree_util import register_pytree_node
 
 from .ekf import ExtendedKalmanFilter
 from .ukf import UnscentedKalmanFilter
@@ -90,4 +91,27 @@ class GaussianMarginalFilter:
         def one(model):
             return make(model).batch_filter(y)
 
-        return jax.vmap(one, in_axes=(self._lane_axes(self.model),))(self.model)
+        res = jax.vmap(one, in_axes=(self._lane_axes(self.model),))(self.model)
+        # vmap puts the lane axis first; FilterResult's per-step leaves are
+        # time-major with lanes second (the particle-filter convention that
+        # exchange/resample rely on) — swap them. latest_state stays
+        # lane-leading (its lane surgery indexes axis 0).
+        swap = lambda a: jnp.moveaxis(a, 0, 1)
+        return res._replace(
+            step_log_likelihoods=swap(res.step_log_likelihoods),
+            filter_means=swap(res.filter_means),
+            filter_variances=swap(res.filter_variances),
+        )
+
+
+def _flatten(f):
+    return (f.model,), (f.model_builder, f.kind, f.batch_shape)
+
+
+def _unflatten(aux, children):
+    obj = GaussianMarginalFilter(aux[0], kind=aux[1], batch_shape=aux[2])
+    obj.model = children[0]
+    return obj
+
+
+register_pytree_node(GaussianMarginalFilter, _flatten, _unflatten)
