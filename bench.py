@@ -47,22 +47,37 @@ MU, NU, TAU = 0.0, 0.0, 1.0
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_torch_baseline.json")
 _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_last_good.json")
 
+# timed repetitions per metric. 5, not 3: r02->r03 headline drift (7.03G vs
+# 6.80G, no code change) showed min-of-3 through the axon tunnel is not a
+# stable estimator — the emitted record now carries min/median/max so drift
+# is classifiable as run noise vs regression at a glance (BASELINE.md).
+N_REPS = 5
+
+
+def _timing_stats(times):
+    s = sorted(times)
+    return {
+        "reps": len(s),
+        "min_s": s[0],
+        "median_s": s[len(s) // 2],
+        "max_s": s[-1],
+        "spread_pct": 100.0 * (s[-1] - s[0]) / s[0] if s[0] else None,
+    }
+
 
 def _enable_compile_cache():
     """Persist XLA compiles across bench runs. The fused inference
     transitions compile once per (shape, config); without the cache a rare
     mid-run particle doubling pays a fresh ~50 s compile at the doubled
     shape on every process start."""
-    import jax
+    from pyfilter_tpu.compile_cache import enable_compile_cache
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_bench_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as exc:  # cache support varies by backend plugin
-        print(f"compile cache unavailable: {exc!r}", file=sys.stderr)
+    path = enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_bench_cache"),
+        min_compile_time_secs=1.0,
+    )
+    if path is None:
+        print("compile cache unavailable", file=sys.stderr)
 
 
 def _simulate_obs(n_obs):
@@ -111,7 +126,7 @@ def bench_jax(y, profile_dir=None):
     )
     times = []
     with trace:
-        for i in range(3):
+        for i in range(N_REPS):
             k = jax.random.PRNGKey(i + 1)
             t0 = time.perf_counter()
             res = filt.batch_filter(k, y, unroll=4)
@@ -120,7 +135,7 @@ def bench_jax(y, profile_dir=None):
 
     elapsed = min(times)
     hidden_steps = y.shape[0] * OES
-    return N_PARTICLES * hidden_steps / elapsed, ll
+    return N_PARTICLES * hidden_steps / elapsed, ll, _timing_stats(times)
 
 
 def bench_torch_reference(y, n_obs_torch=30, n_warmup=5):
@@ -239,11 +254,11 @@ def bench_smc2_jax(y):
         return float(jnp.sum(state.w)), ctx, state  # host fetch = sync
 
     run(0)  # warm the compile caches (chunk scan + rejuvenation shapes)
-    # min-of-3: each fit is seed-identical, but the rejuvenation path's host
+    # min-of-N: each fit is seed-identical, but the rejuvenation path's host
     # round-trips make single runs jitter by tens of percent through the
     # axon tunnel (0.92-1.39 s observed for the same code + seed)
     times = []
-    for _ in range(3):
+    for _ in range(N_REPS):
         t0 = time.perf_counter()
         _, ctx, state = run(7)
         times.append(time.perf_counter() - t0)
@@ -253,7 +268,7 @@ def bench_smc2_jax(y):
 
     w = np.asarray(state.normalized_weights())
     post = w @ np.asarray(ctx.stack_parameters(True))
-    return elapsed, post
+    return elapsed, post, _timing_stats(times)
 
 
 def bench_smc2_torch(y):
@@ -531,7 +546,7 @@ def main():
     y = _simulate_obs(N_OBS)
     baseline = get_torch_baseline(y)
     try:
-        value, _ll = bench_jax(y, profile_dir=args.profile)
+        value, _ll, timing = bench_jax(y, profile_dir=args.profile)
     except Exception as exc:  # record the failure; a bare traceback leaves
         # the driver with no JSON line at all
         print(f"headline benchmark FAILED: {exc!r}", file=sys.stderr)
@@ -554,7 +569,7 @@ def main():
         y2 = _simulate_obs(SMC2_T)
         smc2_torch = get_smc2_torch_baseline(y2)
         try:
-            smc2_sec, _post = bench_smc2_jax(y2)
+            smc2_sec, _post, smc2_timing = bench_smc2_jax(y2)
             smc2_extra = [
                 {
                     "metric": "smc2_stochvol_wallclock_t200_n400_k1000",
@@ -562,6 +577,7 @@ def main():
                     "unit": "s",
                     "vs_baseline": (smc2_torch / smc2_sec) if smc2_torch else None,
                     "torch_cpu_sec": smc2_torch,
+                    "timing": smc2_timing,
                 }
             ]
         except Exception as exc:  # record the failure — a silent drop reads as a skip
@@ -581,6 +597,7 @@ def main():
         "value": value,
         "unit": "particle-steps/s",
         "vs_baseline": vs_baseline,
+        "timing": timing,
         "extra_metrics": smc2_extra,
     }
     try:

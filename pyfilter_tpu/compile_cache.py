@@ -14,26 +14,66 @@ exposed here so library users don't have to know the three config knobs.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 import jax
 
 DEFAULT_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache", "pyfilter_tpu_xla")
 
 
+def host_fingerprint() -> str:
+    """A short stable hash of this host's CPU micro-architecture features.
+
+    XLA's CPU backend AOT-compiles against the features of the machine that
+    ran the compile (AVX-512, AMX, ...). JAX's persistent-cache key does NOT
+    include those features, so a cache directory shared between
+    different-CPU hosts silently loads mismatched executables — XLA warns
+    ("... is not supported on the host machine") and float results change
+    run-to-run. Keying the cache directory by this fingerprint makes each
+    host population use its own cache and removes the hazard.
+
+    The fingerprint covers the jax version (cache format), the machine
+    architecture, and (on Linux) the CPU flag set of processor 0.
+    """
+    parts = [jax.__version__, platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:
+        parts.append(platform.processor() or "unknown-cpu")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
 def enable_compile_cache(
-    path: str = None, min_compile_time_secs: float = 1.0
+    path: str = None,
+    min_compile_time_secs: float = 1.0,
+    per_host: bool = True,
 ) -> str | None:
-    """Enable JAX's persistent compilation cache at ``path``.
+    """Enable JAX's persistent compilation cache under ``path``.
 
     Call once, BEFORE the first jitted call (already-compiled programs are
     not retroactively cached). Programs whose compile took at least
     ``min_compile_time_secs`` are persisted; tiny programs stay in-memory
-    only. Returns the cache directory, or None when the backend plugin does
-    not support persistent caching (the call is then a no-op, never an
+    only.
+
+    With ``per_host=True`` (the default) the cache actually lives in
+    ``path/<host_fingerprint()>`` so that hosts with different CPU features
+    never load each other's AOT executables (see :func:`host_fingerprint`
+    for why sharing them corrupts float results). Pass ``per_host=False``
+    only when every machine touching ``path`` is feature-identical.
+
+    Returns the effective cache directory, or None when the backend plugin
+    does not support persistent caching (the call is then a no-op, never an
     error).
     """
     path = path or DEFAULT_CACHE_DIR
+    if per_host:
+        path = os.path.join(path, host_fingerprint())
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

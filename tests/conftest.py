@@ -19,10 +19,17 @@ jax.config.update("jax_threefry_partitionable", True)
 
 # Persistent compilation cache: repeat suite runs skip XLA compiles entirely —
 # much faster, and fewer compiles means less exposure to rare LLVM-compile
-# segfaults observed on this single-core host.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# segfaults observed on this single-core host. The cache is keyed by a host
+# CPU-feature fingerprint: XLA AOT entries written by a different-CPU host
+# load anyway ("prefer-no-scatter is not supported on the host machine") and
+# silently change float results (seen as a spurious NaN in one NESS lane), so
+# each host population gets its own subdirectory.
+from pyfilter_tpu.compile_cache import enable_compile_cache  # noqa: E402
+
+_cache_dir = enable_compile_cache(
+    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    min_compile_time_secs=0.5,
+)
 
 import pytest  # noqa: E402
 

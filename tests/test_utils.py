@@ -96,19 +96,39 @@ def test_construct_diag_from_flat():
 
 def test_enable_compile_cache(tmp_path):
     """Public compile-cache helper (README 'Compile times'): sets the
-    persistent-cache config knobs and creates the directory."""
+    persistent-cache config knobs and creates a HOST-FINGERPRINTED
+    subdirectory, so caches written by different-CPU hosts are never loaded
+    (the cross-host AOT-poisoning hazard documented in CLAUDE.md)."""
     import os
 
     import pyfilter_tpu as pf
+    from pyfilter_tpu.compile_cache import host_fingerprint
 
     old = jax.config.jax_compilation_cache_dir
     old_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
+        fp = host_fingerprint()
+        assert len(fp) == 12 and fp == host_fingerprint()  # stable
+
         target = str(tmp_path / "xla_cache")
         path = pf.enable_compile_cache(target, min_compile_time_secs=2.0)
-        assert path == target and os.path.isdir(target)
-        assert jax.config.jax_compilation_cache_dir == target
+        assert path == os.path.join(target, fp) and os.path.isdir(path)
+        assert jax.config.jax_compilation_cache_dir == path
         assert jax.config.jax_persistent_cache_min_compile_time_secs == 2.0
+
+        # a foreign host's cache (different fingerprint subdir) is invisible:
+        # inject one and verify the effective dir still isn't it
+        foreign = os.path.join(target, "deadbeef0000")
+        os.makedirs(foreign)
+        with open(os.path.join(foreign, "jit_poison-cache"), "w") as fh:
+            fh.write("not a real executable")
+        path2 = pf.enable_compile_cache(target, min_compile_time_secs=2.0)
+        assert path2 == path != foreign
+
+        # opt-out for feature-identical fleets
+        flat = str(tmp_path / "flat_cache")
+        path3 = pf.enable_compile_cache(flat, per_host=False)
+        assert path3 == flat
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", old_min)
