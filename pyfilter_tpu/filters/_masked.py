@@ -14,6 +14,45 @@ import jax
 import jax.numpy as jnp
 
 
+def density_covariance(density, d: int) -> jax.Array:
+    """Full ``(d, d)`` noise covariance of a Gaussian(-moment) density.
+
+    Uses the density's exact ``covariance_matrix`` when it exposes one
+    (:class:`MultivariateNormal` — correlated noise is preserved); otherwise
+    builds the diagonal from ``variance``. Callers evaluate at a single point
+    (the running mean); any leading length-1 batch axes are collapsed.
+
+    Before round 4 the Gaussian family did ``jnp.diag(density.variance)``
+    unconditionally, silently replacing a full MVN transition/observation
+    covariance by its marginals.
+    """
+    cov = getattr(density, "covariance_matrix", None)
+    if cov is not None:
+        cov = jnp.asarray(cov)
+        return cov.reshape((-1,) + cov.shape[-2:])[0]
+    v = jnp.asarray(density.variance)
+    return jnp.diag(v.reshape(-1)[:d])
+
+
+def initial_gaussian_moments(init, d: int) -> tuple[jax.Array, jax.Array]:
+    """``(m0, P0)`` of an initial distribution, full covariance preserved.
+
+    Mean is broadcast to ``(d,)`` (scalar initial kernels over vector states);
+    the covariance is the exact ``covariance_matrix`` when exposed (MVN),
+    ``diag(variance)`` otherwise.
+    """
+    m0 = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(init.mean, jnp.float32)), (d,))
+    cov = getattr(init, "covariance_matrix", None)
+    if cov is not None:
+        p0 = jnp.asarray(cov, jnp.float32).reshape((-1, d, d))[0]
+    else:
+        v0 = jnp.broadcast_to(
+            jnp.atleast_1d(jnp.asarray(init.variance, jnp.float32)), (d,)
+        )
+        p0 = jnp.diag(v0)
+    return m0, p0
+
+
 def masked_gaussian_update(y_t, y_hat, c_xy, s_mat):
     """Kalman-type measurement update with per-component NaN marginalization.
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..timeseries import TimeseriesState
-from ._masked import masked_gaussian_update
+from ._masked import density_covariance, initial_gaussian_moments, masked_gaussian_update
 from .result import FilterResult
 
 
@@ -62,8 +62,9 @@ class ExtendedKalmanFilter:
 
     Requirements: the hidden transition density and the observation density
     must be (approximately) Gaussian — their ``mean`` is differentiated for
-    the Jacobians and their ``variance`` supplies the (diagonal) noise
-    covariances, both re-evaluated at the running mean every step.
+    the Jacobians and their noise covariances are re-evaluated at the running
+    mean every step: the exact ``covariance_matrix`` for MVN densities
+    (correlated noise preserved), ``diag(variance)`` otherwise.
     """
 
     def __init__(self, model):
@@ -82,33 +83,29 @@ class ExtendedKalmanFilter:
         d = self.model.hidden.build_density(self._state(v, t))
         return jnp.atleast_1d(jnp.asarray(d.mean))
 
-    def _trans_var(self, v, t):
+    def _trans_cov(self, v, t):
         d = self.model.hidden.build_density(self._state(v, t))
-        return jnp.atleast_1d(jnp.asarray(d.variance))
+        return density_covariance(d, self._d_x)
 
     def _obs_mean(self, v, t):
         d = self.model.build_density(self._state(v, t))
         return jnp.atleast_1d(jnp.asarray(d.mean))
 
-    def _obs_var(self, v, t):
+    def _obs_cov(self, v, t):
         d = self.model.build_density(self._state(v, t))
-        return jnp.atleast_1d(jnp.asarray(d.variance))
+        return density_covariance(d, self._d_y)
 
     # -- filter ----------------------------------------------------------------
     def initialize(self) -> EKFState:
-        init = self.model.hidden.initial_distribution()
-        m0 = jnp.broadcast_to(
-            jnp.atleast_1d(jnp.asarray(init.mean, jnp.float32)), (self._d_x,)
+        m0, p0 = initial_gaussian_moments(
+            self.model.hidden.initial_distribution(), self._d_x
         )
-        v0 = jnp.broadcast_to(
-            jnp.atleast_1d(jnp.asarray(init.variance, jnp.float32)), (self._d_x,)
-        )
-        return EKFState(m0, jnp.diag(v0), jnp.asarray(0.0), jnp.asarray(0.0))
+        return EKFState(m0, p0, jnp.asarray(0.0), jnp.asarray(0.0))
 
     def _predict(self, m, p, t):
         """One linearized transition; returns the step Jacobian for smoothing."""
         f_jac = jax.jacfwd(lambda v: self._trans_mean(v, t))(m)
-        q = jnp.diag(self._trans_var(m, t))
+        q = self._trans_cov(m, t)
         m_new = self._trans_mean(m, t)
         p_new = f_jac @ p @ f_jac.T + q
         return m_new, p_new, f_jac
@@ -126,7 +123,7 @@ class ExtendedKalmanFilter:
             t = t + 1.0
 
         h_jac = jax.jacfwd(lambda v: self._obs_mean(v, t))(m)
-        r = jnp.diag(self._obs_var(m, t))
+        r = self._obs_cov(m, t)
         # partial-NaN components are exactly marginalized (all-NaN skip is the
         # degenerate case: zero gain/innovation, ll_t == 0)
         k_gain, innov, ll_t, s_eff = masked_gaussian_update(
@@ -185,7 +182,7 @@ class ExtendedKalmanFilter:
             m_pred, p_pred = m, p
 
             h_jac = jax.jacfwd(lambda v: self._obs_mean(v, t))(m)
-            r = jnp.diag(self._obs_var(m, t))
+            r = self._obs_cov(m, t)
             k_gain, innov, _, s_eff = masked_gaussian_update(
                 y_t, self._obs_mean(m, t), p @ h_jac.T, h_jac @ p @ h_jac.T + r
             )

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..timeseries import TimeseriesState
-from ._masked import masked_gaussian_update
+from ._masked import density_covariance, masked_gaussian_update
 from .result import FilterResult
 
 
@@ -47,8 +47,9 @@ class EnKFState(NamedTuple):
 class EnsembleKalmanFilter:
     """Stochastic EnKF over a :class:`StateSpaceModel`.
 
-    Requirements: the observation density must expose ``mean``/``variance``
-    (treated as additive diagonal noise, evaluated at the ensemble mean, as in
+    Requirements: the observation density must expose ``mean`` plus a noise
+    covariance (the full ``covariance_matrix`` for MVN densities,
+    ``diag(variance)`` otherwise — evaluated at the ensemble mean, as in
     :class:`UnscentedKalmanFilter`); the hidden transition only needs
     ``propagate`` — any nonlinearity or state-dependent diffusion is carried
     exactly by the forecast ensemble.
@@ -82,10 +83,9 @@ class EnsembleKalmanFilter:
         m = jnp.asarray(self._obs_density(ens, t).mean)
         return m[:, None] if m.ndim == 1 else m  # (M, d_y)
 
-    def _obs_var_at_mean(self, ens, t) -> jax.Array:
+    def _obs_cov_at_mean(self, ens, t) -> jax.Array:
         d = self._obs_density(ens.mean(axis=0, keepdims=True), t)
-        v = jnp.asarray(d.variance)
-        return jnp.atleast_1d(v.reshape(-1)[: self._d_y])
+        return density_covariance(d, self._d_y)
 
     # -- filtering --------------------------------------------------------------
     def initialize(self, key) -> EnKFState:
@@ -107,8 +107,8 @@ class EnsembleKalmanFilter:
         g_bar = g.mean(axis=0)
         b = g - g_bar  # obs anomalies
         a = ens - ens.mean(axis=0)  # state anomalies
-        r = self._obs_var_at_mean(ens, t)  # (d_y,) diagonal
-        c_yy = b.T @ b / (m_count - 1) + jnp.diag(r)  # innovation covariance
+        r = self._obs_cov_at_mean(ens, t)  # (d_y, d_y) full covariance
+        c_yy = b.T @ b / (m_count - 1) + r  # innovation covariance
         c_xy = a.T @ b / (m_count - 1)  # (d, d_y)
 
         # partial-NaN components are exactly marginalized: the masked gain has
@@ -117,7 +117,8 @@ class EnsembleKalmanFilter:
         k_gain, _, ll_t, _ = masked_gaussian_update(y_t, g_bar, c_xy, c_yy)
 
         # perturbed observations: each member sees y + eps_i, eps_i ~ N(0, R)
-        eps = jnp.sqrt(r) * jax.random.normal(key, g.shape, g.dtype)
+        r_chol = jnp.linalg.cholesky(r)
+        eps = jax.random.normal(key, g.shape, g.dtype) @ r_chol.T
         y_safe = jnp.where(jnp.isnan(y_t), 0.0, y_t)
         ens_new = ens + (y_safe + eps - g) @ k_gain.T
         return ens_new, ll_t

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..timeseries import TimeseriesState
-from ._masked import masked_gaussian_update
+from ._masked import initial_gaussian_moments, masked_gaussian_update
 from .result import FilterResult
 
 
@@ -82,12 +82,20 @@ def _extract_affine(hidden):
     if not np.allclose(loc_p, b + f_mat @ probe, rtol=1e-4, atol=1e-5):
         raise ValueError("KalmanFilter requires an affine (linear) hidden drift")
 
-    inc_std = np.atleast_1d(np.asarray(hidden.increment_distribution.stddev, np.float64))
-    q_diag = np.square(scale0 * inc_std) * np.ones(d)
+    inc = hidden.increment_distribution
+    inc_cov = getattr(inc, "covariance_matrix", None)
+    if inc_cov is not None:
+        # full MVN increment covariance, elementwise-scaled: Q = S C S
+        s = np.broadcast_to(np.asarray(scale0, np.float64), (d,))
+        c = np.asarray(inc_cov, np.float64).reshape(-1, d, d)[0]
+        q_mat = s[:, None] * c * s[None, :]
+    else:
+        inc_std = np.atleast_1d(np.asarray(inc.stddev, np.float64))
+        q_mat = np.diag(np.square(scale0 * inc_std) * np.ones(d))
     return (
         jnp.asarray(f_mat, jnp.float32),
         jnp.asarray(b, jnp.float32),
-        jnp.asarray(np.diag(q_diag), jnp.float32),
+        jnp.asarray(q_mat, jnp.float32),
         d,
     )
 
@@ -123,11 +131,9 @@ class KalmanFilter:
         r = np.atleast_1d(np.asarray(r, np.float64))
         self.R = jnp.asarray(np.eye(self._d_y) * np.square(r), jnp.float32)
 
-        init = hidden.initial_distribution()
-        m0 = jnp.broadcast_to(jnp.asarray(init.mean, jnp.float32), (self._d_x,))
-        v0 = jnp.asarray(init.variance, jnp.float32)
-        self.m0 = m0
-        self.P0 = jnp.eye(self._d_x) * jnp.broadcast_to(v0, (self._d_x,))
+        self.m0, self.P0 = initial_gaussian_moments(
+            hidden.initial_distribution(), self._d_x
+        )
 
     def initialize(self) -> KalmanState:
         return KalmanState(self.m0, self.P0, jnp.asarray(0.0), jnp.asarray(0.0))

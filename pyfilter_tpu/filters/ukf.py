@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..timeseries import TimeseriesState
-from ._masked import masked_gaussian_update
+from ._masked import density_covariance, initial_gaussian_moments, masked_gaussian_update
 from .ekf import EKFState
 from .result import FilterResult
 
@@ -24,7 +24,8 @@ from .result import FilterResult
 class UnscentedKalmanFilter:
     """Sigma-point filter over a :class:`StateSpaceModel` whose transition and
     observation densities expose ``mean``/``variance`` (noise treated as
-    additive, covariances diagonal, re-evaluated at the running mean).
+    additive, re-evaluated at the running mean; MVN densities contribute
+    their full ``covariance_matrix``, others ``diag(variance)``).
 
     ``alpha``/``beta``/``kappa`` are the scaled-UT parameters; the defaults
     (1.0, 2.0, 0.0) give the classic non-scaled transform with Gaussian
@@ -57,10 +58,9 @@ class UnscentedKalmanFilter:
         m = jnp.asarray(d.mean)
         return m if self._ev == 1 else m[..., None]
 
-    def _trans_var(self, v, t):
-        d = self.model.hidden.build_density(self._state(v, t))
-        m = jnp.asarray(d.variance)
-        return m if self._ev == 1 else m[..., None]
+    def _trans_cov_at(self, m, t):
+        d = self.model.hidden.build_density(self._state(m[None], t))
+        return density_covariance(d, self._d_x)
 
     # -- unscented transform ----------------------------------------------------
     def _sigma_points(self, m, p):
@@ -74,30 +74,24 @@ class UnscentedKalmanFilter:
         f_pts = self._trans_mean(pts, t)  # (2d+1, d)
         m_new = self._wm @ f_pts
         diff = f_pts - m_new
-        p_new = (self._wc[:, None] * diff).T @ diff + jnp.diag(
-            jnp.atleast_1d(self._trans_var(m[None], t)[0])
-        )
+        p_new = (self._wc[:, None] * diff).T @ diff + self._trans_cov_at(m, t)
         # cross-covariance Cov(x_t, x_{t+1}) for the unscented RTS smoother
         diff_x = pts - m
         cross = (self._wc[:, None] * diff_x).T @ diff
         return m_new, p_new, cross
 
     def initialize(self) -> EKFState:
-        init = self.model.hidden.initial_distribution()
-        m0 = jnp.broadcast_to(
-            jnp.atleast_1d(jnp.asarray(init.mean, jnp.float32)), (self._d_x,)
+        m0, p0 = initial_gaussian_moments(
+            self.model.hidden.initial_distribution(), self._d_x
         )
-        v0 = jnp.broadcast_to(
-            jnp.atleast_1d(jnp.asarray(init.variance, jnp.float32)), (self._d_x,)
-        )
-        return EKFState(m0, jnp.diag(v0), jnp.asarray(0.0), jnp.asarray(0.0))
+        return EKFState(m0, p0, jnp.asarray(0.0), jnp.asarray(0.0))
 
     def _update(self, m, p, y_t, t):
         pts = self._sigma_points(m, p)  # (2d+1, d)
         g_pts = jnp.atleast_2d(jnp.asarray(self._obs_mean_pts(pts, t)))  # (2d+1, d_y)
         y_hat = self._wm @ g_pts
         diff_y = g_pts - y_hat
-        r = jnp.diag(jnp.atleast_1d(self._obs_var_at(m, t)))
+        r = self._obs_cov_at(m, t)
         s_mat = (self._wc[:, None] * diff_y).T @ diff_y + r
         diff_x = pts - m
         c_xy = (self._wc[:, None] * diff_x).T @ diff_y  # (d, d_y)
@@ -116,10 +110,9 @@ class UnscentedKalmanFilter:
             m = m[:, None]
         return m
 
-    def _obs_var_at(self, m, t):
+    def _obs_cov_at(self, m, t):
         d = self.model.build_density(self._state(m[None], t))
-        v = jnp.asarray(d.variance)
-        return jnp.atleast_1d(v.reshape(-1)[: self._d_y])
+        return density_covariance(d, self._d_y)
 
     def filter(self, y_t, state: EKFState, n_transitions: int = None) -> EKFState:
         """One unscented predict+update move with all-NaN observation skip

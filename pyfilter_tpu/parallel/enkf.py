@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..filters._masked import masked_gaussian_update
+from ..filters._masked import density_covariance, masked_gaussian_update
 from ..filters.enkf import EnKFState
 from ..filters.result import FilterResult
 from ..timeseries import TimeseriesState
@@ -75,18 +75,19 @@ def spmd_enkf_loop(
         mean_x = gmean(ens)
         a = ens - mean_x
 
-        # observation noise at the (replicated) global mean state
+        # observation noise at the (replicated) global mean state — full MVN
+        # covariance when the density exposes one, diag(variance) otherwise
         d_mean = model.build_density(state_of(mean_x[None], t))
-        r = jnp.atleast_1d(jnp.asarray(d_mean.variance).reshape(-1)[:d_y])
+        r = density_covariance(d_mean, d_y)
 
-        c_yy = jax.lax.psum(b.T @ b, axis_name) / (m_global - 1) + jnp.diag(r)
+        c_yy = jax.lax.psum(b.T @ b, axis_name) / (m_global - 1) + r
         c_xy = jax.lax.psum(a.T @ b, axis_name) / (m_global - 1)
 
         # partial-NaN components are exactly marginalized (zero gain columns;
         # all-NaN skip is the degenerate case — zero gain, ll_t == 0)
         k_gain, _, ll_t, _ = masked_gaussian_update(y_t, g_bar, c_xy, c_yy)
 
-        eps = jnp.sqrt(r) * jax.random.normal(k, g.shape, g.dtype)
+        eps = jax.random.normal(k, g.shape, g.dtype) @ jnp.linalg.cholesky(r).T
         y_safe = jnp.where(jnp.isnan(y_t), 0.0, y_t)
         ens_new = ens + (y_safe + eps - g) @ k_gain.T
         return ens_new, ll_t
