@@ -5,5 +5,15 @@ from .apf import APF
 from .base import ParticleFilter
 from .gpf import GPF
 from .sisr import SISR
+from .smoothing import ffbsi_smooth, paris, transition_log_sup
 
-__all__ = ["ParticleFilter", "SISR", "APF", "GPF", "proposals"]
+__all__ = [
+    "ParticleFilter",
+    "SISR",
+    "APF",
+    "GPF",
+    "proposals",
+    "ffbsi_smooth",
+    "paris",
+    "transition_log_sup",
+]

@@ -227,21 +227,39 @@ class ParticleFilter(BaseFilter):
         )
 
     # -- smoothing ------------------------------------------------------------
-    def smooth(self, key, states: Union[FilterResult, FilterHistory], method: str = "ffbs") -> jax.Array:
+    def smooth(
+        self,
+        key,
+        states: Union[FilterResult, FilterHistory],
+        method: str = "ffbs",
+        **kwargs,
+    ) -> jax.Array:
         """Sample smoothed trajectories from the recorded filter history
         (reference particle/base.py:105-157). Returns ``(T, N, *batch, *event)``.
 
-        ``method``: "ffbs" (forward-filter backward-sampling) or "fl"
-        (fixed-lag genealogy tracing).
+        ``method``:
+
+        - "ffbs" — exact forward-filter backward-sampling; O(N·M) per step
+          (the reference's algorithm, particle/base.py:105-128).
+        - "ffbsi" — rejection-sampling FFBSi (Douc et al. 2011): same law,
+          O(N) expected work per step, with an exact streaming fallback for
+          capped rejection rounds. Scales to N ≥ 1e5 where "ffbs" cannot.
+          kwargs: ``log_density_sup`` (auto-derived for homoscedastic affine
+          models), ``max_rounds`` (default 8), ``block`` (fallback block).
+        - "fl" — fixed-lag genealogy tracing.
         """
         history = states.states if isinstance(states, FilterResult) else states
         if history is None:
             raise ValueError("smoothing requires record_states=True on the filter")
         method = method.lower()
         if method == "ffbs":
-            return self._smooth_ffbs(key, history)
+            return self._smooth_ffbs(key, history, **kwargs)
+        if method == "ffbsi":
+            from .smoothing import ffbsi_smooth
+
+            return ffbsi_smooth(key, self.model, history, self.resampler, **kwargs)
         if method == "fl":
-            return self._smooth_fl(history)
+            return self._smooth_fl(history, **kwargs)
         raise NotImplementedError(f"unsupported smoothing method '{method}'")
 
     def _smooth_ffbs(self, key, history: FilterHistory) -> jax.Array:

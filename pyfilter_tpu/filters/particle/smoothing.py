@@ -1,0 +1,406 @@
+"""O(N) particle smoothing: rejection-sampling FFBSi and PaRIS.
+
+The classic FFBS backward pass (reference pyfilter/filters/particle/base.py:
+105-128, reproduced as ``ParticleFilter._smooth_ffbs``) materializes an
+``(N_traj, N)`` transition-density matrix per step — O(N·M) compute and
+memory, the one particle path in this framework that could not run at
+N ≥ 1e5. This module removes that wall with two scan-native algorithms:
+
+- **Rejection FFBSi** (Douc, Garivier, Moulines & Olsson 2011, "Sequential
+  Monte Carlo smoothing for general state space hidden Markov models"):
+  each trajectory draws ancestor CANDIDATES from the filter weights
+  (inverse-CDF, O(N log N) per round via the sort-based searchsorted) and
+  accepts with probability ``p(x_{t+1} | x_cand) / sup p`` — O(N) density
+  evaluations per round, a handful of rounds in the well-mixed regime. A
+  per-model transition-density upper bound comes from
+  :func:`transition_log_sup` (homoscedastic affine processes) or an explicit
+  ``log_density_sup`` argument.
+- **Capped rounds + exact streaming fallback**: after ``max_rounds``
+  vectorized rejection rounds the unaccepted slots are completed with an
+  EXACT categorical draw via a Gumbel-max argmax streamed over particle
+  blocks — O(N·M) compute but O(N·block) memory, and only *executed* (a
+  scalar ``lax.cond``) when some slot actually failed. The combined law is
+  exact: acceptance within K rounds yields the target conditional law, and
+  the fallback is the target law itself.
+- **PaRIS** (Olsson & Westerborn 2017, "Efficient particle-based online
+  smoothing of additive functionals": the ``N_tilde``-draw backward-sampling
+  recursion) — ONLINE smoothing of additive functionals
+  ``S_T = h_0(x_0) + Σ_t h(x_{t-1}, x_t)`` with O(1) memory: per-particle
+  statistics ride the filter scan, no recorded history at all.
+
+TPU notes: every candidate round is (sort + gather + density eval) — fully
+vectorized, no data-dependent shapes; the trip count is a scalar
+``lax.while_loop``; the fallback's block loop is a ``fori_loop`` with static
+trip count.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ...distributions import Independent, MultivariateNormal, Normal
+from ...resampling import _batched_searchsorted, _cumulative
+from ...timeseries import TimeseriesState
+from ...utils import batched_gather, normalize
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _max_log_prob(dist):
+    """Log of the density's maximum value (the density at its mode).
+
+    Supported analytically for the Gaussian increment families; anything else
+    needs an explicit ``log_density_sup`` from the caller.
+    """
+    if isinstance(dist, Normal):
+        return -jnp.log(jnp.asarray(dist.scale)) - 0.5 * _LOG_2PI
+    if isinstance(dist, Independent) and isinstance(dist.base_dist, Normal):
+        base = dist.base_dist
+        per = jnp.broadcast_to(
+            -jnp.log(jnp.asarray(base.scale)) - 0.5 * _LOG_2PI, base.batch_shape
+        )
+        k = dist.reinterpreted_batch_ndims
+        return jnp.sum(per, axis=tuple(range(-k, 0))) if k else per
+    if isinstance(dist, MultivariateNormal):
+        diag = jnp.diagonal(jnp.asarray(dist.scale_tril), axis1=-2, axis2=-1)
+        return -0.5 * diag.shape[-1] * _LOG_2PI - jnp.sum(jnp.log(diag), axis=-1)
+    raise ValueError(
+        f"no analytic density bound for {type(dist).__name__}; "
+        "pass log_density_sup explicitly"
+    )
+
+
+def transition_log_sup(model) -> jax.Array:
+    """Upper bound on ``log p(x' | x)`` over ALL ``(x, x', t)`` for an
+    affine process with state- and time-independent diffusion.
+
+    The transition density is the affine pushforward ``loc(x) + scale · W``
+    (timeseries/process.py:157-159); for constant ``scale`` its maximum over
+    both arguments is ``max_density(W) / |det scale|``. Homoscedasticity is
+    verified by probing ``mean_scale`` at several states and times — a
+    state-dependent scale has no generic bound, so the caller must supply
+    ``log_density_sup`` (e.g. from the diffusion's known infimum).
+
+    Raises when the process has no ``mean_scale`` (non-affine), when the
+    scale is state-/time-dependent, or when the probe values are traced
+    (call outside ``jit``, or pass the bound explicitly).
+    """
+    import numpy as np
+
+    hidden = model.hidden
+    if not hasattr(hidden, "mean_scale") or not hasattr(hidden, "increment_distribution"):
+        raise ValueError(
+            "transition_log_sup needs an affine process (mean_scale + "
+            "increment_distribution); pass log_density_sup explicitly"
+        )
+    ev = int(hidden.event_ndim)
+    init = hidden.initial_distribution()
+    d = int(init.event_shape[0]) if ev == 1 else 1
+
+    def scale_at(v, t):
+        value = jnp.asarray(np.full(d, v, np.float32)) if ev == 1 else jnp.asarray(v, jnp.float32)
+        _, scale = hidden.mean_scale(TimeseriesState(jnp.asarray(float(t)), value, ev))
+        return np.asarray(scale, np.float64)
+
+    try:
+        probes = [scale_at(v, t) for v in (0.0, 0.7, -1.3) for t in (0.0, 1.0, 7.0)]
+    except Exception as exc:  # traced parameters (inside jit) land here too
+        raise ValueError(
+            "could not probe the transition scale (traced parameters?); "
+            "pass log_density_sup explicitly"
+        ) from exc
+    scale0 = probes[0]
+    for s in probes[1:]:
+        if s.shape != scale0.shape or not np.allclose(s, scale0, rtol=1e-5, atol=1e-7):
+            raise ValueError(
+                "state- or time-dependent diffusion scale: no generic "
+                "transition-density bound; pass log_density_sup explicitly "
+                "(e.g. from the scale's known infimum)"
+            )
+
+    mlp = _max_log_prob(hidden.increment_distribution)
+    s = jnp.asarray(scale0, jnp.float32)
+    if s.ndim >= 2 and s.shape[-1] == s.shape[-2] == d:
+        logdet = jnp.linalg.slogdet(s)[1]
+    else:
+        # scalar or elementwise scale, broadcast over the d event dims
+        per = jnp.log(jnp.abs(s))
+        logdet = d * per if per.ndim == 0 else jnp.sum(
+            jnp.broadcast_to(per, per.shape[:-1] + (d,)) if ev == 1 else per, axis=-1
+        )
+    return jnp.asarray(mlp - logdet, jnp.float32)
+
+
+def _multinomial_candidates(key, cumw, dtype=jnp.int32):
+    """IID categorical draws, one per slot of ``cumw``'s shape — inverse-CDF
+    through the sort-based searchsorted (resampling.py's TPU rule: the default
+    binary search costs ~133 ms at N=1e6; the sort costs ~0.5 ms)."""
+    u = jax.random.uniform(key, cumw.shape, dtype=cumw.dtype)
+    return _batched_searchsorted(cumw, u).astype(dtype)
+
+
+def _streaming_categorical(key, model, vals_t, lw_t, t_t, targets, ev, block):
+    """Exact backward-kernel categorical draw per target, Gumbel-max streamed
+    over particle blocks: O(N·M) compute, O(N_traj · block) memory."""
+    n = vals_t.shape[0]
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    if pad:
+        vals_p = jnp.concatenate([vals_t, jnp.broadcast_to(vals_t[:1], (pad,) + vals_t.shape[1:])], 0)
+        lw_p = jnp.concatenate([lw_t, jnp.full((pad,) + lw_t.shape[1:], -jnp.inf, lw_t.dtype)], 0)
+    else:
+        vals_p, lw_p = vals_t, lw_t
+
+    def body(i, carry):
+        best_val, best_idx = carry
+        sl_v = jax.lax.dynamic_slice_in_dim(vals_p, i * block, block, 0)
+        sl_lw = jax.lax.dynamic_slice_in_dim(lw_p, i * block, block, 0)
+        density = model.hidden.build_density(TimeseriesState(t_t, sl_v, ev))
+        lp = density.log_prob(jnp.expand_dims(targets, 1))  # (J, B, *batch)
+        g = jax.random.gumbel(jax.random.fold_in(key, i), lp.shape, lp.dtype)
+        tot = sl_lw[None] + lp + g
+        mv = jnp.max(tot, axis=1)
+        mi = (jnp.argmax(tot, axis=1) + i * block).astype(jnp.int32)
+        upd = mv > best_val
+        return jnp.where(upd, mv, best_val), jnp.where(upd, mi, best_idx)
+
+    j_shape = targets.shape[: targets.ndim - ev]
+    best0 = (jnp.full(j_shape, -jnp.inf, lw_t.dtype), jnp.zeros(j_shape, jnp.int32))
+    _, idx = jax.lax.fori_loop(0, n_blocks, body, best0)
+    return idx
+
+
+def backward_indices(
+    key,
+    model,
+    vals_t,
+    lw_t,
+    t_t,
+    targets,
+    log_sup,
+    max_rounds: int = 8,
+    block: int = 64,
+):
+    """One backward-kernel draw per target: index ``i`` with probability
+    ``∝ w_t^i p(target | x_t^i)`` — rejection rounds capped at ``max_rounds``,
+    exact streaming fallback for whatever is left (executed only if needed).
+
+    ``vals_t``: ``(N, *batch, *event)``; ``lw_t``: ``(N, *batch)`` unnormalized
+    log-weights; ``targets``: ``(J, *batch, *event)`` (J may differ from N only
+    when there are no lane axes). Returns int32 indices ``(J, *batch)``.
+    """
+    ev = model.hidden.event_ndim
+    cumw = _cumulative(normalize(lw_t, axis=0))
+    j_shape = targets.shape[: targets.ndim - ev]
+    if j_shape[1:] != lw_t.shape[1:]:
+        raise ValueError(f"lane axes mismatch: targets {j_shape} vs weights {lw_t.shape}")
+    if j_shape[0] != lw_t.shape[0] and len(j_shape) > 1:
+        # _batched_searchsorted reshapes by the weight axis; J != N is only
+        # reachable laneless, where a plain 1-D searchsorted handles it
+        raise ValueError("J != N requires laneless inputs")
+
+    if j_shape[0] != lw_t.shape[0]:
+
+        def propose(k):
+            u = jax.random.uniform(k, j_shape, dtype=cumw.dtype)
+            idx = jnp.searchsorted(cumw, u, side="right", method="sort")
+            return jnp.minimum(idx, cumw.shape[0] - 1).astype(jnp.int32)
+
+    else:
+
+        def propose(k):
+            return _multinomial_candidates(k, cumw)
+
+    def round_body(state):
+        idx, accepted, rk, r = state
+        rk, k_prop, k_acc = jax.random.split(rk, 3)
+        cand = propose(k_prop)
+        x_c = batched_gather(vals_t, cand, ev)
+        density = model.hidden.build_density(TimeseriesState(t_t, x_c, ev))
+        lp = density.log_prob(targets)  # (J, *batch)
+        log_u = jnp.log(jax.random.uniform(k_acc, j_shape, dtype=lp.dtype))
+        acc = (~accepted) & (log_u < lp - log_sup)
+        return jnp.where(acc, cand, idx), accepted | acc, rk, r + 1
+
+    def round_cond(state):
+        _, accepted, _, r = state
+        return (~jnp.all(accepted)) & (r < max_rounds)
+
+    k_rounds, k_fb = jax.random.split(key)
+    idx0 = jnp.zeros(j_shape, jnp.int32)
+    acc0 = jnp.zeros(j_shape, bool)
+    idx, accepted, _, _ = jax.lax.while_loop(
+        round_cond, round_body, (idx0, acc0, k_rounds, jnp.int32(0))
+    )
+
+    def fallback(args):
+        idx, accepted = args
+        exact = _streaming_categorical(k_fb, model, vals_t, lw_t, t_t, targets, ev, block)
+        return jnp.where(accepted, idx, exact)
+
+    return jax.lax.cond(
+        jnp.all(accepted), lambda args: args[0], fallback, (idx, accepted)
+    )
+
+
+def ffbsi_smooth(
+    key,
+    model,
+    history,
+    resampler,
+    log_density_sup=None,
+    max_rounds: int = 8,
+    block: int = 64,
+):
+    """Rejection-FFBSi trajectory sampling over a recorded filter history —
+    same law as the exact FFBS (``ParticleFilter._smooth_ffbs``), O(N)
+    expected work per step. Returns ``(T, N, *batch, *event)``.
+    """
+    ev = model.hidden.event_ndim
+    values = history.values
+    log_w = history.log_weights
+    times = history.time_indexes
+    log_sup = (
+        transition_log_sup(model) if log_density_sup is None else jnp.asarray(log_density_sup)
+    )
+
+    k_last, k_scan = jax.random.split(key)
+    idx_last = resampler(k_last, log_w[-1])
+    traj_last = batched_gather(values[-1], idx_last, ev)
+
+    def backward(traj_next, inp):
+        vals_t, lw_t, t_t, k = inp
+        idx = backward_indices(
+            k, model, vals_t, lw_t, t_t, traj_next, log_sup, max_rounds, block
+        )
+        traj_t = batched_gather(vals_t, idx, ev)
+        return traj_t, traj_t
+
+    T = values.shape[0]
+    if T == 1:
+        return traj_last[None]
+    keys = jax.random.split(k_scan, T - 1)
+    _, traj_rest = jax.lax.scan(
+        backward, traj_last, (values[:-1], log_w[:-1], times[:-1], keys), reverse=True
+    )
+    return jnp.concatenate([traj_rest, traj_last[None]], axis=0)
+
+
+def paris(
+    filt,
+    key,
+    y,
+    h_fn,
+    h0_fn=None,
+    n_tilde: int = 2,
+    log_density_sup=None,
+    max_rounds: int = 8,
+    block: int = 64,
+):
+    """Online PaRIS smoothing of an additive functional — O(1) memory.
+
+    Estimates ``E[ h_0(x_0) + Σ_{t≥1} h(x_{t-1}, x_t) | y_{1:T} ]`` with
+    per-particle statistics updated INSIDE the filter pass (no recorded
+    history): each particle draws ``n_tilde`` backward indices from the
+    previous cloud through the same rejection kernel as FFBSi and averages
+    the inherited statistics (Olsson & Westerborn 2017; ``n_tilde >= 2``
+    gives the stable O(1)-variance-per-step regime).
+
+    ``h_fn(x_prev_values, x_values, t) -> pytree`` with leaves shaped
+    ``(N, *batch, ...)`` (both value arguments are full clouds);
+    ``h0_fn(x0_values)`` optional initial term. Requires
+    ``observe_every_step == 1`` (composed sub-step transitions have no
+    closed-form density — same limit as PGAS/spmd_smooth).
+
+    Returns ``(estimate, stats, result)``: the weighted smoothed-functional
+    estimate (pytree), the final per-particle statistics, and the
+    :class:`FilterResult` of the underlying pass.
+    """
+    model = filt.model
+    if int(model.observe_every_step) != 1:
+        raise NotImplementedError("paris requires observe_every_step == 1")
+    ev = model.hidden.event_ndim
+    log_sup = (
+        transition_log_sup(model) if log_density_sup is None else jnp.asarray(log_density_sup)
+    )
+
+    y = jnp.asarray(y)
+    k_init, k_first, k_back1, k_scan = jax.random.split(key, 4)
+    state0 = filt.initialize(k_init)
+    stats0 = (
+        h0_fn(state0.x.value)
+        if h0_fn is not None
+        else jax.tree_util.tree_map(
+            lambda leaf: jnp.zeros_like(leaf),
+            h_fn(state0.x.value, state0.x.value, state0.x.time_index),
+        )
+    )
+
+    def backward_update(k, prev_state, new_state, stats):
+        """PaRIS statistic recursion: average over n_tilde backward draws."""
+        vals_p, lw_p = prev_state.x.value, prev_state.log_weights
+        t_p = prev_state.x.time_index
+        targets = new_state.x.value
+
+        def one_draw(kk):
+            idx = backward_indices(
+                kk, model, vals_p, lw_p, t_p, targets, log_sup, max_rounds, block
+            )
+            x_prev = batched_gather(vals_p, idx, ev)
+            inherited = jax.tree_util.tree_map(
+                lambda leaf: batched_gather(leaf, idx, leaf.ndim - lw_p.ndim), stats
+            )
+            inc = h_fn(x_prev, targets, new_state.x.time_index)
+            return jax.tree_util.tree_map(jnp.add, inherited, inc)
+
+        draws = [one_draw(kk) for kk in jax.random.split(k, n_tilde)]
+        return jax.tree_util.tree_map(
+            lambda *leaves: sum(leaves) / float(n_tilde), *draws
+        )
+
+    state1 = filt.filter(k_first, y[0], state0, first_step=True)
+    stats1 = backward_update(k_back1, state0, state1, stats0)
+
+    def step(carry, inp):
+        state, stats = carry
+        k, y_t = inp
+        k_f, k_b = jax.random.split(k)
+        new = filt.filter(k_f, y_t, state)
+        stats = backward_update(k_b, state, new, stats)
+        return (new, stats), (new.log_likelihood, new.mean, new.variance)
+
+    n_steps = y.shape[0]
+    if n_steps > 1:
+        keys = jax.random.split(k_scan, n_steps - 1)
+        (last, stats), (step_lls, means, variances) = jax.lax.scan(
+            step, (state1, stats1), (keys, y[1:])
+        )
+        step_lls = jnp.concatenate([state1.log_likelihood[None], step_lls])
+        means = jnp.concatenate([state1.mean[None], means])
+        variances = jnp.concatenate([state1.variance[None], variances])
+    else:
+        last, stats = state1, stats1
+        step_lls = state1.log_likelihood[None]
+        means, variances = state1.mean[None], state1.variance[None]
+
+    from ..result import FilterResult
+
+    w = last.normalized_weights()
+    estimate = jax.tree_util.tree_map(
+        lambda leaf: jnp.sum(
+            leaf * w.reshape(w.shape + (1,) * (leaf.ndim - w.ndim)), axis=0
+        ),
+        stats,
+    )
+    result = FilterResult(
+        log_likelihood=jnp.sum(step_lls, axis=0),
+        step_log_likelihoods=step_lls,
+        filter_means=means,
+        filter_variances=variances,
+        latest_state=last,
+        states=None,
+    )
+    return estimate, stats, result
