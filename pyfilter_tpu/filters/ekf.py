@@ -56,6 +56,14 @@ class EKFState(NamedTuple):
     def resample(self, indices, entire_history: bool = True) -> "EKFState":
         return EKFState(*(jnp.take(leaf, indices, axis=0) for leaf in self))
 
+    @staticmethod
+    def lane_concat(states) -> "EKFState":
+        """Concatenate along the (leading) lane axis — every EKFState leaf is
+        lane-leading (waste-free SMC2 with GaussianMarginalFilter lanes)."""
+        return EKFState(
+            *(jnp.concatenate(leaves, axis=0) for leaves in zip(*states))
+        )
+
 
 class ExtendedKalmanFilter:
     """First-order EKF over a :class:`StateSpaceModel`.

@@ -176,6 +176,22 @@ class ParticleFilterCorrection(NamedTuple):
             mix(self.variance, other.variance, 0),
         )
 
+    @staticmethod
+    def lane_concat(states) -> "ParticleFilterCorrection":
+        """Concatenate several corrections along the LANE axis (axis 1 for
+        particle-leading leaves, axis 0 for lane-leading ones) — the
+        waste-free SMC2 rejuvenation merges the per-chain states of
+        ``chain_len`` stages into one swarm this way."""
+        s0 = states[0]
+        return ParticleFilterCorrection(
+            s0.x.copy(values=jnp.concatenate([s.x.value for s in states], axis=1)),
+            jnp.concatenate([s.log_weights for s in states], axis=1),
+            jnp.concatenate([s.log_likelihood for s in states], axis=0),
+            jnp.concatenate([s.prev_indices for s in states], axis=1),
+            jnp.concatenate([s.mean for s in states], axis=0),
+            jnp.concatenate([s.variance for s in states], axis=0),
+        )
+
     def resample_particles(self, indices: jax.Array) -> "ParticleFilterCorrection":
         """Gather the PARTICLE axis by ``indices`` of shape ``(N, *batch)``
         (used by rejuvenation kernels that resample state particles)."""

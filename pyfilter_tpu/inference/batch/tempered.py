@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...resampling import systematic
+from ...resampling import systematic, systematic_m
 from ...utils import normalize
 from .. import prior as prior_ops
 from ..base import BaseAlgorithm
@@ -82,6 +82,15 @@ class TemperedSMC(BaseAlgorithm):
     the conventional choice); ``num_mh_steps`` random-walk MH refreshes run
     after every resample, with proposal covariance ``mh_scale² · Cov(swarm)``
     (``mh_scale=None`` → the 2.38/√D optimal-scaling default).
+
+    ``waste_free=True`` (Dau & Chopin 2022, "Waste-free sequential Monte
+    Carlo"): instead of moving all K particles and discarding every MH
+    intermediate, each stage resamples ``K / (num_mh_steps + 1)`` chain
+    ROOTS, runs ``num_mh_steps`` moves on those, and the next swarm is ALL
+    chain states (roots + intermediates) — the same K-particle swarm from
+    ``num_mh_steps + 1`` times fewer log-likelihood re-filters per stage,
+    which is exactly the cost PERF.md shows dominating tempered wall-clock.
+    Requires ``num_particles % (num_mh_steps + 1) == 0``.
     """
 
     def __init__(
@@ -93,6 +102,7 @@ class TemperedSMC(BaseAlgorithm):
         mh_scale: float = None,
         max_stages: int = 1000,
         resampler=systematic,
+        waste_free: bool = False,
         context=None,
         key=None,
     ):
@@ -103,6 +113,17 @@ class TemperedSMC(BaseAlgorithm):
         self.mh_scale = mh_scale
         self.max_stages = int(max_stages)
         self._resampler = resampler
+        self.waste_free = bool(waste_free)
+        if self.waste_free:
+            chain_len = self.num_mh_steps + 1
+            if self.num_particles % chain_len:
+                raise ValueError(
+                    f"waste_free needs num_particles ({self.num_particles}) "
+                    f"divisible by num_mh_steps + 1 ({chain_len})"
+                )
+            # the move step acts on the M roots only — the filter and context
+            # are laned at M, the swarm statistics still use all K states
+            self._n_roots = self.num_particles // chain_len
 
         self.context.set_batch_shape((self.num_particles,))
         self._filter = self._filter.set_batch_shape((self.num_particles,))
@@ -120,37 +141,68 @@ class TemperedSMC(BaseAlgorithm):
         d = theta.shape[1]
         scale = self.mh_scale if self.mh_scale is not None else 2.38 / np.sqrt(d)
 
-        @jax.jit
-        def lane_logliks(key, theta):
-            ctx2 = ctx.unstack_parameters(theta, constrained=False)
-            f2 = filt.initialize_model(ctx2)
-            res = f2.batch_filter(key, y, use_jit=False)
-            return res.log_likelihood, ctx2.eval_priors(constrained=False)
+        if self.waste_free:
+            # the MH chains act on the M roots only: separate M-laned
+            # context/filter views so re-filters run M lanes, not K
+            m_roots = self._n_roots
+            ctx_m = ctx._clone_registry()
+            ctx_m.batch_shape = (m_roots,)
+            filt_m = self._filter.set_batch_shape((m_roots,))
+        else:
+            m_roots, ctx_m, filt_m = self.num_particles, ctx, self._filter
 
-        @functools.partial(jax.jit, static_argnames=("steps",))
-        def mh_refresh(key, theta, loglik, logprior, lam, steps: int):
-            # proposal covariance from the (equal-weight, post-resample) swarm
-            centered = theta - theta.mean(axis=0)
-            cov = centered.T @ centered / (theta.shape[0] - 1)
-            chol = jnp.linalg.cholesky(cov + 1e-8 * jnp.eye(d))
+        def _lane_logliks(ctx_b, filt_b):
+            def f(key, theta_b):
+                ctx2 = ctx_b.unstack_parameters(theta_b, constrained=False)
+                f2 = filt_b.initialize_model(ctx2)
+                res = f2.batch_filter(key, y, use_jit=False)
+                return res.log_likelihood, ctx2.eval_priors(constrained=False)
 
+            return f
+
+        lane_logliks = jax.jit(_lane_logliks(ctx, filt))
+        move_logliks = jax.jit(_lane_logliks(ctx_m, filt_m))
+
+        @functools.partial(jax.jit, static_argnames=("steps", "collect"))
+        def mh_refresh(key, theta, loglik, logprior, chol, lam, steps: int, collect: bool):
             def body(carry, k):
                 theta, loglik, logprior = carry
                 k_prop, k_ll, k_acc = jax.random.split(k, 3)
                 eps = jax.random.normal(k_prop, theta.shape, theta.dtype)
                 theta_star = theta + scale * eps @ chol.T
-                ll_star, lp_star = lane_logliks(k_ll, theta_star)
+                ll_star, lp_star = move_logliks(k_ll, theta_star)
                 log_acc = lam * (ll_star - loglik) + (lp_star - logprior)
                 accept = jnp.log(jax.random.uniform(k_acc, (theta.shape[0],))) < log_acc
                 theta = jnp.where(accept[:, None], theta_star, theta)
                 loglik = jnp.where(accept, ll_star, loglik)
                 logprior = jnp.where(accept, lp_star, logprior)
-                return (theta, loglik, logprior), accept.mean()
+                out = ((theta, loglik, logprior), accept.mean()) if collect else accept.mean()
+                return (theta, loglik, logprior), out
 
-            (theta, loglik, logprior), rates = jax.lax.scan(
+            carry, outs = jax.lax.scan(
                 body, (theta, loglik, logprior), jax.random.split(key, steps)
             )
-            return theta, loglik, logprior, rates.mean()
+            if collect:
+                chain, rates = outs
+                # waste-free swarm: roots + every intermediate, (L, M, ...)
+                swarm = jax.tree_util.tree_map(
+                    lambda root, steps_arr: jnp.concatenate(
+                        [root[None], steps_arr], axis=0
+                    ).reshape((-1,) + root.shape[1:]),
+                    (theta, loglik, logprior),
+                    chain,
+                )
+                return swarm + (rates.mean(),)
+            theta, loglik, logprior = carry
+            return theta, loglik, logprior, outs.mean()
+
+        @jax.jit
+        def swarm_chol(theta):
+            # proposal covariance from the full K swarm (equal weights: the
+            # waste-free swarm and the post-resample standard swarm both are)
+            centered = theta - theta.mean(axis=0)
+            cov = centered.T @ centered / (theta.shape[0] - 1)
+            return jnp.linalg.cholesky(cov + 1e-8 * jnp.eye(d))
 
         loglik, logprior = lane_logliks(self._next_key(), theta)
 
@@ -170,16 +222,25 @@ class TemperedSMC(BaseAlgorithm):
                 m = inc.max()
                 log_evidence += m + np.log(np.mean(np.exp(inc - m)))
 
-                indices = resampler(
-                    self._next_key(), normalize(jnp.asarray(dlam) * loglik), normalized=True
-                )
+                chol = swarm_chol(theta)
+                probs = normalize(jnp.asarray(dlam) * loglik)
+                if self.waste_free:
+                    # resample only the chain roots; the refresh returns the
+                    # FULL waste-free swarm (roots + all MH intermediates)
+                    indices = systematic_m(
+                        self._next_key(), probs, self._n_roots, normalized=True
+                    )
+                else:
+                    indices = resampler(self._next_key(), probs, normalized=True)
                 theta = jnp.take(theta, indices, axis=0)
                 loglik = jnp.take(loglik, indices, axis=0)
                 logprior = jnp.take(logprior, indices, axis=0)
 
                 theta, loglik, logprior, rate = mh_refresh(
-                    self._next_key(), theta, loglik, logprior,
-                    jnp.asarray(lam, theta.dtype), self.num_mh_steps,
+                    self._next_key(), theta, loglik, logprior, chol,
+                    jnp.asarray(lam, theta.dtype),
+                    steps=self.num_mh_steps,
+                    collect=self.waste_free,
                 )
                 rates.append(float(rate))
                 logger.do_log(stage + 1, None)

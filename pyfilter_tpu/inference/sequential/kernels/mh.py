@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ....filters.base import pad_observations
-from ....resampling import systematic
+from ....resampling import systematic, systematic_m
 from ....utils import normalize
 from ...batch.mcmc.proposals import BaseProposal, SymmetricMH
 from ...batch.mcmc.utils import _pmmh_transition_body, run_pmmh
@@ -31,7 +31,13 @@ class TooManyIncreases(Exception):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("proposal", "resampler", "n_steps", "acceptance_threshold"),
+    static_argnames=(
+        "proposal",
+        "resampler",
+        "n_steps",
+        "acceptance_threshold",
+        "waste_free",
+    ),
 )
 def _jitted_rejuvenate(
     key,
@@ -47,6 +53,8 @@ def _jitted_rejuvenate(
     resampler,
     n_steps,
     acceptance_threshold,
+    waste_free=False,
+    filt_m=None,
 ):
     """The ENTIRE rejuvenation — lane resample, proposal-MVN fit, and all
     ``n_steps`` PMMH transitions with the running-average early abort — as
@@ -65,14 +73,36 @@ def _jitted_rejuvenate(
     k_resample, key = jax.random.split(key)
     k_r2, k_build = jax.random.split(k_resample)
 
-    indices = resampler(k_r2, normalize(w), normalized=True)
     shim = SequentialAlgorithmState(w, None)
     dist = proposal.build(context, shim, None, None, key=k_build)
-    context = context.resample(indices)
-    latest = latest_state.resample(indices)
-    ll = jnp.take(loglik, indices, axis=0)
 
-    size = () if tuple(dist.batch_shape) else (w.shape[0],)
+    if waste_free:
+        # Dau & Chopin 2022: resample K / (n_steps + 1) chain ROOTS, move
+        # only those, and keep every chain state as the new swarm — the same
+        # K-lane swarm from (n_steps + 1)x fewer re-filtered lanes per move
+        chain_len = n_steps + 1
+        k_total = int(w.shape[0])
+        m = k_total // chain_len
+        idx_m = systematic_m(k_r2, normalize(w), m, normalized=True)
+        ctx_step = context.resample(idx_m)
+        ctx_step.batch_shape = (m,)  # static aux: the M-lane view
+        latest = latest_state.resample(idx_m)
+        ll = jnp.take(loglik, idx_m, axis=0)
+        w_step = jnp.zeros((m,), w.dtype)
+        filt_step = filt_m
+        indices = jnp.tile(idx_m, chain_len)
+        thetas = [ctx_step.stack_parameters(constrained=False)]
+        latests = [latest]
+        lls = [ll]
+    else:
+        indices = resampler(k_r2, normalize(w), normalized=True)
+        ctx_step = context.resample(indices)
+        latest = latest_state.resample(indices)
+        ll = jnp.take(loglik, indices, axis=0)
+        w_step = w
+        filt_step = filt
+
+    size = () if tuple(dist.batch_shape) else (w_step.shape[0],)
 
     aborted = jnp.asarray(False)
     avg = jnp.asarray(0.0, jnp.float32)
@@ -84,21 +114,35 @@ def _jitted_rejuvenate(
         def active(op, k_step=k_step, qmc_i=qmc_i):
             ctx_i, lat_i, ll_i = op
             _, rate, ctx_o, lat_o, ll_o, _ = _pmmh_transition_body(
-                k_step, ctx_i, w, lat_i, ll_i, dist, filt, y_padded, n_valid,
-                proposal, size, False, qmc_prob=qmc_i,
+                k_step, ctx_i, w_step, lat_i, ll_i, dist, filt_step, y_padded,
+                n_valid, proposal, size, False, qmc_prob=qmc_i,
             )
             return (ctx_o, lat_o, ll_o), rate
 
         def passive(op):
             return op, jnp.asarray(1.0, jnp.float32)
 
-        (context, latest, ll), rate = jax.lax.cond(
-            ~aborted, active, passive, (context, latest, ll)
+        (ctx_step, latest, ll), rate = jax.lax.cond(
+            ~aborted, active, passive, (ctx_step, latest, ll)
         )
+        if waste_free:
+            thetas.append(ctx_step.stack_parameters(constrained=False))
+            latests.append(latest)
+            lls.append(ll)
         n_done = n_done + jnp.where(aborted, 0, 1).astype(jnp.int32)
         avg = jnp.where(aborted, avg, (rate + i * avg) / (i + 1))
         aborted = aborted | (avg < acceptance_threshold)
-    return indices, context, latest, ll, aborted, avg, n_done, key
+
+    if waste_free:
+        # reconstitute the K-lane swarm: all chain states, equal weights.
+        # (After an abort the pass-through steps appended duplicates — the
+        # abort path discards the swarm and doubles/re-filters anyway.)
+        theta_k = jnp.concatenate(thetas, axis=0)
+        ctx_out = context.unstack_parameters(theta_k, constrained=False)
+        latest_out = type(latest).lane_concat(latests)
+        ll_out = jnp.concatenate(lls, axis=0)
+        return indices, ctx_out, latest_out, ll_out, aborted, avg, n_done, key
+    return indices, ctx_step, latest, ll, aborted, avg, n_done, key
 
 
 @functools.partial(jax.jit, static_argnames=("proposal", "resampler"))
@@ -137,6 +181,7 @@ class ParticleMetropolisHastings:
         acceptance_threshold: float = 0.2,
         max_increases: int = 5,
         resampler=systematic,
+        waste_free: bool = False,
     ):
         self._n_steps = int(num_steps)
         self._proposal = proposal or SymmetricMH()
@@ -146,6 +191,13 @@ class ParticleMetropolisHastings:
         self._max_increases = int(max_increases)
         self._increases = 0
         self._resampler = resampler
+        #: Dau & Chopin 2022 waste-free rejuvenation: resample
+        #: K / (num_steps + 1) chain roots, move those, keep every chain
+        #: state as the new swarm. Needs the fused (jit-compatible,
+        #: non-adaptive, non-recording) path and K divisible by num_steps+1.
+        self.waste_free = bool(waste_free)
+        if self.waste_free and self._is_adaptive:
+            raise ValueError("waste_free is incompatible with distance_threshold")
         #: when set (SMC2.fit sets it to the padded full-dataset length), every
         #: rejuvenation re-filter uses this single bucket — one XLA compile for
         #: the whole run instead of one per power-of-two history length.
@@ -186,6 +238,25 @@ class ParticleMetropolisHastings:
         # state-recording filters cannot take the masked re-filter inside the
         # fused call; they drop to the prep tier (run_pmmh falls back to the
         # full batch_filter internally)
+        if self.waste_free and not (
+            (fast or quasi_fast)
+            and not (filter_.record_states or filter_.record_intermediary)
+        ):
+            raise ValueError(
+                "waste_free rejuvenation requires the fused path: a "
+                "jit-compatible proposal, a pytree context, and a "
+                "non-recording filter"
+            )
+        filt_m = None
+        if self.waste_free:
+            k_total = int(state.w.shape[0])
+            chain_len = self._n_steps + 1
+            if k_total % chain_len:
+                raise ValueError(
+                    f"waste_free needs the parameter-particle count "
+                    f"({k_total}) divisible by num_steps + 1 ({chain_len})"
+                )
+            filt_m = filter_.set_batch_shape((k_total // chain_len,))
         if (
             (fast or quasi_fast)
             and not self._is_adaptive
@@ -196,6 +267,8 @@ class ParticleMetropolisHastings:
                 # one Sobol block for all n_steps candidate draws, in the
                 # order the eager loop would consume them (step-major)
                 n_lanes = int(state.w.shape[0])
+                if self.waste_free:
+                    n_lanes //= self._n_steps + 1
                 qmc_probs = jnp.stack(
                     [engine.sample((n_lanes,)) for _ in range(self._n_steps)]
                 )
@@ -216,6 +289,8 @@ class ParticleMetropolisHastings:
                     self._resampler,
                     self._n_steps,
                     float(self._acceptance_threshold),
+                    waste_free=self.waste_free,
+                    filt_m=filt_m,
                 )
             )
             context = new_context

@@ -38,7 +38,13 @@ from .threshold import ConstantThreshold, Thresholder
 
 @functools.partial(
     jax.jit,
-    static_argnames=("proposal", "resampler", "n_steps", "acceptance_threshold"),
+    static_argnames=(
+        "proposal",
+        "resampler",
+        "n_steps",
+        "acceptance_threshold",
+        "waste_free",
+    ),
 )
 def _chunk_scan_rejuvenating(
     filt,
@@ -59,6 +65,8 @@ def _chunk_scan_rejuvenating(
     resampler,
     n_steps,
     acceptance_threshold,
+    waste_free=False,
+    filt_m=None,
 ):
     """The SMC2 chunk scan with the PMMH rejuvenation fused into the loop
     body. Mirrors ``base._chunk_scan``'s contract (stop index, trigger rows,
@@ -112,6 +120,8 @@ def _chunk_scan_rejuvenating(
                 resampler,
                 n_steps,
                 acceptance_threshold,
+                waste_free=waste_free,
+                filt_m=filt_m,
             )
             filt2 = filt.initialize_model(ctx2)
             # on abort the kept weights are inert — the doubling recomputes
@@ -151,6 +161,7 @@ class SMC2(SequentialParticleAlgorithm):
         key=None,
         num_steps: int = 1,
         distance_threshold: float = None,
+        waste_free: bool = False,
         **kwargs,
     ):
         super().__init__(filter_, particles, context=context, key=key, **kwargs)
@@ -158,11 +169,17 @@ class SMC2(SequentialParticleAlgorithm):
         self._threshold = (
             threshold if isinstance(threshold, Thresholder) else ConstantThreshold(threshold)
         )
+        if waste_free and particles % (num_steps + 1):
+            raise ValueError(
+                f"waste_free needs particles ({particles}) divisible by "
+                f"num_steps + 1 ({num_steps + 1})"
+            )
         self._kernel = ParticleMetropolisHastings(
             proposal=kernel,
             max_increases=max_increases,
             num_steps=num_steps,
             distance_threshold=distance_threshold,
+            waste_free=waste_free,
         )
 
     @property
@@ -258,6 +275,13 @@ class SMC2(SequentialParticleAlgorithm):
 
             lo = 0
             while lo < n_eff:
+                filt_m = (
+                    self._filter.set_batch_shape(
+                        (self.num_particles // (kernel._n_steps + 1),)
+                    )
+                    if kernel.waste_free
+                    else None
+                )
                 carry, ess_buf, stop, double = _chunk_scan_rejuvenating(
                     self._filter,
                     state.filter_state.latest_state,
@@ -277,6 +301,8 @@ class SMC2(SequentialParticleAlgorithm):
                     kernel._resampler,
                     kernel._n_steps,
                     float(kernel._acceptance_threshold),
+                    waste_free=kernel.waste_free,
+                    filt_m=filt_m,
                 )
                 stop_np, dbl_np, ess_np = jax.device_get((stop, double, ess_buf))
                 hi = int(stop_np)

@@ -39,7 +39,15 @@ import jax.numpy as jnp
 
 from .utils import normalize
 
-__all__ = ["systematic", "stratified", "multinomial", "residual", "metropolis", "rejection"]
+__all__ = [
+    "systematic",
+    "stratified",
+    "multinomial",
+    "residual",
+    "metropolis",
+    "rejection",
+    "systematic_m",
+]
 
 
 def _as_probs(weights: jax.Array, normalized: bool) -> jax.Array:
@@ -123,6 +131,23 @@ def stratified(
     offsets = jnp.arange(n, dtype=probs.dtype).reshape((n,) + (1,) * (probs.ndim - 1))
     positions = (offsets + u) / n
     return _batched_searchsorted(_cumulative(probs), positions)
+
+
+def systematic_m(key: jax.Array, weights: jax.Array, m: int, normalized: bool = False) -> jax.Array:
+    """``m`` systematic draws from ``N`` weights, 1-D lanes only.
+
+    The equal-count resamplers above return exactly one index per input
+    weight; the waste-free SMC strategies (Dau & Chopin 2022) need
+    ``m = K / chain_len`` chain roots from a K-particle swarm.
+    """
+    probs = _as_probs(weights, normalized)
+    if probs.ndim != 1:
+        raise ValueError("systematic_m supports 1-D weights only")
+    cumw = _cumulative(probs)
+    u = jax.random.uniform(key, (), dtype=probs.dtype)
+    pos = (jnp.arange(m, dtype=probs.dtype) + u) / m
+    idx = jnp.searchsorted(cumw, pos, side="right", method="sort")
+    return jnp.minimum(idx, probs.shape[0] - 1).astype(jnp.int32)
 
 
 def multinomial(key: jax.Array, weights: jax.Array, normalized: bool = False) -> jax.Array:

@@ -1325,3 +1325,32 @@ class TestDiagnostics:
             assert np.isfinite(s["std"]).all()
             # 10 retained samples x 4 chains: rhat/ess computable and bounded
             assert np.all(np.asarray(s["ess"]) <= 40 + 1e-9)
+
+
+@pytest.mark.slow
+def test_smc2_waste_free_recovers_parameters():
+    """Waste-free SMC2 (Dau & Chopin 2022): each rejuvenation moves only
+    K/(num_steps+1) chain roots and recycles every PMMH intermediate into
+    the next swarm — same posterior bar as the standard kernel, from
+    (num_steps+1)x fewer re-filtered lanes per move."""
+    post, state, ctx, _, post_std = run_sequential(
+        lambda f, p, c: inf.SMC2(
+            f, p, num_steps=3, waste_free=True, context=c, key=jax.random.PRNGKey(2)
+        )
+    )
+    kappa, gamma, sigma = post
+    assert abs(gamma - TRUE_GAMMA) < 0.15
+    assert abs(sigma - TRUE_SIGMA) < 0.05
+    assert abs(kappa - TRUE_KAPPA) < 0.4
+    assert_recovers(post, post_std, z_max=3.5, label="smc2-waste-free")
+
+
+def test_smc2_waste_free_validates_divisibility():
+    with pytest.raises(ValueError, match="divisible"):
+        inf.SMC2(
+            pf.APF(build_model, 20),
+            100,
+            num_steps=2,
+            waste_free=True,
+            context=inf.make_context(key=jax.random.PRNGKey(0)),
+        )
