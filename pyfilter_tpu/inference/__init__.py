@@ -4,7 +4,7 @@ from . import batch, diagnostics, prior, sequential, variational
 from .base import BaseAlgorithm
 from .diagnostics import effective_sample_size, potential_scale_reduction, summarize_chains
 from .batch import IF2, IF2Result, TemperedSMC, TemperedSMCResult
-from .batch.mcmc import PGAS, PMMH, GradientBasedProposal, RandomWalk, SymmetricMH, run_pmmh
+from .batch.mcmc import PGAS, PMMH, AdaptiveRandomWalk, GradientBasedProposal, RandomWalk, SymmetricMH, run_pmmh
 from .context import (
     InferenceContext,
     NotSamePriorError,
@@ -47,6 +47,7 @@ __all__ = [
     "TemperedSMCResult",
     "run_pmmh",
     "RandomWalk",
+    "AdaptiveRandomWalk",
     "SymmetricMH",
     "GradientBasedProposal",
     "AlgorithmState",

@@ -3,7 +3,7 @@
 from . import proposals
 from .pgas import PGAS, PGASResult, csmc_sweep
 from .pmmh import PMMH
-from .proposals import BaseProposal, GradientBasedProposal, RandomWalk, SymmetricMH
+from .proposals import AdaptiveRandomWalk, BaseProposal, GradientBasedProposal, RandomWalk, SymmetricMH
 from .state import PMMHResult
 from .utils import PMMHStep, run_pmmh
 
@@ -17,6 +17,7 @@ __all__ = [
     "PMMHStep",
     "BaseProposal",
     "RandomWalk",
+    "AdaptiveRandomWalk",
     "SymmetricMH",
     "GradientBasedProposal",
     "proposals",

@@ -9,6 +9,8 @@ Proposal kernels are built on the *unconstrained* parameter space.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -101,6 +103,108 @@ class SymmetricMH(BaseProposal):
 
     def exchange(self, latest, candidate, mask):
         return latest
+
+
+class _AdaptiveRWKernel(NamedTuple):
+    """Pytree kernel for :class:`AdaptiveRandomWalk`: the current chain
+    position plus Welford running moments of the whole chain — the running
+    state IS the kernel, so adaptation rides the fused chain scan's carry
+    with no host round-trips."""
+
+    loc: jax.Array         # (K, D) current chain position
+    scale_tril: jax.Array  # (K, D, D) proposal Cholesky
+    mean: jax.Array        # (K, D) running per-chain sample mean
+    m2: jax.Array          # (K, D, D) running per-chain scatter matrix
+    count: jax.Array       # scalar: transitions absorbed so far
+
+    @property
+    def batch_shape(self):
+        return self.loc.shape[:-1]
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.loc.shape
+        eps = jax.random.normal(key, shape, jnp.asarray(self.loc).dtype)
+        return self.loc + jnp.einsum("...ij,...j->...i", self.scale_tril, eps)
+
+    def log_prob(self, value):
+        # the kernel is symmetric within a step (one shared covariance for
+        # both directions), so the Hastings correction cancels identically —
+        # report 0 and the transition's diff_prop vanishes exactly.
+        value = jnp.asarray(value)
+        shape = jnp.broadcast_shapes(value.shape[:-1], self.batch_shape)
+        return jnp.zeros(shape, value.dtype)
+
+
+class AdaptiveRandomWalk(BaseProposal):
+    r"""Haario et al. (2001) adaptive-Metropolis random walk: the proposal
+    covariance is the running empirical covariance of the chain itself,
+    scaled by the optimal :math:`2.38^2/D`,
+
+    .. math:: \theta^* \sim N(\theta_n,\ 2.38^2/D\, \widehat{\mathrm{Cov}}
+              (\theta_{1:n}) + \epsilon I).
+
+    The running moments live INSIDE the kernel pytree
+    (:class:`_AdaptiveRWKernel`), updated by ``exchange`` every transition —
+    Welford's recursion, one rank-1 update + a ``(K, D, D)`` Cholesky per
+    step — so adaptive PMMH rides the fused chain scan unmodified
+    (utils._pmmh_chain_scan) and both paths stay bit-identical.
+
+    Adaptation starts once ``2 D`` transitions have accumulated (before that
+    the kernel is the isotropic ``initial_scale`` walk) and — when
+    ``adapt_until`` is set — FREEZES after that many transitions, so the
+    post-freeze samples are exact Metropolis draws (the default ``None``
+    adapts forever under the standard diminishing-adaptation argument: the
+    1/n moment updates vanish).
+
+    No reference counterpart (the reference ships RandomWalk with a fixed
+    scalar scale, proposals/random_walk.py) — this removes its one tuning
+    knob and handles correlated posteriors the isotropic walk cannot.
+    """
+
+    def __init__(
+        self,
+        initial_scale: float = 1e-2,
+        adapt_until: int | None = None,
+        eps: float = 1e-6,
+    ):
+        self._scale0 = float(initial_scale)
+        self._adapt_until = None if adapt_until is None else int(adapt_until)
+        self._eps = float(eps)
+
+    def build(self, context, state, filter_, y, key=None):
+        loc = context.stack_parameters(constrained=False)  # (K, D)
+        d = loc.shape[-1]
+        tril0 = jnp.broadcast_to(
+            self._scale0 * jnp.eye(d, dtype=loc.dtype), loc.shape + (d,)
+        )
+        return _AdaptiveRWKernel(
+            loc=loc,
+            scale_tril=tril0,
+            mean=loc,
+            m2=jnp.zeros(loc.shape + (d,), loc.dtype),
+            count=jnp.asarray(0.0, loc.dtype),
+        )
+
+    def exchange(self, latest, candidate, mask):
+        # new chain position (accepted lanes take the candidate)
+        x = jnp.where(mask[..., None], candidate.loc, latest.loc)
+        d = x.shape[-1]
+
+        # Welford moment update with the new position
+        n1 = latest.count + 1.0
+        delta = x - latest.mean
+        mean = latest.mean + delta / n1
+        m2 = latest.m2 + jnp.einsum("...i,...j->...ij", delta, x - mean)
+
+        lam = 2.38**2 / d
+        cov = lam * m2 / jnp.maximum(n1 - 1.0, 1.0) + self._eps * jnp.eye(d, dtype=x.dtype)
+        tril_new = robust_cholesky(cov)
+
+        adapting = n1 >= 2.0 * d
+        if self._adapt_until is not None:
+            adapting = adapting & (n1 <= float(self._adapt_until))
+        tril = jnp.where(adapting, tril_new, latest.scale_tril)
+        return _AdaptiveRWKernel(x, tril, mean, m2, n1)
 
 
 class GradientBasedProposal(RandomWalk):

@@ -1354,3 +1354,102 @@ def test_smc2_waste_free_validates_divisibility():
             waste_free=True,
             context=inf.make_context(key=jax.random.PRNGKey(0)),
         )
+
+
+def test_pmmh_adaptive_random_walk_rides_fused_tier():
+    """Haario AM: the running chain moments live inside the kernel pytree, so
+    adaptive PMMH must take the fused chain scan and match the per-sample
+    loop bit-for-bit; the adapted Cholesky must have left the isotropic
+    initial kernel (off-diagonal mass appears once 2D transitions accrue)."""
+    y = simulate(30)
+
+    def run(chunk_size):
+        with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+            filt = pf.APF(build_model, 50, proposal=proposals.LinearGaussianObservations())
+            alg = inf.PMMH(
+                filt,
+                num_samples=16,
+                num_chains=2,
+                proposal=inf.AdaptiveRandomWalk(initial_scale=2e-2),
+                context=ctx,
+                key=jax.random.PRNGKey(2),
+            )
+            assert alg._fusible()
+            res = alg.fit(y, logging=inf.logging.DefaultLogger(), chunk_size=chunk_size)
+        return res.as_arrays()
+
+    fused = run(None)
+    step = run(1)
+    for name in step:
+        assert np.isfinite(fused[name]).all()
+        np.testing.assert_array_equal(fused[name], step[name])
+
+
+def test_adaptive_rw_kernel_moments_and_freeze():
+    """Welford recursion inside exchange matches numpy moments; adapt_until
+    freezes the Cholesky afterwards."""
+    from pyfilter_tpu.inference.batch.mcmc.proposals import _AdaptiveRWKernel
+
+    rng = np.random.default_rng(0)
+    d, k_lanes = 3, 2
+    prop = inf.AdaptiveRandomWalk(initial_scale=1e-2, adapt_until=25)
+    kern = _AdaptiveRWKernel(
+        loc=jnp.zeros((k_lanes, d)),
+        scale_tril=jnp.broadcast_to(1e-2 * jnp.eye(d), (k_lanes, d, d)),
+        mean=jnp.zeros((k_lanes, d)),
+        m2=jnp.zeros((k_lanes, d, d)),
+        count=jnp.asarray(0.0),
+    )
+    xs = rng.normal(size=(30, k_lanes, d)).astype(np.float32)
+    for t in range(30):
+        cand = kern._replace(loc=jnp.asarray(xs[t]))
+        kern = prop.exchange(kern, cand, jnp.ones((k_lanes,), bool))
+
+    np.testing.assert_allclose(np.asarray(kern.mean), xs.mean(0), rtol=1e-4, atol=1e-5)
+    cov_np = np.stack([np.cov(xs[:, l, :].T) for l in range(k_lanes)])
+    np.testing.assert_allclose(
+        np.asarray(kern.m2) / (30 - 1), cov_np, rtol=1e-3, atol=1e-4
+    )
+    # frozen at adapt_until=25: the tril must NOT reflect the last 5 samples
+    lam = 2.38**2 / d
+    cov25 = np.stack(
+        [lam * np.cov(xs[:25, l, :].T) + 1e-6 * np.eye(d) for l in range(k_lanes)]
+    )
+    tril25 = np.linalg.cholesky(cov25)
+    np.testing.assert_allclose(np.asarray(kern.scale_tril), tril25, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_adaptive_rw_mixes_better_than_fixed_rw():
+    """The AM kernel's job: match the posterior geometry without a tuning
+    knob. From the same prior-mean start and budget on the flagship model, a
+    deliberately mis-scaled fixed RandomWalk mixes poorly; the adaptive walk
+    started at the same (too-small) scale must reach a larger MSJD after its
+    warmup and a posterior error at least as good."""
+    y = simulate(60)
+
+    def run(proposal, n=60):
+        with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+            filt = pf.APF(build_model, 60, proposal=proposals.LinearGaussianObservations())
+            alg = inf.PMMH(
+                filt, n, num_chains=4, proposal=proposal,
+                context=ctx, key=jax.random.PRNGKey(2),
+            )
+            res = alg.fit(y, logging=inf.logging.DefaultLogger())
+        arr = res.as_arrays()
+        # post-warmup mean squared jump distance (the AM kernel needs 2D
+        # transitions of history before it may adapt)
+        msjd = sum(float(np.mean((v[16:][1:] - v[16:][:-1]) ** 2)) for v in arr.values())
+        post = {k: float(v[n // 2:].mean()) for k, v in arr.items()}
+        err = (
+            abs(post["gamma"] - TRUE_GAMMA)
+            + abs(post["sigma"] - TRUE_SIGMA)
+            + abs(post["kappa"] - TRUE_KAPPA)
+        )
+        return msjd, err
+
+    scale = 2e-3  # deliberately too small: the knob AM exists to remove
+    msjd_rw, err_rw = run(inf.RandomWalk(scale=scale))
+    msjd_am, err_am = run(inf.AdaptiveRandomWalk(initial_scale=scale))
+    assert msjd_am > 2.0 * msjd_rw, (msjd_am, msjd_rw)
+    assert err_am < 1.25 * err_rw, (err_am, err_rw)
