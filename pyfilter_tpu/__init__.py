@@ -20,6 +20,8 @@ from .filters import (
     FilterResult,
     UnscentedKalmanFilter,
     EnsembleKalmanFilter,
+    EnsembleTransformKalmanFilter,
+    Localization,
     GaussianMarginalFilter,
     KalmanFilter,
     ParticleFilter,
@@ -39,6 +41,8 @@ __all__ = [
     "ExtendedKalmanFilter",
     "UnscentedKalmanFilter",
     "EnsembleKalmanFilter",
+    "EnsembleTransformKalmanFilter",
+    "Localization",
     "GaussianMarginalFilter",
     "RaoBlackwellizedPF",
     "timeseries",

@@ -5,6 +5,7 @@ from .base import BaseFilter
 from .diagnostics import crps, predictive_pit
 from .ekf import EKFState, ExtendedKalmanFilter
 from .enkf import EnKFState, EnsembleKalmanFilter
+from .etkf import EnsembleTransformKalmanFilter, Localization, gaspari_cohn
 from .kalman import KalmanFilter, KalmanState
 from .marginal import GaussianMarginalFilter
 from .particle import APF, GPF, SISR, ParticleFilter
@@ -28,6 +29,9 @@ __all__ = [
     "EKFState",
     "UnscentedKalmanFilter",
     "EnsembleKalmanFilter",
+    "EnsembleTransformKalmanFilter",
+    "Localization",
+    "gaspari_cohn",
     "GaussianMarginalFilter",
     "EnKFState",
     "RaoBlackwellizedPF",

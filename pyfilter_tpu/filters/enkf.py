@@ -56,12 +56,25 @@ class EnsembleKalmanFilter:
 
     ``inflation`` >= 1 multiplies forecast anomalies (multiplicative covariance
     inflation, the standard fix for sampling-noise underdispersion at small M).
+
+    ``localization`` (a :class:`~pyfilter_tpu.filters.etkf.Localization`):
+    Gaspari-Cohn Schur tapering of the sample cross-/observation-space
+    covariances — at M ≪ d the unlocalized filter diverges on spurious
+    long-range sample correlations (see filters/etkf.py for the
+    deterministic square-root variant).
     """
 
-    def __init__(self, model, ensemble_size: int = 100, inflation: float = 1.0):
+    def __init__(
+        self,
+        model,
+        ensemble_size: int = 100,
+        inflation: float = 1.0,
+        localization=None,
+    ):
         self.model = model
         self.ensemble_size = int(ensemble_size)
         self.inflation = float(inflation)
+        self.localization = localization
         hidden = model.hidden
         self._ev = int(hidden.event_ndim)
         init = hidden.initial_distribution()
@@ -110,6 +123,11 @@ class EnsembleKalmanFilter:
         r = self._obs_cov_at_mean(ens, t)  # (d_y, d_y) full covariance
         c_yy = b.T @ b / (m_count - 1) + r  # innovation covariance
         c_xy = a.T @ b / (m_count - 1)  # (d, d_y)
+        if self.localization is not None:
+            # Schur taper of the SAMPLE parts only: rho∘(B'B/(M-1)) + R
+            rho_yy = self.localization.rho_yy
+            c_yy = c_yy * rho_yy + r * (1.0 - rho_yy)
+            c_xy = c_xy * self.localization.rho_xy
 
         # partial-NaN components are exactly marginalized: the masked gain has
         # zero columns for missing slots, so the member update ignores them

@@ -36,6 +36,7 @@ def spmd_enkf_loop(
     y,
     axis_name: str,
     inflation: float = 1.0,
+    localization=None,
 ):
     """Per-device EnKF body (call inside ``shard_map``): each device carries
     ``M/P`` members; means and anomaly products are ``psum``-reduced, the
@@ -82,6 +83,12 @@ def spmd_enkf_loop(
 
         c_yy = jax.lax.psum(b.T @ b, axis_name) / (m_global - 1) + r
         c_xy = jax.lax.psum(a.T @ b, axis_name) / (m_global - 1)
+        if localization is not None:
+            # Gaspari-Cohn Schur taper of the sample parts, applied AFTER the
+            # psum on replicated (d, d_y)/(d_y, d_y) products — elementwise,
+            # so the psum-only communication story is unchanged
+            c_yy = c_yy * localization.rho_yy + r * (1.0 - localization.rho_yy)
+            c_xy = c_xy * localization.rho_xy
 
         # partial-NaN components are exactly marginalized (zero gain columns;
         # all-NaN skip is the degenerate case — zero gain, ll_t == 0)
@@ -136,6 +143,7 @@ def spmd_enkf(
     mesh: Mesh,
     axis_name: str = "particles",
     inflation: float = 1.0,
+    localization=None,
 ) -> FilterResult:
     """Full EnKF pass with the ensemble axis sharded over ``mesh``.
 
@@ -152,7 +160,7 @@ def spmd_enkf(
     y = jnp.asarray(y, jnp.float32)
     if y.ndim == 1:
         y = y[:, None]
-    ens, step_lls, means, variances = f(model, key, y)
+    ens, step_lls, means, variances = f(model, key, y, localization)
     return FilterResult(
         log_likelihood=step_lls.sum(),
         step_log_likelihoods=step_lls,
@@ -168,16 +176,22 @@ def _jitted_spmd_enkf(mesh, axis_name, ensemble_size, inflation):
     """One compiled executable per (mesh, config); the model is a replicated
     pytree ARGUMENT (parameter updates never recompile — repo invariant)."""
 
-    def run(model, key, y):
+    def run(model, key, y, localization):
         return spmd_enkf_loop(
-            model, ensemble_size, key, y, axis_name=axis_name, inflation=inflation
+            model,
+            ensemble_size,
+            key,
+            y,
+            axis_name=axis_name,
+            inflation=inflation,
+            localization=localization,
         )
 
     return jax.jit(
         shard_map(
             run,
             mesh=mesh,
-            in_specs=(P(), P(), P()),
+            in_specs=(P(), P(), P(), P()),
             out_specs=(P(axis_name), P(), P(), P()),
         )
     )
