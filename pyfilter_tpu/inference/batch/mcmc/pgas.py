@@ -34,68 +34,113 @@ from ...logging import TQDMWrapper
 
 
 def csmc_sweep(key, model, y, ref_traj, n_particles: int, ancestor_sampling: bool = True):
-    """One conditional-SMC sweep: returns a fresh trajectory ``(T+1, *event)``
-    whose law leaves the smoothing posterior ``p(x_{0:T} | y, \\theta)``
-    invariant when ``ref_traj`` is the retained path.
+    """One conditional-SMC sweep: returns a fresh trajectory whose law leaves
+    the smoothing posterior ``p(x_{0:T} | y, \\theta)`` invariant when
+    ``ref_traj`` is the retained path.
 
-    Bootstrap proposal, multinomial resampling every step (the standard CSMC
-    construction). ``ancestor_sampling=False`` gives plain conditional SMC
-    (slot 0 keeps its own lineage).
+    Bootstrap proposal, multinomial resampling per observation (the standard
+    CSMC construction). ``ancestor_sampling=False`` gives plain conditional
+    SMC (slot 0 keeps its own lineage).
+
+    ``observe_every_step > 1`` is supported by recording SUB-STEP states: the
+    retained trajectory follows the filters' recorded-history layout
+    ``[x_0, x_first-corr, (oes sub-steps) x (T-1)]`` of length
+    ``2 + (T-1)*oes`` (the first observation is corrected after ONE
+    transition — BaseFilter.filter's first_step timing). The ancestor-
+    sampling weight uses the FIRST sub-step's transition density
+    ``f(x*_{t,1} | x_{t-1}^j)`` — the only factor of the retained path's
+    density that depends on the ancestor.
     """
     hidden = model.hidden
     ev = hidden.event_ndim
+    oes = int(model.observe_every_step)
     y = jnp.asarray(y)
     n_obs = y.shape[0]
+    expected_len = 2 + (n_obs - 1) * oes
+    if ref_traj.shape[0] != expected_len:
+        raise ValueError(
+            f"retained trajectory has {ref_traj.shape[0]} states; "
+            f"oes={oes} with {n_obs} observations needs {expected_len} "
+            "(record sub-step states — record_intermediary=True)"
+        )
 
-    k_init, k_scan, k_draw = jax.random.split(key, 3)
+    k_init, k_first, k_scan, k_draw = jax.random.split(key, 4)
 
     init = hidden.initial_sample(k_init, (n_particles,))
     vals0 = init.value.at[0].set(ref_traj[0])
+    lw0 = jnp.zeros((n_particles,), vals0.dtype if vals0.dtype.kind == "f" else jnp.float32)
+    event_shape = ref_traj.shape[1:]
 
-    def step(carry, inp):
-        vals, lw, t = carry
-        y_t, ref_t, k = inp
-        k_anc, k_as, k_prop = jax.random.split(k, 3)
-
+    def ancestors(k, vals, lw, t, ref_next):
+        k_anc, k_as = jax.random.split(k)
         logits = normalize_log(lw)  # (N,)
         anc = jax.random.categorical(k_anc, logits, shape=(n_particles,))
-
-        state_prev = TimeseriesState(t, vals, ev)
         if ancestor_sampling:
-            # ancestor-sample slot 0 against w_{t-1}^j · f(x*_t | x_{t-1}^j)
-            trans_lp = hidden.build_density(state_prev).log_prob(ref_t)  # (N,)
+            # slot 0 resampled against w_{t-1}^j · f(x*_next | x_{t-1}^j)
+            trans_lp = hidden.build_density(TimeseriesState(t, vals, ev)).log_prob(ref_next)
             a0 = jax.random.categorical(k_as, logits + trans_lp)
         else:
             a0 = jnp.asarray(0, anc.dtype)
-        anc = anc.at[0].set(a0)
+        return anc.at[0].set(a0)
 
-        picked = batched_gather(vals, anc, ev)
-        prop = hidden.propagate(k_prop, TimeseriesState(t, picked, ev))
-        new_vals = prop.value.at[0].set(ref_t)
-
-        state_new = TimeseriesState(t + 1.0, new_vals, ev)
-        lp = model.build_density(state_new).log_prob(y_t)  # (N,)
+    def weight(vals, t, y_t):
+        lp = model.build_density(TimeseriesState(t, vals, ev)).log_prob(y_t)
         # all-NaN observation → skip (uniform weights), matching the filters
-        new_lw = jnp.where(jnp.isnan(y_t).all(), jnp.zeros_like(lp), lp)
-        return (new_vals, new_lw, t + 1.0), (new_vals, new_lw, anc)
+        return jnp.where(jnp.isnan(y_t).all(), jnp.zeros_like(lp), lp)
 
-    keys = jax.random.split(k_scan, n_obs)
-    lw0 = jnp.zeros((n_particles,), vals0.dtype if vals0.dtype.kind == "f" else jnp.float32)
-    (_, lw_last, _), (all_vals, all_lw, all_anc) = jax.lax.scan(
-        step, (vals0, lw0, jnp.asarray(0.0)), (y, ref_traj[1:], keys)
+    # first observation: ONE transition from t=0 (first_step timing)
+    k_anc0, k_prop0 = jax.random.split(k_first)
+    anc0 = ancestors(k_anc0, vals0, lw0, jnp.asarray(0.0), ref_traj[1])
+    picked = batched_gather(vals0, anc0, ev)
+    prop = hidden.propagate(k_prop0, TimeseriesState(jnp.asarray(0.0), picked, ev))
+    vals1 = prop.value.at[0].set(ref_traj[1])
+    lw1 = weight(vals1, jnp.asarray(1.0), y[0])
+
+    if n_obs == 1:
+        idx_last = jax.random.categorical(k_draw, normalize_log(lw1))
+        x1 = jnp.take(vals1, idx_last, axis=0)
+        x0 = jnp.take(vals0, jnp.take(anc0, idx_last), axis=0)
+        return jnp.stack([x0, x1], axis=0)
+
+    # remaining observations: oes sub-steps each, every sub-step recorded
+    # and slot 0 pinned to the corresponding retained sub-state
+    ref_subs = ref_traj[2:].reshape((n_obs - 1, oes) + event_shape)
+
+    def step(carry, inp):
+        vals, lw, t = carry
+        y_t, ref_s, k = inp  # ref_s: (oes, *event)
+        k_a, *k_props = jax.random.split(k, 1 + oes)
+
+        anc = ancestors(k_a, vals, lw, t, ref_s[0])
+        cur = batched_gather(vals, anc, ev)
+        subs = []
+        for i in range(oes):  # static unroll: sub-steps never resample
+            prop = hidden.propagate(k_props[i], TimeseriesState(t + i, cur, ev))
+            cur = prop.value.at[0].set(ref_s[i])
+            subs.append(cur)
+        t_new = t + oes
+        new_lw = weight(cur, t_new, y_t)
+        return (cur, new_lw, t_new), (jnp.stack(subs), new_lw, anc)
+
+    keys = jax.random.split(k_scan, n_obs - 1)
+    (_, lw_last, _), (all_subs, _, all_anc) = jax.lax.scan(
+        step, (vals1, lw1, jnp.asarray(1.0)), (y[1:], ref_subs, keys)
     )
 
-    # backward genealogy trace from a draw of the final weights
+    # backward genealogy trace from a draw of the final weights (sub-steps
+    # share their observation step's particle index — no resampling between)
     idx_last = jax.random.categorical(k_draw, normalize_log(lw_last))
 
     def back(idx, inp):
-        vals_t, anc_t = inp
-        out = jnp.take(vals_t, idx, axis=0)
+        subs_t, anc_t = inp  # (oes, N, *event), (N,)
+        out = jnp.take(subs_t, idx, axis=1)  # (oes, *event)
         return jnp.take(anc_t, idx, axis=0), out
 
-    idx0, traj_rest = jax.lax.scan(back, idx_last, (all_vals, all_anc), reverse=True)
-    x0 = jnp.take(vals0, idx0, axis=0)
-    return jnp.concatenate([x0[None], traj_rest], axis=0)
+    idx1, traj_subs = jax.lax.scan(back, idx_last, (all_subs, all_anc), reverse=True)
+    x1 = jnp.take(vals1, idx1, axis=0)
+    x0 = jnp.take(vals0, jnp.take(anc0, idx1), axis=0)
+    flat_subs = traj_subs.reshape(((n_obs - 1) * oes,) + event_shape)
+    return jnp.concatenate([x0[None], x1[None], flat_subs], axis=0)
 
 
 class PGASResult:
@@ -127,7 +172,10 @@ class PGAS(BaseAlgorithm):
     is unused — CSMC is bootstrap by construction). Single chain; the θ-move
     is a random-walk MH on the unconstrained parameter space with step size
     ``rw_scale``, targeting the exact joint density of the retained
-    trajectory. Requires ``observe_every_step == 1``.
+    trajectory. ``observe_every_step > 1`` is supported: the retained path
+    carries sub-step states (the filters' recorded-history layout), so the
+    flagship SDE workloads (e.g. stochastic volatility at oes=5) can be
+    PGAS'd.
     """
 
     _default_chunk_size: int = 256
@@ -173,11 +221,7 @@ class PGAS(BaseAlgorithm):
     def fit(self, y, logging=None, chunk_size: int = None) -> PGASResult:
         y = jnp.asarray(y)
         filt = self._filter.initialize_model(self.context)
-        if int(filt.model.observe_every_step) != 1:
-            raise NotImplementedError(
-                "PGAS requires observe_every_step == 1 (the CSMC sweep pins "
-                "the reference path at every transition)"
-            )
+        oes = int(filt.model.observe_every_step)
         n = filt.n_particles
         ctx = self.context
         key = self._next_key()
@@ -208,24 +252,26 @@ class PGAS(BaseAlgorithm):
         )  # (C, 1, D)
 
         # initialize each chain's retained trajectory with one FFBS draw
+        # (sub-step states recorded when oes > 1 — the retained path follows
+        # the filters' history layout, length 2 + (T-1)*oes)
         def init_traj(theta_c, k):
             k_filter, k_smooth = jax.random.split(k)
             filt2 = self._filter.initialize_model(
                 ctx.unstack_parameters(theta_c, constrained=False)
-            ).replace(record_states=True)
+            ).replace(record_states=True, record_intermediary=oes > 1)
             res = filt2.batch_filter(k_filter, y, use_jit=False)
             return filt2.smooth(k_smooth, res, method="ffbs")[:, 0]
 
         trajs = jax.jit(jax.vmap(init_traj))(
             thetas0, jax.random.split(k_traj, c)
-        )  # (C, T+1, *event)
-        times = jnp.arange(y.shape[0] + 1, dtype=jnp.float32)
+        )  # (C, 2 + (T-1)*oes, *event)
+        times = jnp.arange(2 + (y.shape[0] - 1) * oes, dtype=jnp.float32)
 
         def joint(theta, trajectory):
             ctx2 = ctx.unstack_parameters(theta, constrained=False)
             model = self._filter.initialize_model(ctx2).model
             ll = smoothed_joint_log_likelihood(
-                model, times, trajectory[:, None], y, oes=1
+                model, times, trajectory[:, None], y, oes=oes
             )
             return jnp.sum(ll) + jnp.sum(ctx2.eval_priors(constrained=False)), model
 
