@@ -14,7 +14,16 @@ from .context import (
 )
 from .parameter import PriorBoundParameter
 from .qmc import EngineContainer
-from .sequential import NESS, NESSMC2, SMC2, SMC2FW, FixedWidthNESS
+from .sequential import (
+    NESS,
+    NESSMC2,
+    SMC2,
+    SMC2FW,
+    FixedWidthNESS,
+    NIGAutoregression,
+    StorvikFilter,
+    StorvikResult,
+)
 from .state import (
     AlgorithmState,
     FilterAlgorithmState,
@@ -36,6 +45,9 @@ __all__ = [
     "BaseAlgorithm",
     "SMC2",
     "NESS",
+    "StorvikFilter",
+    "StorvikResult",
+    "NIGAutoregression",
     "FixedWidthNESS",
     "NESSMC2",
     "SMC2FW",

@@ -6,6 +6,7 @@ from .collectors import Collector, MeanCollector, ParameterPosterior, Standardiz
 from .ness import NESS, BaseOnlineAlgorithm, FixedWidthNESS
 from .nessmc2 import NESSMC2, SMC2FW
 from .smc2 import SMC2
+from .storvik import NIGAutoregression, StorvikFilter, StorvikResult
 from .threshold import ConstantThreshold, DecayingThreshold, IntervalThreshold, Thresholder
 
 __all__ = [
@@ -13,6 +14,9 @@ __all__ = [
     "CombinedSequentialParticleAlgorithm",
     "BaseOnlineAlgorithm",
     "NESS",
+    "StorvikFilter",
+    "StorvikResult",
+    "NIGAutoregression",
     "FixedWidthNESS",
     "SMC2",
     "NESSMC2",

@@ -1,0 +1,109 @@
+"""Storvik filter tests: exact-conditional online parameter learning.
+
+The bar (round-3 verdict item 5): posterior matches PMMH on a conjugate
+model within MC error, ONLINE, with no jittering knobs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyfilter_tpu as pf
+import pyfilter_tpu.distributions as dist
+from pyfilter_tpu import inference as inf, timeseries as ts
+from pyfilter_tpu.timeseries import models
+
+ALPHA, BETA, SIGMA, OBS_STD = 0.2, 0.7, 0.4, 0.25
+
+
+def make_data(n=400, seed=0):
+    ssm = ts.LinearStateSpaceModel(models.AR(ALPHA, BETA, SIGMA), (1.0, OBS_STD))
+    _, y = ssm.sample_states(jax.random.PRNGKey(seed), n).get_paths()
+    return y
+
+
+def run_storvik(y, n_particles=3000, seed=1):
+    conj = inf.NIGAutoregression(
+        obs_coeff=1.0, obs_scale=OBS_STD, m0=(0.0, 0.0), v0=4.0, a0=2.0, b0=0.5
+    )
+    return inf.StorvikFilter(conj, n_particles).fit(jax.random.PRNGKey(seed), y)
+
+
+def test_storvik_recovers_parameters_online():
+    """All three parameters recovered; the online trajectory TIGHTENS (late
+    errors smaller than early ones) — the defining online property."""
+    y = make_data()
+    res = run_storvik(y)
+    a_m, b_m, s2_m = [np.asarray(m) for m in res.param_means]
+
+    assert abs(a_m[-1] - ALPHA) < 0.1, a_m[-1]
+    assert abs(b_m[-1] - BETA) < 0.1, b_m[-1]
+    assert abs(np.sqrt(s2_m[-1]) - SIGMA) < 0.08, np.sqrt(s2_m[-1])
+
+    def err(t):
+        return (
+            abs(a_m[t] - ALPHA) + abs(b_m[t] - BETA) + abs(np.sqrt(s2_m[t]) - SIGMA)
+        )
+
+    # averaged late error below averaged early error (monotone-ish tightening)
+    early = np.mean([err(t) for t in range(20, 60)])
+    late = np.mean([err(t) for t in range(360, 400)])
+    assert late < 0.7 * early, (early, late)
+
+    assert np.isfinite(float(res.log_likelihood))
+    assert np.asarray(res.ess).min() > 1.0
+
+
+@pytest.mark.slow
+def test_storvik_matches_pmmh_posterior():
+    """Same data, diffuse priors on both sides: the Storvik online posterior
+    at T must agree with a PMMH batch posterior within combined MC error —
+    with zero jittering/tuning knobs on the Storvik side."""
+    y = make_data(n=300, seed=3)
+    res = run_storvik(y, n_particles=4000)
+    a_m, b_m, s2_m = [float(np.asarray(m)[-1]) for m in res.param_means]
+
+    def build_model(ctx):
+        alpha = ctx.named_parameter("alpha", dist.Normal(0.0, 2.0))
+        beta = ctx.named_parameter("beta", dist.Normal(0.0, 2.0))
+        sigma = ctx.named_parameter("sigma", dist.LogNormal(-1.0, 1.0))
+        return ts.LinearStateSpaceModel(models.AR(alpha, beta, sigma), (1.0, OBS_STD))
+
+    with inf.make_context(key=jax.random.PRNGKey(4)) as ctx:
+        filt = pf.SISR(build_model, 200)
+        alg = inf.PMMH(
+            filt, 400, num_chains=4,
+            proposal=inf.AdaptiveRandomWalk(initial_scale=5e-2),
+            context=ctx, key=jax.random.PRNGKey(5),
+        )
+        pm = alg.fit(y, logging=inf.logging.DefaultLogger())
+    arr = pm.as_arrays()
+    post = {k: float(v[200:].mean()) for k, v in arr.items()}
+    post_std = {k: float(v[200:].std()) + 1e-3 for k, v in arr.items()}
+
+    assert abs(a_m - post["alpha"]) < 3.0 * post_std["alpha"], (a_m, post)
+    assert abs(b_m - post["beta"]) < 3.0 * post_std["beta"], (b_m, post)
+    assert abs(np.sqrt(s2_m) - post["sigma"]) < 3.0 * post_std["sigma"], (s2_m, post)
+
+
+def test_storvik_resampling_carries_stats():
+    """Forcing a resample every step (threshold > 1) must keep the stats
+    aligned with their particles — recovery still holds."""
+    y = make_data(n=200, seed=6)
+    conj = inf.NIGAutoregression(obs_scale=OBS_STD, v0=4.0, a0=2.0, b0=0.5)
+    res = inf.StorvikFilter(conj, 2000, ess_threshold=1.1).fit(
+        jax.random.PRNGKey(7), y
+    )
+    a_m, b_m, _ = [float(np.asarray(m)[-1]) for m in res.param_means]
+    assert abs(b_m - BETA) < 0.15, b_m
+    assert abs(a_m - ALPHA) < 0.15, a_m
+
+
+def test_storvik_nan_observations_skip():
+    y = np.asarray(make_data(n=120, seed=8)).copy()
+    y[40:50] = np.nan
+    res = run_storvik(jnp.asarray(y), n_particles=1000, seed=9)
+    assert np.isfinite(float(res.log_likelihood))
+    b_m = float(np.asarray(res.param_means[1])[-1])
+    assert abs(b_m - BETA) < 0.2, b_m
