@@ -36,6 +36,31 @@ from .collective import (
 )
 
 
+def _substeps(model, k_sub, x, lw, n_sub: int, record: bool):
+    """Advance ``n_sub`` hidden sub-steps; with ``record`` each sub-step's
+    ``(values, log_weights, time)`` is collected so the history carries one
+    entry per TRANSITION (the single-device ``record_intermediary`` layout —
+    what FFBS smoothing under ``observe_every_step > 1`` needs). The
+    non-recording path keeps the fused ``propagate_substeps`` fast path
+    (law-equal, different key consumption)."""
+    if not n_sub:
+        return x, []
+    if not record:
+        return model.hidden.propagate_substeps(k_sub, x, n_sub), []
+    subs = []
+    for k in jax.random.split(k_sub, n_sub):
+        x = model.hidden.propagate(k, x)
+        subs.append((x.value, lw, x.time_index))
+    return x, subs
+
+
+def _hist_block(subs, x, lw):
+    """Stack sub-step records + the corrected state into one ``(n_sub + 1,
+    n_local, ...)`` history block (time axis leading inside the step)."""
+    parts = subs + [(x.value, lw, x.time_index)]
+    return tuple(jnp.stack(leaves) for leaves in zip(*parts))
+
+
 def spmd_filter_loop(
     model,
     n_particles: int,
@@ -141,8 +166,7 @@ def spmd_filter_loop(
         # BaseFilter.filter's first_step timing)
         k_dev = jax.random.fold_in(k_prop, dev)
         k_sub, k_final = jax.random.split(k_dev)
-        if n_sub:
-            x = model.hidden.propagate_substeps(k_sub, x, n_sub)
+        x, subs = _substeps(model, k_sub, x, lw, n_sub, record_history)
 
         def do_correct(op):
             x_, lw_ = op
@@ -163,7 +187,7 @@ def spmd_filter_loop(
         x, lw, inc_ll = jax.lax.cond(skip, do_skip, do_correct, (x, lw))
         ll = ll + inc_ll
         mean = weighted_mean(psum_normalize(lw, axis_name), x.value)
-        out = (mean, (x.value, lw, x.time_index)) if record_history else mean
+        out = (mean, _hist_block(subs, x, lw)) if record_history else mean
         return (x, lw, ll), out
 
     def apf_step(n_sub, carry, inp):
@@ -172,8 +196,7 @@ def spmd_filter_loop(
         k_res, k_prop = jax.random.split(k)
         k_dev = jax.random.fold_in(k_prop, dev)
         k_sub, k_final = jax.random.split(k_dev)
-        if n_sub:
-            x = model.hidden.propagate_substeps(k_sub, x, n_sub)
+        x, subs = _substeps(model, k_sub, x, lw, n_sub, record_history)
 
         def do_correct(op):
             x_, lw_ = op
@@ -202,7 +225,7 @@ def spmd_filter_loop(
         x, lw, inc_ll = jax.lax.cond(skip, do_skip, do_correct, (x, lw))
         ll = ll + inc_ll
         mean = weighted_mean(psum_normalize(lw, axis_name), x.value)
-        out = (mean, (x.value, lw, x.time_index)) if record_history else mean
+        out = (mean, _hist_block(subs, x, lw)) if record_history else mean
         return (x, lw, ll), out
 
     def gpf_step(n_sub, carry, inp):
@@ -216,8 +239,7 @@ def spmd_filter_loop(
         k, y_t = inp
         k_dev = jax.random.fold_in(k, dev)
         k_sub, k_prop, k_sample = jax.random.split(k_dev, 3)
-        if n_sub:
-            x = model.hidden.propagate_substeps(k_sub, x, n_sub)
+        x, subs = _substeps(model, k_sub, x, lw, n_sub, record_history)
 
         x_prop = model.hidden.propagate(k_prop, x)
 
@@ -265,15 +287,33 @@ def spmd_filter_loop(
         # (BaseFilter.filter's first_step timing) — peel it out of the scan
         carry1, out_first = body(0, carry0, (keys[0], y[0]))
         (x, lw, ll), outs_rest = jax.lax.scan(body_rest, carry1, (keys[1:], y[1:]))
-        outs = jax.tree_util.tree_map(
-            lambda a, b: jnp.concatenate([a[None], b], axis=0), out_first, outs_rest
-        )
+        if record_history:
+            # history blocks have different per-step widths (1 vs oes):
+            # flatten the scan blocks over time and splice the pieces
+            mean_first, hist_first = out_first
+            means_rest, hist_rest = outs_rest
+            means = jnp.concatenate([mean_first[None], means_rest], axis=0)
+            hist = tuple(
+                jnp.concatenate([f, r.reshape((-1,) + r.shape[2:])], axis=0)
+                for f, r in zip(hist_first, hist_rest)
+            )
+            outs = (means, hist)
+        else:
+            outs = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0), out_first, outs_rest
+            )
     else:
         (x, lw, ll), outs = jax.lax.scan(body_rest, carry0, (keys, y))
+        if record_history:
+            # oes == 1: per-step blocks are (1, n_local, ...) — drop the width
+            means, hist = outs
+            outs = (means, tuple(h.reshape((-1,) + h.shape[2:]) for h in hist))
     if record_history:
         means, (h_vals, h_lws, h_times) = outs
-        # prepend the initial state: the history spans t = 0..T exactly as the
-        # single-device record_states does (FilterHistory includes the init)
+        # prepend the initial state: the history spans every TRANSITION
+        # (t = 0..T*oes-ish; length 2 + (T-1)*oes for sub-stepped models),
+        # exactly as the single-device record_states(+record_intermediary)
+        # layout does (FilterHistory includes the init)
         history = (
             jnp.concatenate([x0.value[None], h_vals], axis=0),
             jnp.concatenate([lw0[None], h_lws], axis=0),
@@ -410,13 +450,11 @@ def spmd_smooth(
     ``n_trajectories`` deliberately defaults to a modest 256 — unlike the
     single-device ``smooth()``'s M=N: on this path N is huge by design, and
     M=N would build an (N, N/P) per-device logit matrix per backward step.
+
+    ``observe_every_step > 1`` is supported since round 4: the recorded
+    history carries one entry per TRANSITION (sub-steps included), so the
+    backward density is always a single-step transition.
     """
-    if int(model.observe_every_step) != 1:
-        raise NotImplementedError(
-            "spmd_smooth needs single-step transitions between recorded states "
-            "(observe_every_step == 1); the SPMD history does not record "
-            "intermediary sub-steps"
-        )
     vals, lws, times = history
     f = _jitted_spmd_smooth(mesh, axis_name, int(n_trajectories))
     return f(model, key, vals, lws, times)
@@ -523,14 +561,6 @@ def spmd_smoothed_log_likelihood(
     """
     from ..filters.particle.base import smoothed_joint_log_likelihood
 
-    if int(model.observe_every_step) != 1:
-        # fail BEFORE paying the full sharded filter pass — spmd_smooth would
-        # raise the same error only after minutes of compile+run at scale
-        raise NotImplementedError(
-            "spmd_smoothed_log_likelihood needs observe_every_step == 1 "
-            "(the SPMD history records no intermediary sub-steps)"
-        )
-
     frozen = jax.tree_util.tree_map(jax.lax.stop_gradient, model)
     k_filter, k_smooth = jax.random.split(key)
     y = jnp.asarray(y)
@@ -543,4 +573,6 @@ def spmd_smoothed_log_likelihood(
     smoothed = jax.lax.stop_gradient(
         spmd_smooth(frozen, k_smooth, history, mesh, n_trajectories, axis_name)
     )
-    return smoothed_joint_log_likelihood(model, history[2], smoothed, y)
+    return smoothed_joint_log_likelihood(
+        model, history[2], smoothed, y, oes=int(model.observe_every_step)
+    )
