@@ -335,7 +335,9 @@ class ParticleFilter(BaseFilter):
         return jnp.concatenate([rest, values[-1][None]], axis=0)
 
     # -- VI bridge -------------------------------------------------------------
-    def smoothed_log_likelihood(self, key, y: jax.Array, model=None) -> jax.Array:
+    def smoothed_log_likelihood(
+        self, key, y: jax.Array, model=None, smoothing: str = "ffbs", **smooth_kwargs
+    ) -> jax.Array:
         """Differentiable joint log-likelihood factor from FFBS-smoothed
         trajectories — the reference's pyro VI bridge
         (particle/base.py:176-229) without pyro: run a stop-gradient filter +
@@ -344,6 +346,10 @@ class ParticleFilter(BaseFilter):
 
         Use inside an ELBO: gradients flow through the density evaluations only
         (matching the reference's ``no_grad`` boundary, base.py:184-195).
+
+        ``smoothing="ffbsi"`` swaps the O(N·M) exact backward pass for the
+        O(N) rejection sampler (same law — see :meth:`smooth`), so the VI
+        factor runs at the particle counts filtering runs at.
         """
         model = self.model if model is None else model
         filt = self.replace(
@@ -354,7 +360,9 @@ class ParticleFilter(BaseFilter):
 
         k_filter, k_smooth = jax.random.split(key)
         result = jax.lax.stop_gradient(filt.batch_filter(k_filter, y))
-        smoothed = jax.lax.stop_gradient(filt.smooth(k_smooth, result, method="ffbs"))
+        smoothed = jax.lax.stop_gradient(
+            filt.smooth(k_smooth, result, method=smoothing, **smooth_kwargs)
+        )
         times = result.states.time_indexes
 
         # history spans t = 0..T: transitions from all-but-last, observations

@@ -167,3 +167,28 @@ def test_paris_rejects_substepping():
     )
     with pytest.raises(NotImplementedError, match="observe_every_step"):
         paris(pf.SISR(ssm, 64), jax.random.PRNGKey(0), jnp.zeros(4), lambda a, b, t: b)
+
+
+def test_vi_factor_rides_ffbsi(data_and_oracle):
+    """smoothed_log_likelihood(smoothing="ffbsi") produces the same factor as
+    the exact-FFBS bridge within MC error, and jax.grad flows through it
+    (inside jit the transition-scale probe can't run — the explicit
+    log_density_sup kwarg covers that path)."""
+    y, _, _ = data_and_oracle
+    filt = pf.SISR(ar_ssm(), 400)
+    k = jax.random.PRNGKey(10)
+    exact = float(filt.smoothed_log_likelihood(k, y))
+    rej = float(filt.smoothed_log_likelihood(k, y, smoothing="ffbsi"))
+    assert abs(rej - exact) < 0.05 * abs(exact) + 3.0, (rej, exact)
+
+    log_sup = float(transition_log_sup(ar_ssm()))
+
+    def factor(beta):
+        ssm = ts.LinearStateSpaceModel(models.AR(ALPHA, beta, SIGMA), (1.0, OBS_STD))
+        return pf.SISR(ssm, 200).smoothed_log_likelihood(
+            jax.random.PRNGKey(11), y, smoothing="ffbsi", log_density_sup=log_sup
+        )
+
+    g_low = float(jax.grad(factor)(jnp.asarray(0.3)))
+    g_high = float(jax.grad(factor)(jnp.asarray(0.95)))
+    assert g_low > 0.0 > g_high, (g_low, g_high)  # points toward the truth
