@@ -431,6 +431,110 @@ def spmd_ffbs_loop(model, n_trajectories: int, key, vals, lws, times, axis_name:
     return jnp.concatenate([rest, traj_last[None]], axis=0)
 
 
+def spmd_ffbsi_loop(
+    model, n_trajectories: int, key, vals, lws, times, axis_name: str, log_sup,
+    max_rounds: int = 8,
+):
+    """Rejection-FFBSi backward pass over a particle-sharded history (the
+    distributed twin of ``filters.particle.smoothing.ffbsi_smooth``).
+
+    Per backward step and rejection round: candidates are drawn from the
+    GLOBAL filter weights by a two-stage inverse CDF — a replicated uniform
+    picks the owning device through the all-gathered per-device mass prefix
+    (O(P) scalars), the owner inverts its local cumulative weights
+    (O(n_local) prep + O(M log n_local) search), and the candidate values
+    come back through the psum row-select (O(M·event) — the same
+    ``distributed_take_rows`` the exact pass uses). Acceptance is replicated
+    O(M) density work. Compute per round is O(n_local + M) against the exact
+    pass's O(M · n_local) per step; the exact Gumbel-max pass remains as the
+    capped-rounds fallback (executed only when a slot fails), so the law is
+    exact.
+    """
+    from ..timeseries import TimeseriesState
+    from .collective import distributed_categorical, distributed_take_rows
+
+    ev = model.hidden.event_ndim
+    m = n_trajectories
+    dev = jax.lax.axis_index(axis_name)
+    p = jax.lax.axis_size(axis_name)
+    n_local = vals.shape[1]
+
+    k_last, k_scan = jax.random.split(key)
+    logits_last = jnp.broadcast_to(lws[-1][None, :], (m,) + lws[-1].shape)
+    idx_last = distributed_categorical(k_last, logits_last, axis_name)
+    traj_last = distributed_take_rows(vals[-1], idx_last, axis_name)
+
+    def backward(traj_next, inp):
+        vals_t, lw_t, t_t, k = inp
+        # global categorical proposal machinery, O(n_local) prep per step:
+        # local share of the global probabilities + per-device mass prefix
+        z = lw_t - jax.lax.pmax(jnp.max(lw_t), axis_name)
+        e = jnp.where(jnp.isfinite(z), jnp.exp(z), 0.0)
+        total = jax.lax.psum(jnp.sum(e), axis_name)
+        probs = e / total
+        cum_local = jnp.cumsum(probs)
+        mass = cum_local[-1]
+        masses = jax.lax.all_gather(mass, axis_name)  # (P,), replicated
+        offset = jnp.concatenate(
+            [jnp.zeros(1, masses.dtype), jnp.cumsum(masses)[:-1]]
+        )[dev]
+        grand = jnp.sum(masses)
+        is_last = dev == p - 1
+
+        k_rounds, k_fb = jax.random.split(k)
+
+        def round_body(state):
+            idx, accepted, rk, r = state
+            rk, ku, ka = jax.random.split(rk, 3)
+            u = jax.random.uniform(ku, (m,), probs.dtype) * grand  # replicated
+            pos = u - offset
+            # half-open ownership spans; the last device absorbs the float
+            # edge at the total mass
+            mine = (pos >= 0.0) & jnp.where(is_last, pos <= mass, pos < mass)
+            loc = jnp.searchsorted(cum_local, pos, side="right", method="sort")
+            loc = jnp.clip(loc, 0, n_local - 1)
+            gidx = jax.lax.psum(
+                jnp.where(mine, dev * n_local + loc, 0).astype(jnp.int32), axis_name
+            )
+            x_c = distributed_take_rows(vals_t, gidx, axis_name)  # (m, *event)
+            lp = model.hidden.build_density(
+                TimeseriesState(t_t, x_c, ev)
+            ).log_prob(traj_next)
+            log_u = jnp.log(jax.random.uniform(ka, (m,), lp.dtype))
+            acc = (~accepted) & (log_u < lp - log_sup)
+            return jnp.where(acc, gidx, idx), accepted | acc, rk, r + 1
+
+        def round_cond(state):
+            _, accepted, _, r = state
+            return (~jnp.all(accepted)) & (r < max_rounds)
+
+        idx, accepted, _, _ = jax.lax.while_loop(
+            round_cond,
+            round_body,
+            (jnp.zeros((m,), jnp.int32), jnp.zeros((m,), bool), k_rounds, jnp.int32(0)),
+        )
+
+        def fallback(args):
+            idx, accepted = args
+            density = model.hidden.build_density(TimeseriesState(t_t, vals_t, ev))
+            w_state = density.log_prob(jnp.expand_dims(traj_next, 1))  # (m, n_local)
+            exact = distributed_categorical(k_fb, lw_t[None] + w_state, axis_name)
+            return jnp.where(accepted, idx, exact)
+
+        idx = jax.lax.cond(jnp.all(accepted), lambda a: a[0], fallback, (idx, accepted))
+        traj_t = distributed_take_rows(vals_t, idx, axis_name)
+        return traj_t, traj_t
+
+    t = vals.shape[0]
+    if t == 1:
+        return traj_last[None]
+    keys = jax.random.split(k_scan, t - 1)
+    _, rest = jax.lax.scan(
+        backward, traj_last, (vals[:-1], lws[:-1], times[:-1], keys), reverse=True
+    )
+    return jnp.concatenate([rest, traj_last[None]], axis=0)
+
+
 def spmd_smooth(
     model,
     key,
@@ -438,6 +542,9 @@ def spmd_smooth(
     mesh: Mesh,
     n_trajectories: int = 256,
     axis_name: str = "particles",
+    method: str = "ffbs",
+    log_density_sup=None,
+    max_rounds: int = 8,
 ):
     """FFBS smoothing of an SPMD filter history
     (``spmd_batch_filter(..., record_history=True)``'s fifth output).
@@ -454,8 +561,22 @@ def spmd_smooth(
     ``observe_every_step > 1`` is supported since round 4: the recorded
     history carries one entry per TRANSITION (sub-steps included), so the
     backward density is always a single-step transition.
+
+    ``method="ffbsi"`` swaps the exact O(M · N/P)-per-step backward pass for
+    the rejection sampler (:func:`spmd_ffbsi_loop` — O(n_local + M) compute
+    per round, still O(M) communication, exact fallback on capped rounds);
+    ``log_density_sup`` is auto-derived for homoscedastic affine models.
     """
     vals, lws, times = history
+    if method == "ffbsi":
+        if log_density_sup is None:
+            from ..filters.particle.smoothing import transition_log_sup
+
+            log_density_sup = transition_log_sup(model)
+        f = _jitted_spmd_ffbsi(mesh, axis_name, int(n_trajectories), int(max_rounds))
+        return f(model, key, vals, lws, times, jnp.asarray(log_density_sup))
+    if method != "ffbs":
+        raise NotImplementedError(f"unsupported spmd smoothing method '{method}'")
     f = _jitted_spmd_smooth(mesh, axis_name, int(n_trajectories))
     return f(model, key, vals, lws, times)
 
@@ -473,6 +594,24 @@ def _jitted_spmd_smooth(mesh, axis_name, n_trajectories):
             run,
             mesh=mesh,
             in_specs=(P(), P(), P(None, axis_name), P(None, axis_name), P()),
+            out_specs=P(),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_spmd_ffbsi(mesh, axis_name, n_trajectories, max_rounds):
+    def run(model, key, vals, lws, times, log_sup):
+        return spmd_ffbsi_loop(
+            model, n_trajectories, key, vals, lws, times, axis_name, log_sup,
+            max_rounds=max_rounds,
+        )
+
+    return jax.jit(
+        shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, axis_name), P(None, axis_name), P(), P()),
             out_specs=P(),
         )
     )

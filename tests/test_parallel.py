@@ -1079,3 +1079,33 @@ def test_spmd_smooth_substepped_matches_single_device(key):
     single = filt.smoothed_log_likelihood(jax.random.PRNGKey(9), y)
     assert np.isfinite(float(factor))
     np.testing.assert_allclose(float(factor), float(single), rtol=0.15, atol=3.0)
+
+
+def test_spmd_ffbsi_matches_exact_spmd_smooth(key):
+    """Distributed rejection-FFBSi: same smoothing law as the exact
+    distributed pass (O(n_local + M) compute per round vs O(M * N/P) per
+    step), and the forced-fallback path (max_rounds=0) stays exact."""
+    ssm = _model()
+    path = ssm.sample_states(jax.random.PRNGKey(0), 40)
+    y = path.y
+    mesh = parallel.make_mesh()
+    n = 2048
+
+    *_, history = parallel.spmd_batch_filter(ssm, n, key, y, mesh, record_history=True)
+
+    exact = parallel.spmd_smooth(ssm, jax.random.PRNGKey(7), history, mesh, n_trajectories=512)
+    rej = parallel.spmd_smooth(
+        ssm, jax.random.PRNGKey(7), history, mesh, n_trajectories=512, method="ffbsi"
+    )
+    forced = parallel.spmd_smooth(
+        ssm, jax.random.PRNGKey(7), history, mesh, n_trajectories=512,
+        method="ffbsi", max_rounds=0,
+    )
+    assert rej.shape == exact.shape == forced.shape == (41, 512)
+    m_e = np.asarray(exact).mean(axis=1)
+    np.testing.assert_allclose(np.asarray(rej).mean(axis=1), m_e, atol=0.06)
+    np.testing.assert_allclose(np.asarray(forced).mean(axis=1), m_e, atol=0.06)
+    # spread agrees too (same smoothing marginals, not collapsed draws)
+    np.testing.assert_allclose(
+        np.asarray(rej).std(axis=1), np.asarray(exact).std(axis=1), rtol=0.35, atol=0.01
+    )
