@@ -433,7 +433,7 @@ def spmd_ffbs_loop(model, n_trajectories: int, key, vals, lws, times, axis_name:
 
 def spmd_ffbsi_loop(
     model, n_trajectories: int, key, vals, lws, times, axis_name: str, log_sup,
-    max_rounds: int = 8,
+    max_rounds: int = 32,
 ):
     """Rejection-FFBSi backward pass over a particle-sharded history (the
     distributed twin of ``filters.particle.smoothing.ffbsi_smooth``).
@@ -544,7 +544,7 @@ def spmd_smooth(
     axis_name: str = "particles",
     method: str = "ffbs",
     log_density_sup=None,
-    max_rounds: int = 8,
+    max_rounds: int = 32,
 ):
     """FFBS smoothing of an SPMD filter history
     (``spmd_batch_filter(..., record_history=True)``'s fifth output).
