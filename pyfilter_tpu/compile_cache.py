@@ -35,15 +35,35 @@ def host_fingerprint() -> str:
     host population use its own cache and removes the hazard.
 
     The fingerprint covers the jax version (cache format), the machine
-    architecture, and (on Linux) the CPU flag set of processor 0.
+    architecture, and (on Linux) processor 0's flag set AND model identity
+    (vendor / family / model / stepping / model name). The model identity
+    matters even when the flag sets match: XLA's CPU tuning pseudo-features
+    (``prefer-no-scatter`` / ``prefer-no-gather``) key off the detected CPU
+    MODEL, so two hosts with identical flags can still write mutually
+    poisonous AOT entries (observed in this project's CI: a mid-session VM
+    migration reproduced the mismatch warnings — and a spurious float
+    divergence — from a cache this same session had written).
     """
     parts = [jax.__version__, platform.machine()]
     try:
+        wanted = (
+            "flags",
+            "Features",
+            "vendor_id",
+            "cpu family",
+            "model",
+            "model name",
+            "stepping",
+        )
+        seen = {}
         with open("/proc/cpuinfo") as fh:
             for line in fh:
-                if line.startswith(("flags", "Features")):
-                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                key = line.split(":", 1)[0].strip()
+                if key in wanted and key not in seen:
+                    seen[key] = " ".join(sorted(line.split(":", 1)[1].split()))
+                if key == "" and seen:  # end of processor 0's block
                     break
+        parts.extend(f"{k}={seen[k]}" for k in sorted(seen))
     except OSError:
         parts.append(platform.processor() or "unknown-cpu")
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]

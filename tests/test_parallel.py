@@ -20,18 +20,19 @@ def _model():
 def test_spmd_substep_timing_matches_single_device():
     """observe_every_step > 1: the FIRST observation is corrected after ONE
     transition (BaseFilter.filter's first_step timing) — the SPMD history
-    times must be [0, 1, 1+oes, 1+2*oes, ...] exactly as record_states gives,
-    and the loglik must agree with the exact Kalman filter (regression for
-    the first-step oes-1 extra-substep bug)."""
+    records every TRANSITION since round 4 (sub-steps included), so the
+    times must be [0, 1, 2, ...] exactly as record_states +
+    record_intermediary gives, and the loglik must agree with the exact
+    Kalman filter (regression for the first-step oes-1 extra-substep bug)."""
     ou = ts.LinearStateSpaceModel(
         models.OrnsteinUhlenbeck(0.5, 1.0, 0.1), (1.0, 0.05), observe_every_step=2
     )
     path = ou.sample_states(jax.random.PRNGKey(40), 40)
     mesh = parallel.make_mesh()
 
-    single = pf.SISR(ou, 64, record_states=True).batch_filter(
-        jax.random.PRNGKey(41), path.y[:10]
-    )
+    single = pf.SISR(
+        ou, 64, record_states=True, record_intermediary=True
+    ).batch_filter(jax.random.PRNGKey(41), path.y[:10])
     _, _, _, _, hist = parallel.spmd_batch_filter(
         ou, 512, jax.random.PRNGKey(42), path.y[:10], mesh, record_history=True
     )

@@ -50,7 +50,9 @@ def test_spmd_enkf_hlo_is_psum_only():
     ssm = _model()
     _, y = ssm.sample_states(jax.random.PRNGKey(2), 20).get_paths()
     f = _jitted_spmd_enkf(mesh, "particles", 1024, 1.0)
-    txt = f.lower(ssm, jax.random.PRNGKey(3), jnp.asarray(y)[:, None]).compile().as_text()
+    txt = f.lower(
+        ssm, jax.random.PRNGKey(3), jnp.asarray(y)[:, None], None
+    ).compile().as_text()
     assert "all-reduce" in txt
     assert "all-gather" not in txt
     assert "all-to-all" not in txt
