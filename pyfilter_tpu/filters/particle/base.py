@@ -245,7 +245,9 @@ class ParticleFilter(BaseFilter):
           O(N) expected work per step, with an exact streaming fallback for
           capped rejection rounds. Scales to N ≥ 1e5 where "ffbs" cannot.
           kwargs: ``log_density_sup`` (auto-derived for homoscedastic affine
-          models), ``max_rounds`` (default 8), ``block`` (fallback block).
+          models), ``max_rounds`` (default 16), ``block`` (fallback block),
+          ``n_trajectories`` (smooth M != N trajectories; per-step cost
+          scales with M — the realistic configuration at N ≥ 1e6).
         - "fl" — fixed-lag genealogy tracing.
         """
         history = states.states if isinstance(states, FilterResult) else states
@@ -262,17 +264,27 @@ class ParticleFilter(BaseFilter):
             return self._smooth_fl(history, **kwargs)
         raise NotImplementedError(f"unsupported smoothing method '{method}'")
 
-    def _smooth_ffbs(self, key, history: FilterHistory) -> jax.Array:
+    def _smooth_ffbs(
+        self, key, history: FilterHistory, n_trajectories: int = None
+    ) -> jax.Array:
         """Backward-sampling pass (reference particle/base.py:105-128): draw N
-        trajectories; at each step reweight particles by
-        ``w_t + log p(x_{t+1}^{(j)} | x_t^{(i)})`` and categorically re-select."""
+        trajectories (or ``n_trajectories``, laneless only); at each step
+        reweight particles by ``w_t + log p(x_{t+1}^{(j)} | x_t^{(i)})`` and
+        categorically re-select."""
         ev = self.model.hidden.event_ndim
         values = history.values          # (T, N, *batch, *event)
         log_w = history.log_weights      # (T, N, *batch)
         times = history.time_indexes     # (T, ...)
 
         k_last, k_scan = jax.random.split(key)
-        idx_last = self.resampler(k_last, log_w[-1])
+        if n_trajectories is None:
+            idx_last = self.resampler(k_last, log_w[-1])
+        else:
+            if log_w.ndim > 2:
+                raise ValueError("n_trajectories requires a laneless history")
+            from ...resampling import systematic_m
+
+            idx_last = systematic_m(k_last, log_w[-1], int(n_trajectories))
         traj_last = batched_gather(values[-1], idx_last, ev)
 
         def backward(carry, inp):

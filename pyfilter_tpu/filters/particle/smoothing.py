@@ -296,10 +296,17 @@ def ffbsi_smooth(
     log_density_sup=None,
     max_rounds: int = 16,
     block: int = 64,
+    n_trajectories: int | None = None,
 ):
     """Rejection-FFBSi trajectory sampling over a recorded filter history —
     same law as the exact FFBS (``ParticleFilter._smooth_ffbs``), O(N)
-    expected work per step. Returns ``(T, N, *batch, *event)``.
+    expected work per step. Returns ``(T, M, *batch, *event)`` with
+    ``M = n_trajectories`` (default N).
+
+    ``n_trajectories``: smooth ``M != N`` trajectories (laneless histories
+    only) — the realistic large-N configuration: the per-step cost scales
+    with M, so M=4096 trajectories over an N=1e6 filter history cost ~N/M
+    less than the full M=N pass.
     """
     ev = model.hidden.event_ndim
     values = history.values
@@ -310,7 +317,14 @@ def ffbsi_smooth(
     )
 
     k_last, k_scan = jax.random.split(key)
-    idx_last = resampler(k_last, log_w[-1])
+    if n_trajectories is None:
+        idx_last = resampler(k_last, log_w[-1])
+    else:
+        if log_w.ndim > 2:
+            raise ValueError("n_trajectories requires a laneless history")
+        from ...resampling import systematic_m
+
+        idx_last = systematic_m(k_last, log_w[-1], int(n_trajectories))
     traj_last = batched_gather(values[-1], idx_last, ev)
 
     def backward(traj_next, inp):

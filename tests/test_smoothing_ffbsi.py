@@ -145,6 +145,28 @@ def test_ffbsi_substepped_history():
     np.testing.assert_allclose(m_r, m_e, atol=0.12)
 
 
+def test_smooth_m_trajectories(data_and_oracle):
+    """n_trajectories=M != N: both smoothers return (T, M) and still hit the
+    RTS oracle marginals — the realistic configuration at large N, where the
+    per-step cost scales with M, not N."""
+    y, sm_mean, sm_var = data_and_oracle
+    filt = pf.SISR(ar_ssm(), 2000, record_states=True)
+    res = filt.batch_filter(jax.random.PRNGKey(20), y)
+    for method in ("ffbs", "ffbsi"):
+        sm = filt.smooth(jax.random.PRNGKey(21), res, method=method, n_trajectories=300)
+        assert sm.shape == (y.shape[0] + 1, 300)
+        m, _ = _smoothed_moments(sm)
+        mc_tol = 4.5 * np.sqrt(sm_var / 300).max() + 0.03
+        np.testing.assert_allclose(m[1:], sm_mean, atol=mc_tol)
+
+    # lane-batched histories refuse (systematic_m is 1-D only)
+    laned = pf.SISR(ar_ssm(), 200, record_states=True, batch_shape=(2,))
+    res_l = laned.batch_filter(jax.random.PRNGKey(22), y)
+    for method in ("ffbs", "ffbsi"):
+        with pytest.raises(ValueError, match="laneless"):
+            laned.smooth(jax.random.PRNGKey(23), res_l, method=method, n_trajectories=50)
+
+
 def test_paris_matches_rts_cumulative_mean(data_and_oracle):
     """PaRIS online additive functional S = sum_t x_t must match the sum of
     the RTS smoothed means (no recorded history anywhere)."""
