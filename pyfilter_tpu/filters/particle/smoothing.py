@@ -7,14 +7,18 @@ memory, the one particle path in this framework that could not run at
 N ≥ 1e5. This module removes that wall with two scan-native algorithms:
 
 - **Rejection FFBSi** (Douc, Garivier, Moulines & Olsson 2011, "Sequential
-  Monte Carlo smoothing for general state space hidden Markov models"):
-  each trajectory draws ancestor CANDIDATES from the filter weights
-  (inverse-CDF, O(N log N) per round via the sort-based searchsorted) and
-  accepts with probability ``p(x_{t+1} | x_cand) / sup p`` — O(N) density
-  evaluations per round, a handful of rounds in the well-mixed regime. A
-  per-model transition-density upper bound comes from
-  :func:`transition_log_sup` (homoscedastic affine processes) or an explicit
-  ``log_density_sup`` argument.
+  Monte Carlo smoothing for general state space hidden Markov models"),
+  with a UNIFORM proposal and weight-corrected acceptance: each trajectory
+  draws ancestor candidates ``i ~ Uniform{1..N}`` (a ``randint`` — no
+  inverse-CDF, no sort, no cumulative weights anywhere) and accepts with
+  probability ``(w_i / max w) · p(x_{t+1} | x_cand) / sup p``, which leaves
+  the accepted law exactly ``∝ w_i p(x_{t+1} | x_i)`` — the classic
+  weighted-proposal sampler's target. The acceptance rate pays a factor
+  ``mean(w) / max(w)`` (≈1 right after a resample, where ESS gating keeps
+  weights flat); candidates are so cheap that extra rounds more than cover
+  it. A per-model transition-density upper bound comes from
+  :func:`transition_log_sup` (homoscedastic affine processes) or an
+  explicit ``log_density_sup`` argument.
 - **Capped rounds + exact streaming fallback**: after ``max_rounds``
   vectorized rejection rounds the unaccepted slots are completed with an
   EXACT categorical draw via a Gumbel-max argmax streamed over particle
@@ -28,11 +32,14 @@ N ≥ 1e5. This module removes that wall with two scan-native algorithms:
   ``S_T = h_0(x_0) + Σ_t h(x_{t-1}, x_t)`` with O(1) memory: per-particle
   statistics ride the filter scan, no recorded history at all.
 
-TPU notes: ALL rejection rounds are drawn at once — one inverse-CDF sort,
-one (R·J) gather, one batched density eval, an argmax for each target's
-first acceptance — because sequential full-size rounds wait on straggler
-targets (measured 36 s → ~1 s per smoothing pass at N=1e5 on the v5e).
-The exact fallback streams over particle blocks with static trip counts.
+TPU notes: ALL rejection rounds are drawn at once — one ``randint``, one
+(R·J) gather, one batched density eval, an argmax for each target's first
+acceptance — because sequential full-size rounds wait on straggler targets
+(measured 36 s → ~1 s per smoothing pass at N=1e5 on the v5e). The uniform
+proposal removes the per-step inverse-CDF sort of ``N + R·J`` keys that
+dominated the weighted-proposal variant's backward scan. The exact fallback
+streams over particle blocks with static trip counts, selecting failed
+slots by ONE argsort per step (slice-indexed passes, no re-sorting).
 """
 
 from __future__ import annotations
@@ -43,9 +50,8 @@ import jax
 import jax.numpy as jnp
 
 from ...distributions import Independent, MultivariateNormal, Normal
-from ...resampling import _cumulative
 from ...timeseries import TimeseriesState
-from ...utils import batched_gather, normalize
+from ...utils import batched_gather
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -166,27 +172,6 @@ def _streaming_categorical(key, model, vals_t, lw_t, t_t, targets, ev, block):
     return idx
 
 
-def _candidates_all_rounds(key, cumw, r: int, j: int):
-    """``(r, j, *batch)`` iid categorical candidate indices in ONE
-    inverse-CDF call — one sort instead of ``r`` sequential ones, and the
-    downstream gather/density work becomes one big fused op per step (the
-    TPU shape: a handful of large launches beats many small ones; random
-    gathers especially — CLAUDE.md perf rules)."""
-    n = cumw.shape[0]
-    batch = cumw.shape[1:]
-    u = jax.random.uniform(key, (r * j,) + batch, dtype=cumw.dtype)
-    if not batch:
-        idx = jnp.searchsorted(cumw, u, side="right", method="sort")
-        return jnp.minimum(idx, n - 1).astype(jnp.int32).reshape(r, j)
-    cw = cumw.reshape(n, -1).T  # (B, N)
-    pos = u.reshape(r * j, -1).T  # (B, r*j)
-    from functools import partial
-
-    find = jax.vmap(partial(jnp.searchsorted, side="right", method="sort"))
-    idx = find(cw, pos).T.reshape((r * j,) + batch)
-    return jnp.minimum(idx, n - 1).astype(jnp.int32).reshape((r, j) + batch)
-
-
 def backward_indices(
     key,
     model,
@@ -202,25 +187,32 @@ def backward_indices(
     """One backward-kernel draw per target: index ``i`` with probability
     ``∝ w_t^i p(target | x_t^i)``.
 
-    All ``max_rounds`` rejection rounds are drawn AT ONCE — one inverse-CDF
-    sort, one ``(R·J)`` gather, one batched density eval — and each target
-    takes its FIRST accepted round (an argmax over the round axis). No
-    sequential while-loop: straggler targets with low acceptance would
-    otherwise hold every slot hostage for tens of full-size rounds (measured
-    36 s → sub-second per pass at N=1e5 on the v5e).
+    Candidates come from a UNIFORM proposal over the N particles with a
+    weight-corrected acceptance ``(w_i / max w) · p(target | x_i) / sup p``
+    — the accepted law is exactly the weighted target, but drawing a
+    candidate is a ``randint`` plus two gathers: no cumulative weights and
+    no inverse-CDF sort anywhere (the weighted-proposal variant's per-step
+    sort of ``N + R·J`` keys dominated the backward scan on the v5e).
+
+    All ``max_rounds`` rejection rounds are drawn AT ONCE — one ``randint``,
+    one ``(R·J)`` gather, one batched density eval — and each target takes
+    its FIRST accepted round (an argmax over the round axis). No sequential
+    while-loop: straggler targets with low acceptance would otherwise hold
+    every slot hostage for tens of full-size rounds (measured 36 s →
+    sub-second per pass at N=1e5 on the v5e).
 
     Targets with no acceptance among the R rounds are finished EXACTLY by a
-    streaming Gumbel-max categorical — over a small argsort-selected subset
-    of failed slots when laneless (``fallback_subset``, default
-    ``max(128, J // 64)``; repeated passes until clean), over all targets
-    when lane axes are present. The combined law is exact either way.
+    streaming Gumbel-max categorical — when laneless, failed slots are
+    ordered first by ONE argsort and fixed in static ``fallback_subset``
+    slices (as many passes as there are failures, usually one); over all
+    targets at once when lane axes are present. The combined law is exact
+    either way.
 
     ``vals_t``: ``(N, *batch, *event)``; ``lw_t``: ``(N, *batch)`` unnormalized
     log-weights; ``targets``: ``(J, *batch, *event)`` (J may differ from N only
     when there are no lane axes). Returns int32 indices ``(J, *batch)``.
     """
     ev = model.hidden.event_ndim
-    cumw = _cumulative(normalize(lw_t, axis=0))
     j_shape = targets.shape[: targets.ndim - ev]
     j = j_shape[0]
     if j_shape[1:] != lw_t.shape[1:]:
@@ -228,17 +220,20 @@ def backward_indices(
     if j != lw_t.shape[0] and len(j_shape) > 1:
         raise ValueError("J != N requires laneless inputs")
 
+    n = vals_t.shape[0]
     r = int(max_rounds)
     k_prop, k_acc, k_fb = jax.random.split(key, 3)
 
     if r > 0:
-        cand = _candidates_all_rounds(k_prop, cumw, r, j)  # (R, J, *batch)
+        cand = jax.random.randint(k_prop, (r,) + j_shape, 0, n, dtype=jnp.int32)
         flat = cand.reshape((r * j,) + j_shape[1:])
         x_c = batched_gather(vals_t, flat, ev).reshape((r,) + targets.shape)
+        lw_shift = lw_t - jnp.max(lw_t, axis=0, keepdims=True)  # log(w_i / max w)
+        lw_c = batched_gather(lw_shift, flat, 0).reshape((r,) + j_shape)
         density = model.hidden.build_density(TimeseriesState(t_t, x_c, ev))
         lp = density.log_prob(targets[None])  # (R, J, *batch)
         log_u = jnp.log(jax.random.uniform(k_acc, (r,) + j_shape, dtype=lp.dtype))
-        acc = log_u < lp - log_sup
+        acc = log_u < lw_c + lp - log_sup
         first = jnp.argmax(acc, axis=0)  # first accepting round per target
         idx = jnp.take_along_axis(cand, first[None], axis=0)[0]
         accepted = jnp.any(acc, axis=0)
@@ -247,35 +242,35 @@ def backward_indices(
         accepted = jnp.zeros(j_shape, bool)
 
     if len(j_shape) == 1:
-        # laneless: finish ONLY the failed slots, a small argsort-selected
-        # subset per pass (repeat until clean — expected one pass). The
-        # streaming block is blown up to the ~128 MB memory budget: the
-        # fallback's cost on TPU is the SEQUENTIAL block count, not the
-        # per-block work (measured 12.7 s -> ~2 s per pass at N=1e5).
+        # laneless: finish ONLY the failed slots. ONE argsort orders failures
+        # first; each pass fixes a static k_sub-slice of that order (no
+        # re-sorting — the original `accepted` mask guards re-selected
+        # boundary slots, and a fresh exact draw for an already-fixed slot is
+        # still the exact law). The streaming block is blown up to the
+        # ~128 MB memory budget: the fallback's cost on TPU is the
+        # SEQUENTIAL block count, not the per-block work (measured
+        # 12.7 s -> ~2 s per pass at N=1e5).
         k_sub = int(fallback_subset) if fallback_subset else min(j, max(128, j // 512))
-        n = vals_t.shape[0]
         block_eff = max(int(block), min(n, (1 << 25) // max(k_sub, 1)))
-        max_passes = -(-j // k_sub)
+        order = jnp.argsort(accepted)  # failed slots first (False < True)
+        n_fail = jnp.sum(~accepted)
 
         def pass_cond(state):
-            _, done, it = state
-            return (~jnp.all(done)) & (it < max_passes)
+            _, it = state
+            return it * k_sub < n_fail
 
         def pass_body(state):
-            idx, done, it = state
-            order = jnp.argsort(done)  # unaccepted slots first
-            sel = order[:k_sub]
+            idx, it = state
+            sel = jax.lax.dynamic_slice_in_dim(order, it * k_sub, k_sub, 0)
             exact = _streaming_categorical(
                 jax.random.fold_in(k_fb, it), model, vals_t, lw_t, t_t,
                 jnp.take(targets, sel, axis=0), ev, block_eff,
             )
-            fix = ~jnp.take(done, sel)
+            fix = ~jnp.take(accepted, sel)
             idx = idx.at[sel].set(jnp.where(fix, exact, jnp.take(idx, sel)))
-            return idx, done.at[sel].set(True), it + 1
+            return idx, it + 1
 
-        idx, _, _ = jax.lax.while_loop(
-            pass_cond, pass_body, (idx, accepted, jnp.int32(0))
-        )
+        idx, _ = jax.lax.while_loop(pass_cond, pass_body, (idx, jnp.int32(0)))
         return idx
 
     def fallback(args):

@@ -438,24 +438,25 @@ def spmd_ffbsi_loop(
     """Rejection-FFBSi backward pass over a particle-sharded history (the
     distributed twin of ``filters.particle.smoothing.ffbsi_smooth``).
 
-    Per backward step and rejection round: candidates are drawn from the
-    GLOBAL filter weights by a two-stage inverse CDF — a replicated uniform
-    picks the owning device through the all-gathered per-device mass prefix
-    (O(P) scalars), the owner inverts its local cumulative weights
-    (O(n_local) prep + O(M log n_local) search), and the candidate values
-    come back through the psum row-select (O(M·event) — the same
-    ``distributed_take_rows`` the exact pass uses). Acceptance is replicated
-    O(M) density work. Compute per round is O(n_local + M) against the exact
-    pass's O(M · n_local) per step; the exact Gumbel-max pass remains as the
-    capped-rounds fallback (executed only when a slot fails), so the law is
-    exact.
+    Per backward step and rejection round: candidates are drawn from a
+    UNIFORM proposal over the GLOBAL particle index — a replicated
+    ``randint``, no cumulative weights, no per-device mass prefix, no
+    searchsorted — and accepted with the weight-corrected probability
+    ``(w_i / max w) · p(target | x_i) / sup p``, which leaves the accepted
+    law exactly ``∝ w_i p(target | x_i)``. The ONLY communication per round
+    is the two psum row-selects (candidate values O(M·event) and candidate
+    log-weights O(M) — the same ``distributed_take_rows`` the exact pass
+    uses); the max-weight shift is one pmax per step. Acceptance is
+    replicated O(M) density work. Compute per round is O(M) against the
+    exact pass's O(M · n_local) per step; the exact Gumbel-max pass remains
+    as the capped-rounds fallback (executed only when a slot fails), so the
+    law is exact.
     """
     from ..timeseries import TimeseriesState
     from .collective import distributed_categorical, distributed_take_rows
 
     ev = model.hidden.event_ndim
     m = n_trajectories
-    dev = jax.lax.axis_index(axis_name)
     p = jax.lax.axis_size(axis_name)
     n_local = vals.shape[1]
 
@@ -466,42 +467,23 @@ def spmd_ffbsi_loop(
 
     def backward(traj_next, inp):
         vals_t, lw_t, t_t, k = inp
-        # global categorical proposal machinery, O(n_local) prep per step:
-        # local share of the global probabilities + per-device mass prefix
-        z = lw_t - jax.lax.pmax(jnp.max(lw_t), axis_name)
-        e = jnp.where(jnp.isfinite(z), jnp.exp(z), 0.0)
-        total = jax.lax.psum(jnp.sum(e), axis_name)
-        probs = e / total
-        cum_local = jnp.cumsum(probs)
-        mass = cum_local[-1]
-        masses = jax.lax.all_gather(mass, axis_name)  # (P,), replicated
-        offset = jnp.concatenate(
-            [jnp.zeros(1, masses.dtype), jnp.cumsum(masses)[:-1]]
-        )[dev]
-        grand = jnp.sum(masses)
-        is_last = dev == p - 1
+        # log(w_i / max w) with the GLOBAL max — one pmax per step
+        lw_shift = lw_t - jax.lax.pmax(jnp.max(lw_t), axis_name)
 
         k_rounds, k_fb = jax.random.split(k)
 
         def round_body(state):
             idx, accepted, rk, r = state
-            rk, ku, ka = jax.random.split(rk, 3)
-            u = jax.random.uniform(ku, (m,), probs.dtype) * grand  # replicated
-            pos = u - offset
-            # half-open ownership spans; the last device absorbs the float
-            # edge at the total mass
-            mine = (pos >= 0.0) & jnp.where(is_last, pos <= mass, pos < mass)
-            loc = jnp.searchsorted(cum_local, pos, side="right", method="sort")
-            loc = jnp.clip(loc, 0, n_local - 1)
-            gidx = jax.lax.psum(
-                jnp.where(mine, dev * n_local + loc, 0).astype(jnp.int32), axis_name
-            )
+            rk, kc, ka = jax.random.split(rk, 3)
+            # replicated keys => identical candidates on every device
+            gidx = jax.random.randint(kc, (m,), 0, p * n_local, dtype=jnp.int32)
             x_c = distributed_take_rows(vals_t, gidx, axis_name)  # (m, *event)
+            lw_c = distributed_take_rows(lw_shift, gidx, axis_name)  # (m,)
             lp = model.hidden.build_density(
                 TimeseriesState(t_t, x_c, ev)
             ).log_prob(traj_next)
             log_u = jnp.log(jax.random.uniform(ka, (m,), lp.dtype))
-            acc = (~accepted) & (log_u < lp - log_sup)
+            acc = (~accepted) & (log_u < lw_c + lp - log_sup)
             return jnp.where(acc, gidx, idx), accepted | acc, rk, r + 1
 
         def round_cond(state):
@@ -563,8 +545,9 @@ def spmd_smooth(
     backward density is always a single-step transition.
 
     ``method="ffbsi"`` swaps the exact O(M · N/P)-per-step backward pass for
-    the rejection sampler (:func:`spmd_ffbsi_loop` — O(n_local + M) compute
-    per round, still O(M) communication, exact fallback on capped rounds);
+    the rejection sampler (:func:`spmd_ffbsi_loop` — uniform proposal with
+    weight-corrected acceptance: O(M) compute and communication per round,
+    exact fallback on capped rounds);
     ``log_density_sup`` is auto-derived for homoscedastic affine models.
     """
     vals, lws, times = history
