@@ -28,7 +28,11 @@ import numpy as np
 from ...utils import get_ess
 from ..base import BaseAlgorithm
 from ..logging import TQDMWrapper
-from ..state import RunningFilterResult, SequentialAlgorithmState
+from ..state import (
+    RunningFilterResult,
+    SequentialAlgorithmState,
+    scrub_lane_increment,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -80,7 +84,7 @@ def _chunk_scan(filt, corr, w, ll, ys, keys, lo, hi, thr, force):
         (corr, w, ll), i, _, outs = carry
         new = filt.filter(keys[i], ys[i], corr, first_step=False)
         inc = new.log_likelihood
-        w = w + inc
+        w = w + scrub_lane_increment(inc)  # dead lane, not poison (state.py)
         ll = ll + inc
         ess = get_ess(w)
         trig = ~jnp.isfinite(w).all() | (ess < thr[i]) | force[i]
@@ -266,6 +270,14 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
             for yt in y:
                 state = self.step(yt, state)
                 logging.do_log(state.current_iteration, state)
+            # end-of-data health heal: pre-step triggers never fire after the
+            # final observation, so a lane that died ON the last step would
+            # otherwise survive into the returned state (mirrors the chunked
+            # path's exception)
+            if getattr(self, "_kernel", None) is not None and not bool(
+                np.isfinite(np.asarray(state.w)).all()
+            ):
+                state = self._do_rejuvenate(state)
             return state
 
     def _plan_buckets(self, n_total: int):
@@ -327,7 +339,10 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
             np.asarray(state.ess[-1])[None],
             np.asarray(~jnp.isfinite(state.w).all())[None],
         )
-        if trig is not None and not (self._prestep_trigger and n_total == 1):
+        if trig is not None and (
+            not (self._prestep_trigger and n_total == 1)
+            or not bool(np.isfinite(np.asarray(state.w)).all())
+        ):
             state = self._do_rejuvenate(state)
         logging.do_log(state.current_iteration, state)
 
@@ -403,8 +418,14 @@ class SequentialParticleAlgorithm(BaseAlgorithm):
                 t += hi - lo
                 lo = hi
                 # a pre-step trigger on the final observation addresses a
-                # step that never happens — the per-step loop wouldn't fire it
-                if bool(trig_np) and not (self._prestep_trigger and t >= n_total):
+                # step that never happens — the per-step loop wouldn't fire
+                # it. The HEALTH trigger is the exception: non-finite lane
+                # weights must never survive into the returned state, so a
+                # dead/NaN lane at the last step still rejuvenates.
+                if bool(trig_np) and (
+                    not (self._prestep_trigger and t >= n_total)
+                    or not bool(np.isfinite(np.asarray(state.w)).all())
+                ):
                     state = self._do_rejuvenate(state)
             logging.do_log(state.current_iteration, state)
         return state

@@ -129,6 +129,19 @@ class FilterAlgorithmState(AlgorithmState):
         return FilterAlgorithmState(filter_state)
 
 
+def scrub_lane_increment(inc: jax.Array) -> jax.Array:
+    """NaN/+inf per-lane loglik increments become ``-inf``: a parameter lane
+    whose filter step produced non-finite evidence (overflowed bijected
+    parameters, collapsed noise scales) is a DEAD lane, not a poison pill —
+    ``-inf`` zeroes its weight, keeps ESS/normalize well-defined (both scrub
+    ``-inf`` to weight 0 with uniform backfill), and still fires the
+    non-finite rejuvenation trigger so the lane is resampled away. Without
+    the scrub a single NaN increment propagates ``w -> ESS -> normalize``
+    into every lane. The filter's own log-likelihood record stays faithful —
+    only the lane-weight accumulation is scrubbed."""
+    return jnp.where(jnp.isnan(inc) | (inc == jnp.inf), -jnp.inf, inc)
+
+
 class SequentialAlgorithmState(FilterAlgorithmState):
     """State for sequential particle algorithms (reference sequential/state.py:8-69):
     per-lane parameter log-weights ``w``, per-step parameter-ESS history, and
@@ -147,7 +160,7 @@ class SequentialAlgorithmState(FilterAlgorithmState):
         """Accumulate the latest filter step: bump parameter weights by the
         per-lane loglik increment and record the ESS."""
         self.filter_state.append(correction)
-        self.w = self.w + correction.log_likelihood
+        self.w = self.w + scrub_lane_increment(correction.log_likelihood)
         self.ess.append(get_ess(self.w))
 
     def bump_iteration(self):

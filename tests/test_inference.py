@@ -1137,6 +1137,36 @@ def test_ness_with_quasi_context():
     assert ctx.quasi_engine is not None
 
 
+def test_scrub_lane_increment_kills_poison():
+    """NaN/+inf per-lane increments become -inf (dead lane); finite and -inf
+    pass through (inference/state.py:scrub_lane_increment)."""
+    from pyfilter_tpu.inference.state import scrub_lane_increment
+
+    inc = jnp.asarray([1.5, jnp.nan, jnp.inf, -jnp.inf, 0.0])
+    out = np.asarray(scrub_lane_increment(inc))
+    assert out[0] == 1.5 and out[4] == 0.0
+    assert out[1] == -np.inf and out[2] == -np.inf and out[3] == -np.inf
+
+
+@pytest.mark.parametrize("chunk_size", [None, 1], ids=["chunked", "per-step"])
+def test_ness_heals_dead_final_step(chunk_size):
+    """A lane (here: every lane) that dies ON the final observation must not
+    leak non-finite weights into the returned state: pre-step algorithms
+    (NESS) never rejuvenate after the last step by SCHEDULE, but the
+    non-finite HEALTH trigger is exempt from that skip — regression for the
+    one in-suite flake of rounds 3-4, where a compilation-order-dependent
+    NaN on the last step of ``test_ness_with_quasi_context`` survived
+    ``fit``."""
+    y = np.array(simulate(12))  # writable host copy
+    y[-1] = np.inf  # -inf observation loglik in every lane at the last step
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.APF(build_model, 50, proposal=proposals.LinearGaussianObservations())
+        alg = inf.NESS(filt, 64, context=ctx, key=jax.random.PRNGKey(2))
+        state = alg.fit(jnp.asarray(y), logging=inf.logging.DefaultLogger(),
+                        chunk_size=chunk_size)
+    assert np.isfinite(np.asarray(state.w)).all()
+
+
 def test_plot_posterior_grid():
     pytest.importorskip("matplotlib")
     import matplotlib
