@@ -33,6 +33,9 @@ import numpy as np  # noqa: E402
 
 import pyfilter_tpu as pf  # noqa: E402
 from pyfilter_tpu import interop, timeseries as ts  # noqa: E402
+from pyfilter_tpu.examples import maybe_enable_compile_cache  # noqa: E402
+
+maybe_enable_compile_cache()  # PYFILTER_COMPILE_CACHE=<dir> persists XLA compiles
 from pyfilter_tpu.timeseries import models  # noqa: E402
 
 TRUE_SIGMA = 0.05

@@ -26,6 +26,9 @@ import jax.numpy as jnp  # noqa: E402
 
 import pyfilter_tpu as pf  # noqa: E402
 from pyfilter_tpu import distributions as dist, timeseries as ts  # noqa: E402
+from pyfilter_tpu.examples import maybe_enable_compile_cache  # noqa: E402
+
+maybe_enable_compile_cache()  # PYFILTER_COMPILE_CACHE=<dir> persists XLA compiles
 from pyfilter_tpu.filters.particle import proposals  # noqa: E402
 
 

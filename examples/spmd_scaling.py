@@ -44,6 +44,9 @@ import numpy as np  # noqa: E402
 
 import pyfilter_tpu as pf  # noqa: E402
 from pyfilter_tpu import parallel, timeseries as ts  # noqa: E402
+from pyfilter_tpu.examples import maybe_enable_compile_cache  # noqa: E402
+
+maybe_enable_compile_cache()  # PYFILTER_COMPILE_CACHE=<dir> persists XLA compiles
 from pyfilter_tpu.filters.particle import proposals  # noqa: E402
 from pyfilter_tpu.timeseries import models  # noqa: E402
 

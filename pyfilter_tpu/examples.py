@@ -23,6 +23,25 @@ from . import timeseries as ts
 from .timeseries import models
 
 
+def maybe_enable_compile_cache() -> None:
+    """Honor ``PYFILTER_COMPILE_CACHE=<dir>``: persist XLA compiles there.
+
+    The example scripts call this right after their imports so that harnesses
+    running them as subprocesses (tests/test_example_scripts.py) can share
+    one persistent cache across scripts and suite runs — a cold
+    single-core run otherwise pays every example's full compile stack inside
+    the subprocess timeout (observed: the SMC2 example exceeding 900 s while
+    a cold full-suite run saturated the host's one core). No-op when the
+    variable is unset."""
+    import os
+
+    path = os.environ.get("PYFILTER_COMPILE_CACHE")
+    if path:
+        from .compile_cache import enable_compile_cache
+
+        enable_compile_cache(path, min_compile_time_secs=0.5)
+
+
 # ---------------------------------------------------------------------------
 # sine diffusion (README example)
 # ---------------------------------------------------------------------------
