@@ -19,6 +19,7 @@ from .filters import (
     ExtendedKalmanFilter,
     FilterResult,
     UnscentedKalmanFilter,
+    CubatureKalmanFilter,
     EnsembleKalmanFilter,
     EnsembleTransformKalmanFilter,
     Localization,
@@ -40,6 +41,7 @@ __all__ = [
     "KalmanFilter",
     "ExtendedKalmanFilter",
     "UnscentedKalmanFilter",
+    "CubatureKalmanFilter",
     "EnsembleKalmanFilter",
     "EnsembleTransformKalmanFilter",
     "Localization",

@@ -11,7 +11,7 @@ from .marginal import GaussianMarginalFilter
 from .particle import APF, GPF, SISR, ParticleFilter
 from .rbpf import LinearSubstructure, RaoBlackwellizedPF
 from .result import FilterHistory, FilterResult
-from .ukf import UnscentedKalmanFilter
+from .ukf import CubatureKalmanFilter, UnscentedKalmanFilter
 from .state import ParticleFilterCorrection, ParticleFilterPrediction
 
 # reference import-path aliases (pyfilter.filters exports Prediction/Correction,
@@ -28,6 +28,7 @@ __all__ = [
     "ExtendedKalmanFilter",
     "EKFState",
     "UnscentedKalmanFilter",
+    "CubatureKalmanFilter",
     "EnsembleKalmanFilter",
     "EnsembleTransformKalmanFilter",
     "Localization",

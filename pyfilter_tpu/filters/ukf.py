@@ -216,3 +216,22 @@ class UnscentedKalmanFilter:
         means = jnp.concatenate([ms_rest, m_f[-1][None]], axis=0)
         covs = jnp.concatenate([ps_rest, p_f[-1][None]], axis=0)
         return means, covs
+
+
+class CubatureKalmanFilter(UnscentedKalmanFilter):
+    """Third-degree spherical-radial cubature filter (Arasaratnam & Haykin
+    2009): 2d equally-weighted points at ``m +/- sqrt(d) * chol(P) e_i``.
+
+    Realized as the unscented transform's ``alpha=1, beta=0, kappa=0``
+    special case (``lambda = 0``): the center sigma point carries zero mean
+    AND zero covariance weight, so the propagated moments are exactly the
+    cubature rule's. Compared to the default UT this drops the Gaussian
+    fourth-moment correction (``beta=2``) — all weights are strictly
+    positive-semidefinite at any state dimension, which is the CKF's selling
+    point for high-dimensional or heavy-tailed-prior regimes. Inherits the
+    full UKF surface: ``batch_filter``, the square-root-free RTS
+    :meth:`smooth`, partial-NaN marginalization, MVN full covariances.
+    """
+
+    def __init__(self, model):
+        super().__init__(model, alpha=1.0, beta=0.0, kappa=0.0)

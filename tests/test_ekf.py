@@ -102,3 +102,71 @@ def test_ekf_is_differentiable():
     fd = (float(ll(jnp.asarray(0.5 + eps))) - float(ll(jnp.asarray(0.5 - eps)))) / (2 * eps)
     assert np.isfinite(g)
     np.testing.assert_allclose(g, fd, rtol=5e-3, atol=1e-3)
+
+
+def arctan_ssm():
+    """Strongly nonlinear observation map: y = 4*arctan(x) + small noise.
+
+    The map saturates away from the origin, so the prior-mean linearization
+    that the plain EKF uses is badly wrong whenever the predicted mean sits in
+    the saturated region — the canonical IEKF showcase."""
+    hidden = models.AR(0.0, 0.9, 1.0)
+
+    def obs(x, scale):
+        return dist.Normal(4.0 * jnp.arctan(x.value), scale)
+
+    return ts.StateSpaceModel(hidden, obs, (0.3,))
+
+
+def test_iekf_matches_kalman_on_linear_model():
+    """Re-linearizing an already-linear model is a fixed point: any number of
+    Gauss-Newton iterations must reproduce the exact Kalman filter."""
+    ssm = linear_ssm()
+    _, y = ssm.sample_states(jax.random.PRNGKey(21), 40).get_paths()
+    exact = pf.KalmanFilter(ssm).batch_filter(y)
+    iekf = pf.ExtendedKalmanFilter(ssm, iterations=4).batch_filter(y)
+    np.testing.assert_allclose(
+        float(iekf.log_likelihood), float(exact.log_likelihood), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(iekf.filter_means), np.asarray(exact.filter_means), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_iekf_update_converges_to_the_map():
+    """The defining IEKF property (Bell & Cathey 1993): the Gauss-Newton
+    iteration converges to the MAP of p(x | y) under the Gaussian predictive
+    prior — checked against a dense numeric grid maximization. The plain EKF
+    mean (one linearization at the prior mean) must be visibly off the MAP on
+    the same update, so the iterations demonstrably buy accuracy."""
+    ssm = arctan_ssm()
+    m_pred = jnp.asarray([1.5])
+    p_pred = jnp.asarray([[0.8]])
+    y = jnp.asarray([4.0 * np.arctan(2.4) + 0.1])
+    t = jnp.asarray(1.0)
+
+    m_map, _, _ = pf.ExtendedKalmanFilter(ssm, iterations=40)._correct(
+        m_pred, p_pred, y, t
+    )
+    m_ekf, _, _ = pf.ExtendedKalmanFilter(ssm)._correct(m_pred, p_pred, y, t)
+
+    xs = np.linspace(-5.0, 5.0, 400001)
+    log_post = (
+        -0.5 * (xs - 1.5) ** 2 / 0.8
+        - 0.5 * (float(y[0]) - 4.0 * np.arctan(xs)) ** 2 / 0.3**2
+    )
+    x_map = xs[np.argmax(log_post)]
+    np.testing.assert_allclose(float(m_map[0]), x_map, atol=1e-4)
+    assert abs(float(m_ekf[0]) - x_map) > 20 * abs(float(m_map[0]) - x_map)
+
+    # the full filter stays finite under the iterated correction
+    _, y_path = ssm.sample_states(jax.random.PRNGKey(22), 100).get_paths()
+    res = pf.ExtendedKalmanFilter(ssm, iterations=8).batch_filter(y_path)
+    assert np.isfinite(float(res.log_likelihood))
+    sm, _ = pf.ExtendedKalmanFilter(ssm, iterations=8).smooth(y_path)
+    assert np.all(np.isfinite(np.asarray(sm)))
+
+
+def test_iekf_rejects_bad_iterations():
+    with pytest.raises(ValueError):
+        pf.ExtendedKalmanFilter(linear_ssm(), iterations=0)

@@ -96,3 +96,44 @@ def test_ukf_is_differentiable():
     fd = (float(ll(jnp.asarray(0.5 + eps))) - float(ll(jnp.asarray(0.5 - eps)))) / (2 * eps)
     assert np.isfinite(g)
     np.testing.assert_allclose(g, fd, rtol=5e-3, atol=1e-2)
+
+
+def test_ckf_equals_kalman_on_linear_model():
+    """The spherical-radial cubature rule is exact through affine maps: on a
+    linear model the CKF must reproduce the exact Kalman filter + smoother."""
+    ssm = linear_ssm()
+    _, y = ssm.sample_states(jax.random.PRNGKey(11), 40).get_paths()
+    exact = pf.KalmanFilter(ssm).batch_filter(y)
+    ckf = pf.CubatureKalmanFilter(ssm).batch_filter(y)
+    np.testing.assert_allclose(
+        float(ckf.log_likelihood), float(exact.log_likelihood), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ckf.filter_means), np.asarray(exact.filter_means), rtol=1e-4, atol=1e-4
+    )
+    cm, cc = pf.CubatureKalmanFilter(ssm).smooth(y)
+    km, kc = pf.KalmanFilter(ssm).smooth(y)
+    np.testing.assert_allclose(np.asarray(cm), np.asarray(km), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cc), np.asarray(kc), rtol=1e-3, atol=1e-5)
+
+
+def test_ckf_center_point_carries_no_weight():
+    """alpha=1, beta=0, kappa=0 => lambda=0: zero mean AND covariance weight on
+    the center sigma point — the propagated moments are exactly the 2d-point
+    cubature rule's."""
+    ckf = pf.CubatureKalmanFilter(linear_ssm())
+    assert float(ckf._wm[0]) == 0.0 and float(ckf._wc[0]) == 0.0
+    np.testing.assert_allclose(np.asarray(ckf._wm[1:]), 0.5, rtol=1e-6)
+
+
+def test_ckf_tracks_nonlinear_sine_diffusion():
+    ssm = sine_ssm()
+    x, y = ssm.sample_states(jax.random.PRNGKey(12), 200).get_paths()
+    x = np.asarray(x)
+    ckf_res = pf.CubatureKalmanFilter(ssm).batch_filter(y)
+    ukf_res = pf.UnscentedKalmanFilter(ssm).batch_filter(y)
+    ckf_rmse = float(np.sqrt(np.mean((np.asarray(ckf_res.filter_means)[:, 0] - x) ** 2)))
+    ukf_rmse = float(np.sqrt(np.mean((np.asarray(ukf_res.filter_means)[:, 0] - x) ** 2)))
+    assert np.isfinite(float(ckf_res.log_likelihood))
+    # both are 2nd-order-accurate sigma-point rules; they should track alike
+    assert ckf_rmse < 1.2 * ukf_rmse + 1e-3, (ckf_rmse, ukf_rmse)
