@@ -20,6 +20,7 @@ from .filters import (
     FilterResult,
     UnscentedKalmanFilter,
     CubatureKalmanFilter,
+    GaussianSumFilter,
     EnsembleKalmanFilter,
     EnsembleTransformKalmanFilter,
     Localization,
@@ -42,6 +43,7 @@ __all__ = [
     "ExtendedKalmanFilter",
     "UnscentedKalmanFilter",
     "CubatureKalmanFilter",
+    "GaussianSumFilter",
     "EnsembleKalmanFilter",
     "EnsembleTransformKalmanFilter",
     "Localization",

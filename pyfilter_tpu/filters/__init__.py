@@ -6,6 +6,7 @@ from .diagnostics import crps, predictive_pit
 from .ekf import EKFState, ExtendedKalmanFilter
 from .enkf import EnKFState, EnsembleKalmanFilter
 from .etkf import EnsembleTransformKalmanFilter, Localization, gaspari_cohn
+from .gsf import GaussianSumFilter, GSFState
 from .kalman import KalmanFilter, KalmanState
 from .marginal import GaussianMarginalFilter
 from .particle import APF, GPF, SISR, ParticleFilter
@@ -29,6 +30,8 @@ __all__ = [
     "EKFState",
     "UnscentedKalmanFilter",
     "CubatureKalmanFilter",
+    "GaussianSumFilter",
+    "GSFState",
     "EnsembleKalmanFilter",
     "EnsembleTransformKalmanFilter",
     "Localization",
