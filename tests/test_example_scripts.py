@@ -18,6 +18,7 @@ SCRIPTS = [
     "spmd_scaling.py",
     "gaussian_filters_and_gradients.py",
     "batch_inference_zoo.py",
+    "online_smoothing_ensembles.py",
 ]
 
 
