@@ -21,6 +21,7 @@ from .filters import (
     UnscentedKalmanFilter,
     CubatureKalmanFilter,
     GaussianSumFilter,
+    InteractingMultipleModel,
     EnsembleKalmanFilter,
     EnsembleTransformKalmanFilter,
     Localization,
@@ -44,6 +45,7 @@ __all__ = [
     "UnscentedKalmanFilter",
     "CubatureKalmanFilter",
     "GaussianSumFilter",
+    "InteractingMultipleModel",
     "EnsembleKalmanFilter",
     "EnsembleTransformKalmanFilter",
     "Localization",

@@ -7,6 +7,7 @@ from .ekf import EKFState, ExtendedKalmanFilter
 from .enkf import EnKFState, EnsembleKalmanFilter
 from .etkf import EnsembleTransformKalmanFilter, Localization, gaspari_cohn
 from .gsf import GaussianSumFilter, GSFState
+from .imm import IMMState, InteractingMultipleModel
 from .kalman import KalmanFilter, KalmanState
 from .marginal import GaussianMarginalFilter
 from .particle import APF, GPF, SISR, ParticleFilter
@@ -32,6 +33,8 @@ __all__ = [
     "CubatureKalmanFilter",
     "GaussianSumFilter",
     "GSFState",
+    "InteractingMultipleModel",
+    "IMMState",
     "EnsembleKalmanFilter",
     "EnsembleTransformKalmanFilter",
     "Localization",
