@@ -126,9 +126,15 @@ class ExtendedKalmanFilter:
         Cathey 1993): with ``iterations=1`` this is exactly the standard EKF
         update; as iterations grow the mean converges to the MAP of
         ``p(x | y)`` under the Gaussian prior ``N(m_pred, p_pred)``. The
-        covariance and the likelihood increment use the final linearization.
+        covariance uses the final linearization, but the likelihood increment
+        always comes from the FIRST (prediction-point) pass: later iterates
+        choose their linearization point using ``y_t`` itself, so evaluating
+        the density there is no longer the one-step-ahead predictive quantity
+        the rest of the family reports (it is biased upward — which matters
+        when the likelihood feeds model comparison or PMMH).
         """
         m_i = m_pred
+        ll_first = None
         for _ in range(self.iterations):
             h_jac = jax.jacfwd(lambda v: self._obs_mean(v, t))(m_i)
             r = self._obs_cov(m_i, t)
@@ -140,9 +146,11 @@ class ExtendedKalmanFilter:
             k_gain, innov, ll_t, s_eff = masked_gaussian_update(
                 y_t, y_hat, p_pred @ h_jac.T, h_jac @ p_pred @ h_jac.T + r
             )
+            if ll_first is None:
+                ll_first = ll_t
             m_i = m_pred + k_gain @ innov
         p_new = p_pred - k_gain @ s_eff @ k_gain.T
-        return m_i, p_new, ll_t
+        return m_i, p_new, ll_first
 
     def _predict(self, m, p, t):
         """One linearized transition; returns the step Jacobian for smoothing."""

@@ -135,9 +135,21 @@ class GaussianSumFilter:
             lambda m, p: self._correct(m, p, y_t, t)
         )(means, covs)
 
+        # a numerically dead component (lost positive-definiteness -> NaN
+        # innovation likelihood) must not poison the bank through the
+        # logsumexp: demote it to -inf weight instead
+        ll_k = jnp.where(jnp.isfinite(ll_k), ll_k, -jnp.inf)
         logits = state.log_weights + ll_k
-        step_ll = jax.scipy.special.logsumexp(logits)
-        log_w = logits - step_ll
+        norm = jax.scipy.special.logsumexp(logits)
+        # if EVERY component died, keep the previous weights and record a
+        # -inf step increment (the mixture genuinely assigns zero density)
+        all_dead = ~jnp.isfinite(norm)
+        log_w = jnp.where(all_dead, state.log_weights, logits - norm)
+        # all-NaN gap: every ll_k is exactly 0 (masked update), so force the
+        # exact 0 increment the family's skip contract promises instead of
+        # the logsumexp's float residue (mirrors the IMM)
+        step_ll = jnp.where(jnp.isnan(y_t).all(), 0.0, norm)
+        log_w = jnp.where(jnp.isnan(y_t).all(), state.log_weights, log_w)
         return GSFState(means, covs, log_w, state.log_likelihood + step_ll, t)
 
     # -- whole sequence ------------------------------------------------------------

@@ -203,5 +203,6 @@ class InteractingMultipleModel:
             filter_means=means,
             filter_variances=variances,
             latest_state=last,
-            states=regime_lps,  # (T, K) per-step regime log-probabilities
+            states=None,
+            aux=regime_lps,  # (T, K) per-step regime log-probabilities
         )

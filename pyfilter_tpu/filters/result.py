@@ -45,6 +45,10 @@ class FilterResult(NamedTuple):
     filter_variances: jax.Array
     latest_state: ParticleFilterCorrection
     states: Optional[FilterHistory] = None
+    #: filter-specific per-step extras (time-major, lanes second — e.g. the
+    #: IMM's ``(T, K)`` regime log-probabilities). Kept OUT of ``states`` so
+    #: ``resample``/``exchange`` never meet a non-FilterHistory there.
+    aux: Optional[jax.Array] = None
 
     @property
     def loglikelihood(self) -> jax.Array:
@@ -80,6 +84,7 @@ class FilterResult(NamedTuple):
             lane_take(self.filter_variances, 1),
             lat,
             states,
+            lane_take(self.aux, 1),
         )
 
     def exchange(self, other: "FilterResult", mask: jax.Array) -> "FilterResult":
@@ -108,4 +113,5 @@ class FilterResult(NamedTuple):
             mix(self.filter_variances, other.filter_variances, 1),
             lat,
             states,
+            mix(self.aux, other.aux, 1) if other.aux is not None else self.aux,
         )

@@ -170,3 +170,24 @@ def test_iekf_update_converges_to_the_map():
 def test_iekf_rejects_bad_iterations():
     with pytest.raises(ValueError):
         pf.ExtendedKalmanFilter(linear_ssm(), iterations=0)
+
+
+def test_iekf_loglikelihood_is_the_predictive_one():
+    """The IEKF's reported step likelihood must be the one-step-ahead
+    PREDICTIVE quantity — i.e. exactly what the plain EKF reports (the first
+    pass linearizes at the prediction point) — NOT the density under the
+    final Gauss-Newton linearization, whose linearization point was chosen
+    using y_t itself and is systematically biased upward (matters when the
+    likelihood feeds model comparison or PMMH)."""
+    ssm = arctan_ssm()
+    # on one isolated update the increment is computed from the same
+    # prediction-point linearization as the plain EKF's, so it is exact
+    # (the totals over a whole pass legitimately differ — the iterated mean
+    # improves every later prediction point):
+    m_pred, p_pred = jnp.asarray([1.2]), jnp.asarray([[0.6]])
+    y1, t = jnp.asarray([2.0]), jnp.asarray(1.0)
+    m1, _, ll1 = pf.ExtendedKalmanFilter(ssm)._correct(m_pred, p_pred, y1, t)
+    m6, _, ll6 = pf.ExtendedKalmanFilter(ssm, iterations=6)._correct(m_pred, p_pred, y1, t)
+    np.testing.assert_allclose(float(ll6), float(ll1), rtol=1e-6)
+    # while the ITERATED mean genuinely moved (the fix changed only the ll)
+    assert abs(float(m6[0]) - float(m1[0])) > 1e-4

@@ -143,3 +143,34 @@ def test_gsf_validates_arguments():
         pf.GaussianSumFilter(ssm, spread=1.0)
     with pytest.raises(ValueError):
         pf.GaussianSumFilter(ssm, base="enkf")
+
+
+def test_gsf_dead_component_cannot_poison_the_bank():
+    """A component whose covariance lost positive-definiteness produces a NaN
+    innovation likelihood; the bank must demote it to -inf weight instead of
+    letting the NaN propagate through the logsumexp to every weight."""
+    ssm = linear_ssm()
+    gsf = pf.GaussianSumFilter(ssm, n_components=3, spread=0.5)
+    st = gsf.initialize()
+    bad_covs = st.covs.at[0].set(-jnp.eye(st.covs.shape[-1]))  # negative definite
+    st = st._replace(covs=bad_covs)
+    new = gsf.filter(jnp.asarray(0.3), st)
+    lw = np.asarray(new.log_weights)
+    assert np.isneginf(lw[0])  # the dead component is demoted, not NaN
+    assert np.all(np.isfinite(lw[1:]))
+    np.testing.assert_allclose(np.exp(lw).sum(), 1.0, rtol=1e-5)
+    assert np.isfinite(float(new.log_likelihood))
+    # the surviving components keep filtering
+    assert np.all(np.isfinite(np.asarray(new.means)[1:]))
+
+
+def test_gsf_all_components_dead_keeps_previous_weights():
+    ssm = linear_ssm()
+    gsf = pf.GaussianSumFilter(ssm, n_components=2, spread=0.5)
+    st = gsf.initialize()
+    st = st._replace(covs=-jnp.broadcast_to(jnp.eye(st.covs.shape[-1]), st.covs.shape))
+    new = gsf.filter(jnp.asarray(0.3), st)
+    np.testing.assert_allclose(
+        np.asarray(new.log_weights), np.asarray(st.log_weights), atol=1e-6
+    )
+    assert np.isneginf(float(new.log_likelihood))  # faithfully reported

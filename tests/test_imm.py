@@ -65,8 +65,8 @@ def test_imm_classifies_volatility_regimes(base):
         [ar_ssm(0.1), ar_ssm(1.0)], sticky(2), base=base
     )
     res = imm.batch_filter(y)
-    # states carries the per-step regime log-probabilities (T, K)
-    hard = np.argmax(np.asarray(res.states), axis=1)
+    # aux carries the per-step regime log-probabilities (T, K)
+    hard = np.argmax(np.asarray(res.aux), axis=1)
     acc = float(np.mean(hard == regime))
     assert acc > 0.85, acc
 
@@ -102,7 +102,7 @@ def test_imm_nan_skip_keeps_markov_prediction():
     assert np.isfinite(float(res.log_likelihood))
     assert np.asarray(res.step_log_likelihoods)[20:24].sum() == 0.0
     # regime probabilities stay normalized through the gap
-    lp = np.asarray(res.states)[20:24]
+    lp = np.asarray(res.aux)[20:24]
     np.testing.assert_allclose(np.exp(lp).sum(axis=1), 1.0, rtol=1e-5)
 
 
