@@ -183,6 +183,7 @@ def backward_indices(
     max_rounds: int = 16,
     block: int = 64,
     fallback_subset: int | None = None,
+    return_violation: bool = False,
 ):
     """One backward-kernel draw per target: index ``i`` with probability
     ``∝ w_t^i p(target | x_t^i)``.
@@ -211,6 +212,14 @@ def backward_indices(
     ``vals_t``: ``(N, *batch, *event)``; ``lw_t``: ``(N, *batch)`` unnormalized
     log-weights; ``targets``: ``(J, *batch, *event)`` (J may differ from N only
     when there are no lane axes). Returns int32 indices ``(J, *batch)``.
+
+    ``return_violation=True`` additionally returns a scalar bool flagging any
+    candidate whose transition density EXCEEDED ``log_sup``: rejection
+    sampling silently truncates acceptance "probabilities" above 1, so a bad
+    bound (e.g. a state-dependent diffusion that slipped past
+    :func:`transition_log_sup`'s homoscedasticity probes) biases the smoother
+    with no other signal. Callers surface the flag instead of trusting the
+    draw (``ffbsi_smooth`` / ``paris`` poison their output with NaN).
     """
     ev = model.hidden.event_ndim
     j_shape = targets.shape[: targets.ndim - ev]
@@ -232,6 +241,10 @@ def backward_indices(
         lw_c = batched_gather(lw_shift, flat, 0).reshape((r,) + j_shape)
         density = model.hidden.build_density(TimeseriesState(t_t, x_c, ev))
         lp = density.log_prob(targets[None])  # (R, J, *batch)
+        # a density value above the bound means the acceptance probability
+        # saturates at 1 and the accepted law is no longer the target —
+        # detectable exactly here, at the candidate evaluations
+        violated = jnp.any(lp > log_sup + 1e-4)
         log_u = jnp.log(jax.random.uniform(k_acc, (r,) + j_shape, dtype=lp.dtype))
         acc = log_u < lw_c + lp - log_sup
         first = jnp.argmax(acc, axis=0)  # first accepting round per target
@@ -240,6 +253,7 @@ def backward_indices(
     else:  # degenerate cap: everything goes through the exact fallback
         idx = jnp.zeros(j_shape, jnp.int32)
         accepted = jnp.zeros(j_shape, bool)
+        violated = jnp.asarray(False)  # the fallback draw is exact regardless
 
     if len(j_shape) == 1:
         # laneless: finish ONLY the failed slots. ONE argsort orders failures
@@ -271,16 +285,17 @@ def backward_indices(
             return idx, it + 1
 
         idx, _ = jax.lax.while_loop(pass_cond, pass_body, (idx, jnp.int32(0)))
-        return idx
+        return (idx, violated) if return_violation else idx
 
     def fallback(args):
         idx, accepted = args
         exact = _streaming_categorical(k_fb, model, vals_t, lw_t, t_t, targets, ev, block)
         return jnp.where(accepted, idx, exact)
 
-    return jax.lax.cond(
+    idx = jax.lax.cond(
         jnp.all(accepted), lambda args: args[0], fallback, (idx, accepted)
     )
+    return (idx, violated) if return_violation else idx
 
 
 def ffbsi_smooth(
@@ -292,6 +307,7 @@ def ffbsi_smooth(
     max_rounds: int = 16,
     block: int = 64,
     n_trajectories: int | None = None,
+    check_bound: bool = True,
 ):
     """Rejection-FFBSi trajectory sampling over a recorded filter history —
     same law as the exact FFBS (``ParticleFilter._smooth_ffbs``), O(N)
@@ -302,6 +318,13 @@ def ffbsi_smooth(
     only) — the realistic large-N configuration: the per-step cost scales
     with M, so M=4096 trajectories over an N=1e6 filter history cost ~N/M
     less than the full M=N pass.
+
+    A transition density observed ABOVE ``log_density_sup`` during rejection
+    (a wrong caller-supplied bound, or a state-dependent scale that slipped
+    past :func:`transition_log_sup`'s probes) would silently bias the law —
+    instead the whole returned trajectory array is poisoned with NaN
+    (disable via ``check_bound=False``; no host callback exists on the axon
+    TPU backend, so NaN is the loud in-trace signal).
     """
     ev = model.hidden.event_ndim
     values = history.values
@@ -322,22 +345,35 @@ def ffbsi_smooth(
         idx_last = systematic_m(k_last, log_w[-1], int(n_trajectories))
     traj_last = batched_gather(values[-1], idx_last, ev)
 
-    def backward(traj_next, inp):
+    def backward(carry, inp):
+        traj_next, viol = carry
         vals_t, lw_t, t_t, k = inp
-        idx = backward_indices(
-            k, model, vals_t, lw_t, t_t, traj_next, log_sup, max_rounds, block
+        idx, v = backward_indices(
+            k, model, vals_t, lw_t, t_t, traj_next, log_sup, max_rounds, block,
+            return_violation=True,
         )
         traj_t = batched_gather(vals_t, idx, ev)
-        return traj_t, traj_t
+        return (traj_t, viol | v), traj_t
 
     T = values.shape[0]
     if T == 1:
         return traj_last[None]
     keys = jax.random.split(k_scan, T - 1)
-    _, traj_rest = jax.lax.scan(
-        backward, traj_last, (values[:-1], log_w[:-1], times[:-1], keys), reverse=True
+    (_, violated), traj_rest = jax.lax.scan(
+        backward,
+        (traj_last, jnp.asarray(False)),
+        (values[:-1], log_w[:-1], times[:-1], keys),
+        reverse=True,
     )
-    return jnp.concatenate([traj_rest, traj_last[None]], axis=0)
+    traj = jnp.concatenate([traj_rest, traj_last[None]], axis=0)
+    if check_bound:
+        # A NaN-poisoned output is the only in-trace signal available: the
+        # axon TPU backend supports no host callbacks (debug.print), and a
+        # silent truncation of acceptance probabilities above 1 would bias
+        # the law with no signal at all. Remedy: pass a valid
+        # log_density_sup, or check_bound=False to accept the bias.
+        traj = jnp.where(violated, jnp.nan, traj)
+    return traj
 
 
 def paris(
@@ -362,17 +398,24 @@ def paris(
 
     ``h_fn(x_prev_values, x_values, t) -> pytree`` with leaves shaped
     ``(N, *batch, ...)`` (both value arguments are full clouds);
-    ``h0_fn(x0_values)`` optional initial term. Requires
-    ``observe_every_step == 1`` (composed sub-step transitions have no
-    closed-form density — same limit as PGAS/spmd_smooth).
+    ``h0_fn(x0_values)`` optional initial term.
+
+    ``observe_every_step > 1`` is supported the way PGAS supports it
+    (batch/mcmc/pgas.py): the composed sub-step transition has no closed-form
+    density, so the backward-sampling recursion runs at SUB-STEP granularity —
+    each uncorrected propagation is its own backward update against the
+    sub-step cloud (whose weights are the post-resample weights, unchanged
+    between corrections: pure propagation never reweights). ``h_fn`` is then
+    called once per SUB-STEP transition with that transition's target time
+    index — a functional additive over observation times only should gate on
+    ``t`` (e.g. ``jnp.where(t % oes == 0, h, 0.0)``).
 
     Returns ``(estimate, stats, result)``: the weighted smoothed-functional
     estimate (pytree), the final per-particle statistics, and the
     :class:`FilterResult` of the underlying pass.
     """
     model = filt.model
-    if int(model.observe_every_step) != 1:
-        raise NotImplementedError("paris requires observe_every_step == 1")
+    oes = int(model.observe_every_step)
     ev = model.hidden.event_ndim
     log_sup = (
         transition_log_sup(model) if log_density_sup is None else jnp.asarray(log_density_sup)
@@ -390,56 +433,90 @@ def paris(
         )
     )
 
-    def backward_update(k, prev_state, new_state, stats):
-        """PaRIS statistic recursion: average over n_tilde backward draws."""
-        vals_p, lw_p = prev_state.x.value, prev_state.log_weights
-        t_p = prev_state.x.time_index
-        targets = new_state.x.value
+    def backward_update(k, vals_p, lw_p, t_p, targets, t_new, stats):
+        """PaRIS statistic recursion: average over n_tilde backward draws
+        against the cloud ``(vals_p, lw_p)`` at time ``t_p``."""
 
         def one_draw(kk):
-            idx = backward_indices(
-                kk, model, vals_p, lw_p, t_p, targets, log_sup, max_rounds, block
+            idx, v = backward_indices(
+                kk, model, vals_p, lw_p, t_p, targets, log_sup, max_rounds, block,
+                return_violation=True,
             )
             x_prev = batched_gather(vals_p, idx, ev)
             inherited = jax.tree_util.tree_map(
                 lambda leaf: batched_gather(leaf, idx, leaf.ndim - lw_p.ndim), stats
             )
-            inc = h_fn(x_prev, targets, new_state.x.time_index)
-            return jax.tree_util.tree_map(jnp.add, inherited, inc)
+            inc = h_fn(x_prev, targets, t_new)
+            return jax.tree_util.tree_map(jnp.add, inherited, inc), v
 
-        draws = [one_draw(kk) for kk in jax.random.split(k, n_tilde)]
-        return jax.tree_util.tree_map(
+        draws, viols = zip(*(one_draw(kk) for kk in jax.random.split(k, n_tilde)))
+        stats = jax.tree_util.tree_map(
             lambda *leaves: sum(leaves) / float(n_tilde), *draws
         )
+        return stats, jnp.any(jnp.stack(viols))
 
-    state1 = filt.filter(k_first, y[0], state0, first_step=True)
-    stats1 = backward_update(k_back1, state0, state1, stats0)
+    def move_and_update(k, y_t, state, stats, first_step=False):
+        """One observation move: filter forward, then one backward update per
+        TRANSITION — a single update at oes == 1, or one per sub-step chain
+        link ``state -> sub_1 -> ... -> sub_{oes-1} -> correction`` (the
+        sub-step clouds carry the post-resample weights the filter recorded
+        for them)."""
+        n_sub = 0 if first_step else oes - 1
+        k_f, k_b = jax.random.split(k)
+        if n_sub == 0:
+            new = filt.filter(k_f, y_t, state, first_step=first_step)
+            stats, v = backward_update(
+                k_b, state.x.value, state.log_weights, state.x.time_index,
+                new.x.value, new.x.time_index, stats,
+            )
+            return new, stats, v
+        new, inter = filt.filter(k_f, y_t, state, return_intermediaries=True)
+        i_times, i_vals, i_lw, _ = inter  # leaves stacked (n_sub, ...)
+        ks = jax.random.split(k_b, n_sub + 1)
+        chain = [(state.x.value, state.log_weights, state.x.time_index)] + [
+            (i_vals[i], i_lw[i], i_times[i]) for i in range(n_sub)
+        ]
+        viol = jnp.asarray(False)
+        for i in range(n_sub):
+            vals_p, lw_p, t_p = chain[i]
+            stats, v = backward_update(
+                ks[i], vals_p, lw_p, t_p, chain[i + 1][0], chain[i + 1][2], stats
+            )
+            viol = viol | v
+        vals_p, lw_p, t_p = chain[-1]
+        stats, v = backward_update(
+            ks[-1], vals_p, lw_p, t_p, new.x.value, new.x.time_index, stats
+        )
+        return new, stats, viol | v
+
+    state1, stats1, viol1 = move_and_update(k_first, y[0], state0, stats0, first_step=True)
 
     def step(carry, inp):
-        state, stats = carry
+        state, stats, viol = carry
         k, y_t = inp
-        k_f, k_b = jax.random.split(k)
-        new = filt.filter(k_f, y_t, state)
-        stats = backward_update(k_b, state, new, stats)
-        return (new, stats), (new.log_likelihood, new.mean, new.variance)
+        new, stats, v = move_and_update(k, y_t, state, stats)
+        return (new, stats, viol | v), (new.log_likelihood, new.mean, new.variance)
 
     n_steps = y.shape[0]
     if n_steps > 1:
         keys = jax.random.split(k_scan, n_steps - 1)
-        (last, stats), (step_lls, means, variances) = jax.lax.scan(
-            step, (state1, stats1), (keys, y[1:])
+        (last, stats, violated), (step_lls, means, variances) = jax.lax.scan(
+            step, (state1, stats1, viol1), (keys, y[1:])
         )
         step_lls = jnp.concatenate([state1.log_likelihood[None], step_lls])
         means = jnp.concatenate([state1.mean[None], means])
         variances = jnp.concatenate([state1.variance[None], variances])
     else:
-        last, stats = state1, stats1
+        last, stats, violated = state1, stats1, viol1
         step_lls = state1.log_likelihood[None]
         means, variances = state1.mean[None], state1.variance[None]
 
     from ..result import FilterResult
 
     w = last.normalized_weights()
+    # same loud-failure contract as ffbsi_smooth: a violated rejection bound
+    # poisons the smoothed estimate instead of silently biasing it
+    stats = jax.tree_util.tree_map(lambda leaf: jnp.where(violated, jnp.nan, leaf), stats)
     estimate = jax.tree_util.tree_map(
         lambda leaf: jnp.sum(
             leaf * w.reshape(w.shape + (1,) * (leaf.ndim - w.ndim)), axis=0

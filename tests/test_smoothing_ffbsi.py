@@ -183,12 +183,67 @@ def test_paris_matches_rts_cumulative_mean(data_and_oracle):
     assert np.isfinite(float(res.log_likelihood))
 
 
-def test_paris_rejects_substepping():
+def test_paris_substepped_matches_ffbsi_law():
+    """observe_every_step > 1: PaRIS runs its backward update at SUB-STEP
+    granularity (each propagation is one closed-form transition, the PGAS
+    pinning trick). The online estimate of the sum of OBSERVATION-time states
+    must match the same functional computed offline from FFBSi trajectories
+    over a recorded-intermediary history."""
     ssm = ts.LinearStateSpaceModel(
-        models.AR(0.0, 0.9, 0.3), (1.0, 0.2), observe_every_step=2
+        models.AR(0.0, 0.9, 0.3), (1.0, 0.2), observe_every_step=3
     )
-    with pytest.raises(NotImplementedError, match="observe_every_step"):
-        paris(pf.SISR(ssm, 64), jax.random.PRNGKey(0), jnp.zeros(4), lambda a, b, t: b)
+    y = ssm.sample_states(jax.random.PRNGKey(6), 60).get_paths()[1][2::3]
+
+    # observation times are t = 1, 4, 7, ... (first correction after ONE
+    # transition, then oes per observation) — gate the functional on them
+    h = lambda xp, xc, t: jnp.where(jnp.mod(t, 3.0) == 1.0, xc, jnp.zeros_like(xc))
+    est, stats, res = paris(pf.SISR(ssm, 2000), jax.random.PRNGKey(7), y, h, n_tilde=2)
+    assert np.isfinite(float(est))
+    assert np.isfinite(float(res.log_likelihood))
+
+    # offline law oracle: FFBSi over the recorded sub-step history
+    filt_r = pf.SISR(ssm, 2000, record_states=True, record_intermediary=True)
+    res_r = filt_r.batch_filter(jax.random.PRNGKey(8), y)
+    traj = filt_r.smooth(jax.random.PRNGKey(9), res_r, method="ffbsi")
+    m = np.asarray(traj).mean(axis=1)  # history rows: [x0, t=1, t=2, ...]
+    target = m[1 + 3 * np.arange(len(y))].sum()
+    assert abs(float(est) - target) < 0.6, (float(est), target)
+
+
+@pytest.mark.slow
+def test_paris_on_flagship_stochvol():
+    """The oes=5 stochastic-volatility flagship (Verhulst vol: state-DEPENDENT
+    diffusion, so the bound must come from the caller) smooths online: the
+    PaRIS estimate of the summed observation-time volatility matches the
+    offline FFBSi functional, and the bound guard stays quiet under the
+    supplied bound."""
+    from pyfilter_tpu.examples import stochastic_volatility_model
+
+    model = stochastic_volatility_model(dt=0.2)  # observe_every_step = 5
+    _, y_all = model.sample_states(jax.random.PRNGKey(40), 30 * 5).get_paths()
+    y = y_all[4::5]
+
+    # practical density bound: scale = sigma * x * sqrt(dt); the Verhulst
+    # state stays near gamma=1 — bound via a conservative x_min
+    x_min = 0.05
+    log_sup = float(-np.log(0.05 * x_min * np.sqrt(0.2)) - 0.5 * np.log(2 * np.pi))
+
+    h = lambda xp, xc, t: jnp.where(jnp.mod(t, 5.0) == 1.0, xc, jnp.zeros_like(xc))
+    est, _, res = paris(
+        pf.SISR(model, 1000), jax.random.PRNGKey(41), y, h,
+        n_tilde=2, log_density_sup=log_sup,
+    )
+    assert np.isfinite(float(est)), "bound guard fired (or divergence)"
+    assert np.isfinite(float(res.log_likelihood))
+
+    filt_r = pf.SISR(model, 1000, record_states=True, record_intermediary=True)
+    res_r = filt_r.batch_filter(jax.random.PRNGKey(42), y)
+    traj = filt_r.smooth(
+        jax.random.PRNGKey(43), res_r, method="ffbsi", log_density_sup=log_sup
+    )
+    m = np.asarray(traj).mean(axis=1)
+    target = m[1 + 5 * np.arange(len(y))].sum()
+    assert abs(float(est) - target) < 0.15 * abs(target) + 0.5, (float(est), target)
 
 
 def test_vi_factor_rides_ffbsi(data_and_oracle):
@@ -214,3 +269,46 @@ def test_vi_factor_rides_ffbsi(data_and_oracle):
     g_low = float(jax.grad(factor)(jnp.asarray(0.3)))
     g_high = float(jax.grad(factor)(jnp.asarray(0.95)))
     assert g_low > 0.0 > g_high, (g_low, g_high)  # points toward the truth
+
+
+def test_ffbsi_bound_violation_is_loud():
+    """A state-dependent scale engineered to agree with the homoscedastic
+    probes of transition_log_sup at its probe states (0.0, 0.7, -1.3) slips
+    past the check and yields a bound that is NOT an upper bound on the
+    transition density. The smoother must poison its output with NaN instead
+    of silently truncating acceptance probabilities above 1 (a biased law
+    with no runtime signal)."""
+
+    def mean_scale(x, b):
+        v = x.value
+        poly = v * (v - 0.7) * (v + 1.3)
+        # == SIGMA at every probe state, down to 0.4 * SIGMA in between
+        return b * v, SIGMA * (1.0 - 0.6 * jnp.tanh(poly * poly))
+
+    hidden = ts.AffineProcess(
+        mean_scale, (jnp.asarray(BETA),), dist.Normal(0.0, SIGMA),
+        lambda b: dist.Normal(0.0, 1.0),
+    )
+    ssm = ts.LinearStateSpaceModel(hidden, (1.0, OBS_STD))
+
+    log_sup = transition_log_sup(ssm)  # the WRONG bound, derived silently
+    _, y = ssm.sample_states(jax.random.PRNGKey(30), 50).get_paths()
+    filt = pf.SISR(ssm, 1000, record_states=True)
+    res = filt.batch_filter(jax.random.PRNGKey(31), y)
+
+    sm = filt.smooth(jax.random.PRNGKey(32), res, method="ffbsi")
+    assert np.isnan(np.asarray(sm)).all()  # poisoned, not silently biased
+
+    # the escape hatch accepts the bias explicitly
+    sm_biased = filt.smooth(
+        jax.random.PRNGKey(32), res, method="ffbsi", check_bound=False
+    )
+    assert np.isfinite(np.asarray(sm_biased)).all()
+
+    # a CORRECT explicit bound (density sup under the true minimum scale)
+    # smooths fine through the same call
+    good = float(log_sup) + float(np.log(1.0 / 0.4)) + 0.05
+    sm_good = filt.smooth(
+        jax.random.PRNGKey(32), res, method="ffbsi", log_density_sup=good
+    )
+    assert np.isfinite(np.asarray(sm_good)).all()
