@@ -22,6 +22,7 @@ from .filters import (
     CubatureKalmanFilter,
     GaussianSumFilter,
     InteractingMultipleModel,
+    MarkovSwitchingModel,
     EnsembleKalmanFilter,
     EnsembleTransformKalmanFilter,
     Localization,
@@ -46,6 +47,7 @@ __all__ = [
     "CubatureKalmanFilter",
     "GaussianSumFilter",
     "InteractingMultipleModel",
+    "MarkovSwitchingModel",
     "EnsembleKalmanFilter",
     "EnsembleTransformKalmanFilter",
     "Localization",

@@ -7,7 +7,7 @@ from .ekf import EKFState, ExtendedKalmanFilter
 from .enkf import EnKFState, EnsembleKalmanFilter
 from .etkf import EnsembleTransformKalmanFilter, Localization, gaspari_cohn
 from .gsf import GaussianSumFilter, GSFState
-from .imm import IMMState, InteractingMultipleModel
+from .imm import IMMState, InteractingMultipleModel, MarkovSwitchingModel
 from .kalman import KalmanFilter, KalmanState
 from .marginal import GaussianMarginalFilter
 from .particle import APF, GPF, SISR, ParticleFilter
@@ -35,6 +35,7 @@ __all__ = [
     "GSFState",
     "InteractingMultipleModel",
     "IMMState",
+    "MarkovSwitchingModel",
     "EnsembleKalmanFilter",
     "EnsembleTransformKalmanFilter",
     "Localization",

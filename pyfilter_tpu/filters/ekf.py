@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..timeseries import TimeseriesState
+from ._lane import lane_concat, lane_exchange, lane_resample
 from ._masked import density_covariance, initial_gaussian_moments, masked_gaussian_update
 from .result import FilterResult
 
@@ -47,22 +48,16 @@ class EKFState(NamedTuple):
     # -- lane surgery (used when a leading chain/lane axis is present, e.g.
     # GaussianMarginalFilter results inside PMMH) ------------------------------
     def exchange(self, other: "EKFState", mask) -> "EKFState":
-        def mix(mine, theirs):
-            m = jnp.reshape(mask, mask.shape + (1,) * (jnp.ndim(mine) - jnp.ndim(mask)))
-            return jnp.where(m, theirs, mine)
-
-        return EKFState(*(mix(a, b) for a, b in zip(self, other)))
+        return lane_exchange(self, other, mask)
 
     def resample(self, indices, entire_history: bool = True) -> "EKFState":
-        return EKFState(*(jnp.take(leaf, indices, axis=0) for leaf in self))
+        return lane_resample(self, indices)
 
     @staticmethod
     def lane_concat(states) -> "EKFState":
         """Concatenate along the (leading) lane axis — every EKFState leaf is
         lane-leading (waste-free SMC2 with GaussianMarginalFilter lanes)."""
-        return EKFState(
-            *(jnp.concatenate(leaves, axis=0) for leaves in zip(*states))
-        )
+        return lane_concat(EKFState, states)
 
 
 class ExtendedKalmanFilter:
@@ -110,6 +105,26 @@ class ExtendedKalmanFilter:
     def _obs_cov(self, v, t):
         d = self.model.build_density(self._state(v, t))
         return density_covariance(d, self._d_y)
+
+    # -- Gaussian-step protocol --------------------------------------------------
+    # Every Gaussian filter in the family (EKF/iEKF, UKF, CKF) exposes these
+    # three methods — the explicit surface the bank filters (GSF, IMM) and the
+    # marginal adapters compose over, so no consumer reaches for private
+    # attributes chosen by string:
+    #   initialize_moments()          -> (m0, P0)
+    #   predict_moments(m, P, t)      -> (m', P', aux)   # aux: smoother gain info
+    #   correct_moments(m, P, y_t, t) -> (m', P', ll_t)  # masked-NaN exact
+    def initialize_moments(self):
+        """(m0, P0) of the initial Gaussian belief."""
+        return self.initialize()[:2]
+
+    def predict_moments(self, m, p, t):
+        """One Gaussian transition of the belief moments."""
+        return self._predict(m, p, t)
+
+    def correct_moments(self, m, p, y_t, t):
+        """One Gaussian measurement update; returns the step log-likelihood."""
+        return self._correct(m, p, y_t, t)
 
     # -- filter ----------------------------------------------------------------
     def initialize(self) -> EKFState:

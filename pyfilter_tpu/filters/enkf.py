@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..timeseries import TimeseriesState
+from ._lane import lane_concat, lane_exchange, lane_resample, lane_vmap_batch_filter
 from ._masked import density_covariance, masked_gaussian_update
 from .result import FilterResult
 
@@ -42,6 +43,17 @@ class EnKFState(NamedTuple):
 
     def get_variance(self):
         return self.ensemble.var(axis=0, ddof=1)
+
+    # -- lane surgery (leaves lane-leading under lane-vmapped passes) ----------
+    def exchange(self, other: "EnKFState", mask) -> "EnKFState":
+        return lane_exchange(self, other, mask)
+
+    def resample(self, indices, entire_history: bool = True) -> "EnKFState":
+        return lane_resample(self, indices)
+
+    @staticmethod
+    def lane_concat(states) -> "EnKFState":
+        return lane_concat(EnKFState, states)
 
 
 class EnsembleKalmanFilter:
@@ -70,11 +82,13 @@ class EnsembleKalmanFilter:
         ensemble_size: int = 100,
         inflation: float = 1.0,
         localization=None,
+        batch_shape=(),
     ):
         self.model = model
         self.ensemble_size = int(ensemble_size)
         self.inflation = float(inflation)
         self.localization = localization
+        self.batch_shape = tuple(batch_shape)
         hidden = model.hidden
         self._ev = int(hidden.event_ndim)
         init = hidden.initial_distribution()
@@ -155,7 +169,18 @@ class EnsembleKalmanFilter:
     def batch_filter(self, key, y) -> FilterResult:
         """Ensemble filtering over the whole sequence as one ``lax.scan``
         (time axis leading); the log-likelihood estimate is the running sum of
-        Gaussian innovation densities ``N(y_t; E[g(X)], C_yy + R)``."""
+        Gaussian innovation densities ``N(y_t; E[g(X)], C_yy + R)``.
+
+        ``batch_shape=(K,)`` vectorizes K independent ensembles over
+        lane-batched model-parameter leaves (one ``jax.vmap``, one key per
+        lane — see ``filters/_lane.py``)."""
+        if self.batch_shape:
+            return lane_vmap_batch_filter(
+                lambda mdl: type(self)(
+                    mdl, self.ensemble_size, self.inflation, self.localization
+                ),
+                self.model, self.batch_shape, y, key=key,
+            )
         y = jnp.asarray(y, jnp.float32)
         if y.ndim == 1:
             y = y[:, None]
@@ -224,19 +249,40 @@ class EnsembleKalmanFilter:
         fores = jnp.concatenate([fore1[None], fore_rest], axis=0)  # (T, M, d)
         anas = jnp.concatenate([ana1[None], ana_rest], axis=0)
 
-        def backward(smoothed_next, inp):
-            ana_t, fore_next = inp
-            a = ana_t - ana_t.mean(axis=0)
-            af = fore_next - fore_next.mean(axis=0)
-            c_xf = a.T @ af / (m_count - 1)  # (d, d) member-paired cross-cov
-            p_f = af.T @ af / (m_count - 1) + 1e-6 * jnp.eye(a.shape[1])
-            gain = jnp.linalg.solve(p_f.T, c_xf.T).T  # C P^{-1}
-            smoothed = ana_t + (smoothed_next - fore_next) @ gain.T
-            return smoothed, smoothed
+        return enrts_backward(fores, anas, m_count)
 
-        if y.shape[0] == 1:
-            return anas
-        _, sm_rest = jax.lax.scan(
-            backward, anas[-1], (anas[:-1], fores[1:]), reverse=True
-        )
-        return jnp.concatenate([sm_rest, anas[-1][None]], axis=0)
+
+def enrts_backward(fores, anas, m_count, rho_xx=None):
+    """Member-paired ensemble RTS backward pass (Raanes 2016), shared by the
+    stochastic EnKF and the deterministic ETKF/LETKF smoothers:
+
+    ``x_t^s = x_t^a + G_t (x_{t+1}^s - x_{t+1}^f)``,
+    ``G_t = Cov(x_t^a, x_{t+1}^f) Var(x_{t+1}^f)^{-1}``,
+
+    where the cross-covariance pairs each analysis member with ITS OWN
+    forecast propagation (the pairing survives sub-stepping and the ETKF's
+    deterministic transform alike). ``rho_xx`` optionally Schur-tapers the
+    state-state cross-covariance (Gaspari-Cohn) — at M ≪ d the untapered
+    backward gain would reintroduce the spurious long-range correlations the
+    localized analysis just removed.
+    ``fores``/``anas``: ``(T, M, d)``. Returns the smoothed ensemble
+    ``(T, M, d)``."""
+    if fores.shape[0] == 1:
+        return anas
+
+    def backward(smoothed_next, inp):
+        ana_t, fore_next = inp
+        a = ana_t - ana_t.mean(axis=0)
+        af = fore_next - fore_next.mean(axis=0)
+        c_xf = a.T @ af / (m_count - 1)  # (d, d) member-paired cross-cov
+        if rho_xx is not None:
+            c_xf = c_xf * rho_xx
+        p_f = af.T @ af / (m_count - 1) + 1e-6 * jnp.eye(a.shape[1])
+        gain = jnp.linalg.solve(p_f.T, c_xf.T).T  # C P^{-1}
+        smoothed = ana_t + (smoothed_next - fore_next) @ gain.T
+        return smoothed, smoothed
+
+    _, sm_rest = jax.lax.scan(
+        backward, anas[-1], (anas[:-1], fores[1:]), reverse=True
+    )
+    return jnp.concatenate([sm_rest, anas[-1][None]], axis=0)

@@ -125,11 +125,13 @@ class EnsembleTransformKalmanFilter:
         ensemble_size: int = 100,
         inflation: float = 1.0,
         localization: Optional[Localization] = None,
+        batch_shape=(),
     ):
         self.model = model
         self.ensemble_size = int(ensemble_size)
         self.inflation = float(inflation)
         self.localization = localization
+        self.batch_shape = tuple(batch_shape)
         hidden = model.hidden
         self._ev = int(hidden.event_ndim)
         init = hidden.initial_distribution()
@@ -251,7 +253,18 @@ class EnsembleTransformKalmanFilter:
 
     def batch_filter(self, key, y) -> FilterResult:
         """Square-root ensemble filtering over the whole sequence as one
-        ``lax.scan`` (time axis leading)."""
+        ``lax.scan`` (time axis leading). ``batch_shape=(K,)`` vectorizes K
+        independent ensembles over lane-batched model leaves (one ``jax.vmap``,
+        one key per lane)."""
+        if self.batch_shape:
+            from ._lane import lane_vmap_batch_filter
+
+            return lane_vmap_batch_filter(
+                lambda mdl: type(self)(
+                    mdl, self.ensemble_size, self.inflation, self.localization
+                ),
+                self.model, self.batch_shape, y, key=key,
+            )
         y = jnp.asarray(y, jnp.float32)
         if y.ndim == 1:
             y = y[:, None]

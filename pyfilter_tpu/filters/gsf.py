@@ -27,9 +27,18 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ._lane import lane_concat, lane_exchange, lane_resample, lane_vmap_batch_filter
 from .ekf import ExtendedKalmanFilter
 from .result import FilterResult
-from .ukf import UnscentedKalmanFilter
+from .ukf import CubatureKalmanFilter, UnscentedKalmanFilter
+
+#: per-component Gaussian step engines (the shared Gaussian-step protocol:
+#: initialize_moments / predict_moments / correct_moments)
+GAUSSIAN_BASES = {
+    "ekf": ExtendedKalmanFilter,
+    "ukf": UnscentedKalmanFilter,
+    "ckf": CubatureKalmanFilter,
+}
 
 
 class GSFState(NamedTuple):
@@ -57,38 +66,54 @@ class GSFState(NamedTuple):
         k = jnp.argmax(self.log_weights)
         return self.means[k], self.covs[k]
 
+    # -- lane surgery (leaves lane-leading under the marginal adapter's vmap) --
+    def exchange(self, other: "GSFState", mask) -> "GSFState":
+        return lane_exchange(self, other, mask)
+
+    def resample(self, indices, entire_history: bool = True) -> "GSFState":
+        return lane_resample(self, indices)
+
+    @staticmethod
+    def lane_concat(states) -> "GSFState":
+        return lane_concat(GSFState, states)
+
 
 class GaussianSumFilter:
     """Bank of ``n_components`` EKF/UKF filters over a :class:`StateSpaceModel`.
 
     ``base`` selects the per-component filter: ``"ekf"`` (autodiff Jacobians;
-    ``iterations`` passes through for the iterated EKF) or ``"ukf"`` (scaled
-    unscented transform; ``alpha``/``beta``/``kappa`` pass through).
+    ``iterations`` passes through for the iterated EKF), ``"ukf"`` (scaled
+    unscented transform; ``alpha``/``beta``/``kappa`` pass through), or
+    ``"ckf"`` (cubature) — any engine exposing the Gaussian-step protocol
+    (``initialize_moments``/``predict_moments``/``correct_moments``).
 
     ``spread`` is the fraction of the prior's dominant-eigenvector variance
     carried by the component MEANS at initialization (the rest stays in the
     shared component covariance). ``spread=0`` starts all components
     identical — they then remain identical forever (same update), so keep it
     positive when you want the bank to actually disambiguate modes.
+
+    ``batch_shape=(K,)`` vectorizes K independent banks over lane-batched
+    model-parameter leaves (one ``jax.vmap`` — see ``filters/_lane.py``).
     """
 
     def __init__(self, model, n_components: int = 4, base: str = "ekf",
-                 spread: float = 0.5, **base_kwargs):
+                 spread: float = 0.5, batch_shape=(), **base_kwargs):
         if n_components < 1:
             raise ValueError("n_components must be >= 1")
         if not 0.0 <= spread < 1.0:
             raise ValueError("spread must be in [0, 1)")
-        if base == "ekf":
-            self.base = ExtendedKalmanFilter(model, **base_kwargs)
-            self._correct = self.base._correct
-        elif base == "ukf":
-            self.base = UnscentedKalmanFilter(model, **base_kwargs)
-            self._correct = self.base._update
-        else:
-            raise ValueError(f"unknown base filter {base!r} (want 'ekf' or 'ukf')")
+        if base not in GAUSSIAN_BASES:
+            raise ValueError(
+                f"unknown base filter {base!r} (want one of {sorted(GAUSSIAN_BASES)})"
+            )
+        self.base = GAUSSIAN_BASES[base](model, **base_kwargs)
+        self.base_name = base
+        self._base_kwargs = base_kwargs
         self.model = model
         self.n_components = int(n_components)
         self.spread = float(spread)
+        self.batch_shape = tuple(batch_shape)
 
     # -- init -------------------------------------------------------------------
     def initialize(self) -> GSFState:
@@ -100,7 +125,7 @@ class GaussianSumFilter:
         Mixture mean and covariance equal ``(m0, P0)`` exactly for every K.
         """
         k = self.n_components
-        m0, p0 = self.base.initialize()[:2]
+        m0, p0 = self.base.initialize_moments()
         if k == 1:
             means = m0[None]
             covs = p0[None]
@@ -127,12 +152,12 @@ class GaussianSumFilter:
         means, covs, t = state.means, state.covs, state.time_index
         for _ in range(n_transitions):
             means, covs, _ = jax.vmap(
-                lambda m, p: self.base._predict(m, p, t)
+                lambda m, p: self.base.predict_moments(m, p, t)
             )(means, covs)
             t = t + 1.0
 
         means, covs, ll_k = jax.vmap(
-            lambda m, p: self._correct(m, p, y_t, t)
+            lambda m, p: self.base.correct_moments(m, p, y_t, t)
         )(means, covs)
 
         # a numerically dead component (lost positive-definiteness -> NaN
@@ -160,6 +185,14 @@ class GaussianSumFilter:
         ``latest_state.map_component()`` (or the recorded states) when the
         posterior is genuinely multimodal and the mixture mean is meaningless.
         """
+        if self.batch_shape:
+            return lane_vmap_batch_filter(
+                lambda mdl: GaussianSumFilter(
+                    mdl, self.n_components, self.base_name, self.spread,
+                    **self._base_kwargs,
+                ),
+                self.model, self.batch_shape, y,
+            )
         y = jnp.asarray(y, jnp.float32)
         if y.ndim == 1:
             y = y[:, None]

@@ -27,14 +27,32 @@ different parameters" setting IMM is for (maneuver/volatility regimes).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import Any, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from .ekf import ExtendedKalmanFilter
+from ._lane import lane_concat, lane_exchange, lane_resample, lane_vmap_batch_filter
 from .result import FilterResult
-from .ukf import UnscentedKalmanFilter
+
+
+class MarkovSwitchingModel(NamedTuple):
+    """Declarative spec of a regime-switching model — a pytree, so its leaves
+    (including the transition matrix) may be TRACED inference parameters.
+
+    This is the "model" the marginal adapter's builders return for
+    ``kind="imm"`` (filters/marginal.py): learning the transition matrix by
+    marginal MCMC means the builder computes ``transition_matrix`` from a
+    context parameter (e.g. a softmax of logits — rows then sum to 1 by
+    construction) and :class:`InteractingMultipleModel` consumes it in-trace.
+
+    ``models``: tuple of candidate :class:`StateSpaceModel`\\ s (same pytree
+    structure, only leaf values differ); ``initial_probs`` optional.
+    """
+
+    models: Any
+    transition_matrix: jax.Array
+    initial_probs: Optional[jax.Array] = None
 
 
 class IMMState(NamedTuple):
@@ -59,12 +77,25 @@ class IMMState(NamedTuple):
     def most_likely_regime(self):
         return jnp.argmax(self.log_probs)
 
+    # -- lane surgery (leaves lane-leading under the marginal adapter's vmap) --
+    def exchange(self, other: "IMMState", mask) -> "IMMState":
+        return lane_exchange(self, other, mask)
+
+    def resample(self, indices, entire_history: bool = True) -> "IMMState":
+        return lane_resample(self, indices)
+
+    @staticmethod
+    def lane_concat(states) -> "IMMState":
+        return lane_concat(IMMState, states)
+
 
 def _stack_models(candidates: Sequence):
     """Stack candidate models leaf-wise into one pytree with a leading K axis.
 
     Raises if the candidates' pytree structures differ (different classes or
-    static config) — the vmapped step requires one shared program.
+    static config) — the vmapped step requires one shared program. Leaves at
+    the same position may differ in SHAPE as long as they broadcast (e.g. one
+    candidate's parameter lane-batched, another's a scalar constant).
     """
     treedefs = {str(jax.tree_util.tree_structure(m)) for m in candidates}
     if len(treedefs) != 1:
@@ -72,46 +103,70 @@ def _stack_models(candidates: Sequence):
             "IMM candidate models must share pytree structure (same classes "
             f"and static config); got {len(treedefs)} distinct structures"
         )
-    return jax.tree_util.tree_map(
-        lambda *leaves: jnp.stack([jnp.asarray(l, jnp.float32) for l in leaves]),
-        *candidates,
-    )
+
+    def stack(*leaves):
+        leaves = [jnp.asarray(l, jnp.float32) for l in leaves]
+        shape = jnp.broadcast_shapes(*(l.shape for l in leaves))
+        return jnp.stack([jnp.broadcast_to(l, shape) for l in leaves])
+
+    return jax.tree_util.tree_map(stack, *candidates)
 
 
 class InteractingMultipleModel:
     """IMM estimator over ``K = len(candidates)`` regime models.
 
+    ``candidates`` is a sequence of candidate models OR a
+    :class:`MarkovSwitchingModel` spec (then ``transition_matrix`` /
+    ``initial_probs`` come from the spec — the builder-friendly form whose
+    leaves may be traced inference parameters).
+
     ``transition_matrix`` is the (K, K) Markov matrix ``Pi[i, j] =
-    P(regime j at t+1 | regime i at t)`` (rows sum to 1).
+    P(regime j at t+1 | regime i at t)`` (rows sum to 1; host-validated only
+    for concrete arrays — a TRACED matrix, e.g. a softmax of learned logits,
+    is trusted to be row-stochastic by construction).
     ``initial_probs`` defaults to uniform. ``base`` selects the per-regime
-    filter ("ekf" or "ukf", extra kwargs pass through), exactly as in
+    filter ("ekf", "ukf" or "ckf" — any Gaussian-step protocol engine, extra
+    kwargs pass through), exactly as in :class:`GaussianSumFilter`.
+    ``batch_shape=(K,)`` vectorizes independent IMM lanes exactly as in
     :class:`GaussianSumFilter`.
     """
 
-    def __init__(self, candidates: Sequence, transition_matrix,
-                 initial_probs=None, base: str = "ekf", **base_kwargs):
+    def __init__(self, candidates, transition_matrix=None,
+                 initial_probs=None, base: str = "ekf", batch_shape=(),
+                 **base_kwargs):
+        if isinstance(candidates, MarkovSwitchingModel):
+            spec = candidates
+            candidates = spec.models
+            transition_matrix = spec.transition_matrix
+            if initial_probs is None:
+                initial_probs = spec.initial_probs
+        if transition_matrix is None:
+            raise ValueError("transition_matrix is required (directly or via the spec)")
         k = len(candidates)
         if k < 2:
             raise ValueError("IMM needs at least 2 candidate models")
         trans = jnp.asarray(transition_matrix, jnp.float32)
         if trans.shape != (k, k):
             raise ValueError(f"transition_matrix must be ({k}, {k}); got {trans.shape}")
-        import numpy as np
+        if not isinstance(trans, jax.core.Tracer):
+            import numpy as np
 
-        if not np.allclose(np.asarray(trans).sum(axis=1), 1.0, atol=1e-5):
-            raise ValueError("transition_matrix rows must sum to 1")
-        if base == "ekf":
-            self._base_cls = ExtendedKalmanFilter
-            self._correct_name = "_correct"
-        elif base == "ukf":
-            self._base_cls = UnscentedKalmanFilter
-            self._correct_name = "_update"
-        else:
-            raise ValueError(f"unknown base filter {base!r} (want 'ekf' or 'ukf')")
+            if not np.allclose(np.asarray(trans).sum(axis=1), 1.0, atol=1e-5):
+                raise ValueError("transition_matrix rows must sum to 1")
+        from .gsf import GAUSSIAN_BASES
+
+        if base not in GAUSSIAN_BASES:
+            raise ValueError(
+                f"unknown base filter {base!r} (want one of {sorted(GAUSSIAN_BASES)})"
+            )
+        self._base_cls = GAUSSIAN_BASES[base]
+        self.base_name = base
         self._base_kwargs = base_kwargs
+        self.candidates = tuple(candidates)
         self.models = _stack_models(candidates)
         self.template = candidates[0]
         self.n_regimes = k
+        self.batch_shape = tuple(batch_shape)
         self.log_trans = jnp.log(jnp.maximum(trans, 1e-30))
         if initial_probs is None:
             self.log_p0 = jnp.full((k,), -jnp.log(float(k)))
@@ -125,7 +180,7 @@ class InteractingMultipleModel:
 
     def initialize(self) -> IMMState:
         means, covs = jax.vmap(
-            lambda mdl: self._regime_filter(mdl).initialize()[:2]
+            lambda mdl: self._regime_filter(mdl).initialize_moments()
         )(self.models)
         return IMMState(means, covs, self.log_p0, jnp.asarray(0.0), jnp.asarray(0.0))
 
@@ -156,9 +211,9 @@ class InteractingMultipleModel:
             filt = self._regime_filter(mdl)
             tt = t
             for _ in range(n_transitions):
-                m, p, _ = filt._predict(m, p, tt)
+                m, p, _ = filt.predict_moments(m, p, tt)
                 tt = tt + 1.0
-            return getattr(filt, self._correct_name)(m, p, y_t, tt)
+            return filt.correct_moments(m, p, y_t, tt)
 
         means, covs, ll_k = jax.vmap(one_regime)(self.models, means0, covs0)
 
@@ -177,7 +232,17 @@ class InteractingMultipleModel:
     def batch_filter(self, y) -> FilterResult:
         """IMM filtering over the whole sequence as one ``lax.scan``; the
         recorded means/variances are the regime-marginalized moments, and the
-        per-step regime probabilities are returned in ``states``."""
+        per-step regime probabilities are returned in ``aux``."""
+        if self.batch_shape:
+            spec = MarkovSwitchingModel(
+                self.candidates, jnp.exp(self.log_trans), jnp.exp(self.log_p0)
+            )
+            return lane_vmap_batch_filter(
+                lambda s: InteractingMultipleModel(
+                    s, base=self.base_name, **self._base_kwargs
+                ),
+                spec, self.batch_shape, y,
+            )
         y = jnp.asarray(y, jnp.float32)
         if y.ndim == 1:
             y = y[:, None]

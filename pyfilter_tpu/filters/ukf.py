@@ -86,6 +86,19 @@ class UnscentedKalmanFilter:
         )
         return EKFState(m0, p0, jnp.asarray(0.0), jnp.asarray(0.0))
 
+    # -- Gaussian-step protocol (see ExtendedKalmanFilter.initialize_moments) --
+    def initialize_moments(self):
+        """(m0, P0) of the initial Gaussian belief."""
+        return self.initialize()[:2]
+
+    def predict_moments(self, m, p, t):
+        """One unscented transition of the belief moments."""
+        return self._predict(m, p, t)
+
+    def correct_moments(self, m, p, y_t, t):
+        """One unscented measurement update; returns the step log-likelihood."""
+        return self._update(m, p, y_t, t)
+
     def _update(self, m, p, y_t, t):
         pts = self._sigma_points(m, p)  # (2d+1, d)
         g_pts = jnp.atleast_2d(jnp.asarray(self._obs_mean_pts(pts, t)))  # (2d+1, d_y)

@@ -174,3 +174,54 @@ def test_gsf_all_components_dead_keeps_previous_weights():
         np.asarray(new.log_weights), np.asarray(st.log_weights), atol=1e-6
     )
     assert np.isneginf(float(new.log_likelihood))  # faithfully reported
+
+
+def test_gsf_lane_batching_matches_per_lane_loop():
+    """batch_shape=(K,): one vmapped bank per lane-batched model leaf must
+    reproduce K independent single-lane runs exactly."""
+    betas = np.asarray([0.5, 0.7, 0.9], np.float32)
+    _, y = linear_ssm().sample_states(jax.random.PRNGKey(7), 40).get_paths()
+
+    laned_model = ts.LinearStateSpaceModel(
+        models.AR(0.2, jnp.asarray(betas), 0.4), (1.0, 0.25)
+    )
+    laned = pf.GaussianSumFilter(
+        laned_model, n_components=3, spread=0.5, batch_shape=(3,)
+    ).batch_filter(y)
+    assert laned.log_likelihood.shape == (3,)
+    assert laned.filter_means.shape[:2] == (40, 3)
+
+    for i, b in enumerate(betas):
+        single = pf.GaussianSumFilter(
+            linear_ssm(float(b)), n_components=3, spread=0.5
+        ).batch_filter(y)
+        np.testing.assert_allclose(
+            float(laned.log_likelihood[i]), float(single.log_likelihood), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(laned.filter_means)[:, i],
+            np.asarray(single.filter_means), rtol=2e-4, atol=1e-5,
+        )
+
+    # lane surgery on the vmapped states
+    last = laned.latest_state
+    perm = last.resample(jnp.asarray([2, 0, 1]))
+    np.testing.assert_allclose(
+        np.asarray(perm.log_likelihood),
+        np.asarray(last.log_likelihood)[[2, 0, 1]],
+    )
+    both = type(last).lane_concat([last, perm])
+    assert both.means.shape[0] == 6
+
+
+def test_gsf_ckf_base():
+    """base='ckf' rides the same Gaussian-step protocol; on a linear model
+    every base agrees with the exact Kalman likelihood."""
+    ssm = linear_ssm()
+    _, y = ssm.sample_states(jax.random.PRNGKey(8), 40).get_paths()
+    exact = pf.KalmanFilter(ssm).batch_filter(y)
+    for base in ("ekf", "ukf", "ckf"):
+        res = pf.GaussianSumFilter(ssm, n_components=3, base=base).batch_filter(y)
+        np.testing.assert_allclose(
+            float(res.log_likelihood), float(exact.log_likelihood), rtol=1e-3
+        )

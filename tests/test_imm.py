@@ -117,3 +117,52 @@ def test_imm_validates_arguments():
     other = ts.LinearStateSpaceModel(models.RandomWalk(0.3), (1.0, OBS_STD))
     with pytest.raises(ValueError):
         pf.InteractingMultipleModel([ar_ssm(0.1), other], sticky(2))
+
+
+def test_imm_lane_batching_matches_per_lane_loop():
+    """batch_shape=(K,): lane-batched candidate leaves (different low-vol
+    sigma per lane) must reproduce independent single-lane IMM runs."""
+    sig_lanes = np.asarray([0.05, 0.1, 0.2], np.float32)
+    _, _, y = switching_data(5, t_obs=80, block=40)
+
+    laned = pf.InteractingMultipleModel(
+        [ar_ssm(jnp.asarray(sig_lanes)), ar_ssm(1.0)], sticky(2), batch_shape=(3,)
+    ).batch_filter(y)
+    assert laned.log_likelihood.shape == (3,)
+    assert laned.aux.shape == (80, 3, 2)
+
+    for i, s in enumerate(sig_lanes):
+        single = pf.InteractingMultipleModel(
+            [ar_ssm(float(s)), ar_ssm(1.0)], sticky(2)
+        ).batch_filter(y)
+        np.testing.assert_allclose(
+            float(laned.log_likelihood[i]), float(single.log_likelihood), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(laned.aux)[:, i], np.asarray(single.aux), rtol=1e-3, atol=1e-4
+        )
+
+
+def test_imm_markov_switching_spec_and_traced_transition():
+    """The MarkovSwitchingModel spec constructs the same filter, and a TRACED
+    transition matrix (softmax of logits, as a learned parameter would be)
+    filters under jit without host validation."""
+    _, _, y = switching_data(6, t_obs=60, block=30)
+    spec = pf.MarkovSwitchingModel(
+        (ar_ssm(0.1), ar_ssm(1.0)), jnp.asarray(sticky(2), jnp.float32)
+    )
+    a = pf.InteractingMultipleModel(spec).batch_filter(y)
+    b = pf.InteractingMultipleModel([ar_ssm(0.1), ar_ssm(1.0)], sticky(2)).batch_filter(y)
+    np.testing.assert_allclose(float(a.log_likelihood), float(b.log_likelihood), rtol=1e-6)
+
+    @jax.jit
+    def ll_of_logit(logit):
+        p = jax.nn.sigmoid(logit)
+        trans = jnp.stack([jnp.stack([p, 1 - p]), jnp.stack([1 - p, p])])
+        m = pf.MarkovSwitchingModel((ar_ssm(0.1), ar_ssm(1.0)), trans)
+        return pf.InteractingMultipleModel(m).batch_filter(y).log_likelihood
+
+    lls = [float(ll_of_logit(jnp.asarray(v))) for v in (0.0, 2.0, 3.7)]
+    assert np.isfinite(lls).all()
+    # stickier transitions fit block-switching data better
+    assert lls[2] > lls[0]

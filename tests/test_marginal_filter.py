@@ -73,3 +73,75 @@ def test_exact_marginal_pmmh_eager_matches_fused():
             rtol=2e-5,
             atol=2e-6,
         )
+
+
+def test_ckf_marginal_matches_ekf_on_linear_model():
+    """kind='ckf' rides the same adapter; on a linear model its lane-batched
+    likelihood equals the EKF's (both exact)."""
+    _, y = build_ssm().sample_states(jax.random.PRNGKey(10), 60).get_paths()
+    with inf.make_context(key=jax.random.PRNGKey(11)) as ctx:
+        f_ekf = pf.GaussianMarginalFilter(build_model).set_batch_shape((8,))
+        f_ckf = pf.GaussianMarginalFilter(build_model, kind="ckf").set_batch_shape((8,))
+        ctx.set_batch_shape((8,))
+        f_ekf = f_ekf.initialize_model(ctx)
+        f_ckf = f_ckf.initialize_model(ctx)
+    r1 = f_ekf.batch_filter(jax.random.PRNGKey(12), y)
+    r2 = f_ckf.batch_filter(jax.random.PRNGKey(12), y)
+    np.testing.assert_allclose(
+        np.asarray(r1.log_likelihood), np.asarray(r2.log_likelihood), rtol=1e-4
+    )
+
+
+def _switching_y(seed, t_obs=300, block=50, sigmas=(0.1, 1.0), beta=0.9, obs_std=0.1):
+    rng = np.random.default_rng(seed)
+    regime = (np.arange(t_obs) // block) % 2
+    x = np.zeros(t_obs, np.float32)
+    prev = 0.0
+    for t in range(t_obs):
+        prev = beta * prev + sigmas[regime[t]] * rng.normal()
+        x[t] = prev
+    return jax.numpy.asarray(x + obs_std * rng.normal(size=t_obs).astype(np.float32))
+
+
+def _switching_builder(ctx):
+    """Learn the Markov stickiness of a two-regime volatility switcher by
+    EXACT marginal MCMC — the transition matrix is built from a context
+    parameter, lane-leading (VERDICT round-4 item 3's target use case)."""
+    p_stay = ctx.named_parameter("p_stay", dist.Uniform(0.5, 0.999))
+    p = jax.numpy.asarray(p_stay)[..., None, None]
+    eye = jax.numpy.eye(2)
+    trans = p * eye + (1.0 - p) * (1.0 - eye)  # (*lanes, 2, 2), rows sum to 1
+    low = ts.LinearStateSpaceModel(ts.models.AR(0.0, 0.9, 0.1), (1.0, 0.1))
+    high = ts.LinearStateSpaceModel(ts.models.AR(0.0, 0.9, 1.0), (1.0, 0.1))
+    return pf.MarkovSwitchingModel((low, high), trans)
+
+
+def test_imm_marginal_pmmh_recovers_transition_stickiness():
+    """IMM-likelihood PMMH: the regime-switching data (blocks of 50 steps,
+    true per-step stay probability 0.98) must pull the posterior of the
+    transition matrix's stay probability far above the prior mean (0.75) and
+    into the sticky regime."""
+    y = _switching_y(0)
+    with inf.make_context(key=jax.random.PRNGKey(20)) as ctx:
+        pmmh = inf.PMMH(
+            pf.GaussianMarginalFilter(_switching_builder, kind="imm"),
+            300,
+            num_chains=4,
+            proposal=inf.RandomWalk(scale=0.15),
+            initializer="seed",
+            context=ctx,
+        )
+        res = pmmh.fit(y)
+
+    s = np.asarray(res.samples["p_stay"])[100:].reshape(-1)
+    assert len(np.unique(s)) > 30  # exact likelihood: the chain moves
+    assert s.mean() > 0.9, (s.mean(), s.std())
+    # and the likelihood itself ranks sticky above independent switching
+    with inf.make_context(key=jax.random.PRNGKey(21)) as ctx2:
+        f = pf.GaussianMarginalFilter(_switching_builder, kind="imm").set_batch_shape((2,))
+        ctx2.set_batch_shape((2,))
+        f = f.initialize_model(ctx2)  # registers p_stay, samples lanes
+        ctx2.update_parameter("p_stay", jax.numpy.asarray([0.6, 0.97]))
+        f = f.initialize_model(ctx2)  # rebuild with the pinned lane values
+    lls = np.asarray(f.batch_filter(jax.random.PRNGKey(22), y).log_likelihood)
+    assert lls[1] > lls[0]
