@@ -126,6 +126,20 @@ class ExtendedKalmanFilter:
         """One Gaussian measurement update; returns the step log-likelihood."""
         return self._correct(m, p, y_t, t)
 
+    def predict_moments_cross(self, m, p, t, n_transitions: int):
+        """``n_transitions`` composed transitions, additionally returning the
+        cross-covariance ``Cov(x_t, x_{t+n})`` — the quantity every RTS-style
+        backward gain is built from (``gain = cross @ P_pred^{-1}``). For the
+        EKF the composed cross is ``P_t F_total'`` with the chained step
+        Jacobians."""
+        p_start = p
+        f_total = jnp.eye(self._d_x)
+        for _ in range(n_transitions):
+            m, p, f_jac = self._predict(m, p, t)
+            f_total = f_jac @ f_total
+            t = t + 1.0
+        return m, p, p_start @ f_total.T
+
     # -- filter ----------------------------------------------------------------
     def initialize(self) -> EKFState:
         m0, p0 = initial_gaussian_moments(
@@ -220,10 +234,14 @@ class ExtendedKalmanFilter:
         )
 
     # -- smoothing --------------------------------------------------------------
-    def smooth(self, y):
+    def smooth(self, y, initial_moments=None):
         """Extended RTS smoother: the backward pass reuses each step's
         composed transition Jacobian (re-linearization at the filtered means).
         Returns ``(means, covs)`` of shapes ``(T, d)`` and ``(T, d, d)``.
+
+        ``initial_moments=(m0, P0)`` overrides the model prior — the hook the
+        Gaussian-sum smoother uses to smooth each mixture component from its
+        own split initialization.
         """
         y = jnp.asarray(y, jnp.float32)
         if y.ndim == 1:
@@ -240,9 +258,8 @@ class ExtendedKalmanFilter:
             m_f, p_f, _ = self._correct(m, p, y_t, t)
             return (m_pred, p_pred, m_f, p_f, f_total), t
 
-        rec0, t1 = forward_move(
-            *self.initialize()[:2], jnp.asarray(0.0), y[0], 1
-        )
+        m0, p0 = self.initialize_moments() if initial_moments is None else initial_moments
+        rec0, t1 = forward_move(m0, p0, jnp.asarray(0.0), y[0], 1)
 
         def fwd(carry, y_t):
             m, p, t = carry

@@ -261,25 +261,41 @@ def enrts_backward(fores, anas, m_count, rho_xx=None):
 
     where the cross-covariance pairs each analysis member with ITS OWN
     forecast propagation (the pairing survives sub-stepping and the ETKF's
-    deterministic transform alike). ``rho_xx`` optionally Schur-tapers the
-    state-state cross-covariance (Gaspari-Cohn) — at M ≪ d the untapered
-    backward gain would reintroduce the spurious long-range correlations the
-    localized analysis just removed.
+    deterministic transform alike).
+
+    The global branch computes the gain in ENSEMBLE space through the
+    push-through identity ``A_a A_f' (A_f A_f' + εI_d)^{-1} = A_a (A_f' A_f +
+    εI_M)^{-1} A_f'`` — an (M, M) solve instead of (d, d): at M < d the
+    state-space forecast covariance is rank-deficient (rank M-1) and its
+    regularized (d, d) solve is numerically explosive (observed: NaN at
+    d=256, M=40), while the ensemble-space system is full-rank by
+    construction and O(M²d + M³) instead of O(d³).
+
+    ``rho_xx`` (Gaspari-Cohn state-state taper) switches to the localized
+    branch: both the cross-covariance AND the forecast covariance are
+    Schur-tapered (the taper restores full rank — the same reason the
+    localized analysis works at M ≪ d), then solved in state space.
     ``fores``/``anas``: ``(T, M, d)``. Returns the smoothed ensemble
     ``(T, M, d)``."""
     if fores.shape[0] == 1:
         return anas
+    m_eff = m_count - 1.0
 
     def backward(smoothed_next, inp):
         ana_t, fore_next = inp
-        a = ana_t - ana_t.mean(axis=0)
-        af = fore_next - fore_next.mean(axis=0)
-        c_xf = a.T @ af / (m_count - 1)  # (d, d) member-paired cross-cov
-        if rho_xx is not None:
-            c_xf = c_xf * rho_xx
-        p_f = af.T @ af / (m_count - 1) + 1e-6 * jnp.eye(a.shape[1])
-        gain = jnp.linalg.solve(p_f.T, c_xf.T).T  # C P^{-1}
-        smoothed = ana_t + (smoothed_next - fore_next) @ gain.T
+        a = ana_t - ana_t.mean(axis=0)  # (M, d) analysis anomalies
+        af = fore_next - fore_next.mean(axis=0)  # (M, d) forecast anomalies
+        innov = smoothed_next - fore_next  # (M, d)
+        if rho_xx is None:
+            # ensemble-space gain: innov @ G' = innov @ A_f' K^{-1} A_a
+            k_mat = af @ af.T + m_eff * 1e-6 * jnp.eye(af.shape[0])
+            tmp = innov @ af.T  # (M, M)
+            smoothed = ana_t + jnp.linalg.solve(k_mat, tmp.T).T @ a
+        else:
+            c_xf = rho_xx * (a.T @ af) / m_eff
+            p_f = rho_xx * (af.T @ af) / m_eff + 1e-6 * jnp.eye(a.shape[1])
+            gain = jnp.linalg.solve(p_f.T, c_xf.T).T  # C P^{-1}
+            smoothed = ana_t + innov @ gain.T
         return smoothed, smoothed
 
     _, sm_rest = jax.lax.scan(

@@ -68,13 +68,18 @@ class Localization(NamedTuple):
 
     ``rho_xy`` ``(d, d_y)`` tapers state-observation covariances (also the
     LETKF's per-state-component observation weights); ``rho_yy`` ``(d_y,
-    d_y)`` tapers the observation-space covariance. Build from coordinates
-    with :meth:`from_coords` (pluggable metric — e.g. a periodic ring
-    distance) or supply precomputed distance matrices to :meth:`from_distances`.
+    d_y)`` tapers the observation-space covariance; ``rho_xx`` ``(d, d)``
+    tapers state-state covariances (used by the ensemble SMOOTHER's backward
+    gain — at M ≪ d the untapered gain would reintroduce the spurious
+    long-range correlations the localized analysis removed). Build from
+    coordinates with :meth:`from_coords` (pluggable metric — e.g. a periodic
+    ring distance) or supply precomputed distance matrices to
+    :meth:`from_distances`.
     """
 
     rho_xy: jax.Array
     rho_yy: jax.Array
+    rho_xx: Optional[jax.Array] = None
 
     @classmethod
     def from_coords(
@@ -97,13 +102,17 @@ class Localization(NamedTuple):
         metric = metric or _euclidean
         d_xy = metric(sc[:, None, :], oc[None, :, :])
         d_yy = metric(oc[:, None, :], oc[None, :, :])
-        return cls.from_distances(d_xy, d_yy, radius)
+        d_xx = metric(sc[:, None, :], sc[None, :, :])
+        return cls.from_distances(d_xy, d_yy, radius, dist_xx=d_xx)
 
     @classmethod
-    def from_distances(cls, dist_xy, dist_yy, radius: float = 1.0) -> "Localization":
+    def from_distances(
+        cls, dist_xy, dist_yy, radius: float = 1.0, dist_xx=None
+    ) -> "Localization":
         return cls(
             gaspari_cohn(jnp.asarray(dist_xy) / radius),
             gaspari_cohn(jnp.asarray(dist_yy) / radius),
+            None if dist_xx is None else gaspari_cohn(jnp.asarray(dist_xx) / radius),
         )
 
 
@@ -292,3 +301,44 @@ class EnsembleTransformKalmanFilter:
             latest_state=last,
             states=None,
         )
+
+    # -- smoothing ----------------------------------------------------------------
+    def smooth(self, key, y):
+        """Ensemble transform Kalman smoother: the forward pass records each
+        step's (forecast, analysis) ensemble pair, the backward pass is the
+        member-paired ensemble RTS shared with the stochastic filter
+        (:func:`~pyfilter_tpu.filters.enkf.enrts_backward`) — the determinism
+        of the ETKF analysis changes nothing about the backward identity,
+        which only pairs each analysis member with its own forecast. With
+        localization, the backward gain's state-state cross-covariance is
+        Gaspari-Cohn tapered by ``localization.rho_xx`` (the smoother-side
+        analogue of the LETKF's domain localization).
+        Returns the smoothed ensemble ``(T, M, d)``."""
+        from .enkf import enrts_backward
+
+        y = jnp.asarray(y, jnp.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+        oes = int(self.model.observe_every_step)
+
+        def forward_move(key, ens, t, y_t, n):
+            fore, t = self._forecast(key, ens, t, n)
+            ana, _ = self._analysis(fore, y_t, t)
+            return (fore, ana), t
+
+        k_init, k0, k_scan = jax.random.split(key, 3)
+        ens0 = self.initialize(k_init).ensemble
+        (fore1, ana1), t1 = forward_move(k0, ens0, jnp.asarray(0.0), y[0], 1)
+
+        def fwd(carry, inp):
+            ens, t = carry
+            k, y_t = inp
+            (fore, ana), t_new = forward_move(k, ens, t, y_t, oes)
+            return (ana, t_new), (fore, ana)
+
+        keys = jax.random.split(k_scan, y.shape[0] - 1)
+        _, (fore_rest, ana_rest) = jax.lax.scan(fwd, (ana1, t1), (keys, y[1:]))
+        fores = jnp.concatenate([fore1[None], fore_rest], axis=0)
+        anas = jnp.concatenate([ana1[None], ana_rest], axis=0)
+        rho_xx = self.localization.rho_xx if self.localization is not None else None
+        return enrts_backward(fores, anas, float(self.ensemble_size), rho_xx=rho_xx)

@@ -217,3 +217,35 @@ class GaussianSumFilter:
             latest_state=last,
             states=None,
         )
+
+    # -- smoothing ------------------------------------------------------------------
+    def smooth(self, y):
+        """Gaussian-sum RTS smoother.
+
+        GSF components never exchange information (the component index is a
+        GLOBAL latent variable: the filter only re-weights the bank), so the
+        smoother under the filter's own approximation is component-
+        conditional: each component runs its base filter's RTS smoother from
+        its own split initialization, and the smoothed-marginal mixture
+        weights are the FINAL filtered weights ``w_T^k = P(component k | all
+        data)``. A single-component bank therefore reduces exactly to the
+        base smoother, and on a linear model the mixture collapses onto the
+        exact RTS marginals for every K.
+
+        Returns ``(means, variances, components)``: the mixture smoothed
+        moments ``(T, d)``/``(T, d)`` and the per-component triple
+        ``(means (K, T, d), covs (K, T, d, d), log_weights (K,))``.
+        """
+        init = self.initialize()
+        log_w = self.batch_filter(y).latest_state.log_weights  # final weights
+        sm_means, sm_covs = jax.vmap(
+            lambda m0, p0: self.base.smooth(y, initial_moments=(m0, p0))
+        )(init.means, init.covs)
+
+        w = jnp.exp(log_w)
+        mix_mean = jnp.einsum("k,ktd->td", w, sm_means)
+        dev = sm_means - mix_mean[None]
+        mix_var = jnp.einsum(
+            "k,ktd->td", w, jnp.diagonal(sm_covs, axis1=-2, axis2=-1)
+        ) + jnp.einsum("k,ktd->td", w, dev * dev)
+        return mix_mean, mix_var, (sm_means, sm_covs, log_w)

@@ -271,3 +271,113 @@ class InteractingMultipleModel:
             states=None,
             aux=regime_lps,  # (T, K) per-step regime log-probabilities
         )
+
+    # -- smoothing ------------------------------------------------------------------
+    def smooth(self, y):
+        """Kim (1994) smoother for Markov-switching state-space models.
+
+        Forward: the IMM filter records per step the per-regime filtered
+        moments and regime probabilities. Backward, for each step ``t``:
+
+        1. **discrete smoothing** — the smoothed joint regime probability
+           ``P(r_t=i, r_{t+1}=j | y_{1:T}) ≈ mu_t(i) Pi[i,j]
+           mu_{t+1|T}(j) / mu_{t+1|t}(j)`` (Kim's approximation: the regime
+           path decouples from the continuous state given the filtered
+           summaries), marginalized to ``mu_{t|T}(i)``;
+        2. **per-pair RTS** — regime i's filtered moments are predicted
+           through regime j's dynamics (``predict_moments_cross`` composes
+           the ``observe_every_step`` sub-steps) and smoothed against regime
+           j's smoothed moments with the standard RTS gain;
+        3. **collapse** — the K² pair moments are moment-matched back to K
+           per-regime Gaussians with the conditional weights
+           ``P(r_{t+1}=j | r_t=i, y_{1:T})``.
+
+        With identical regimes and any transition matrix this reduces exactly
+        to the single-model RTS smoother. Returns ``(means, variances,
+        regime_log_probs, per_regime)``: the regime-marginalized smoothed
+        moments ``(T, d)``/``(T, d)``, the smoothed regime log-probabilities
+        ``(T, K)``, and ``per_regime = (means (T, K, d), covs (T, K, d, d))``.
+        """
+        y = jnp.asarray(y, jnp.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+        oes = int(self.template.observe_every_step)
+
+        # forward pass: record filtered per-regime moments + regime log-probs
+        state1 = self.filter(y[0], self.initialize(), n_transitions=1)
+        rec0 = (state1.means, state1.covs, state1.log_probs, state1.time_index)
+
+        def fwd(state, y_t):
+            new = self.filter(y_t, state)
+            return new, (new.means, new.covs, new.log_probs, new.time_index)
+
+        _, rec_rest = jax.lax.scan(fwd, state1, y[1:])
+        m_f, p_f, log_mu, times = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), rec0, rec_rest
+        )
+
+        def pair_predict(m_i, p_i, mdl_j, t):
+            return self._regime_filter(mdl_j).predict_moments_cross(m_i, p_i, t, oes)
+
+        def backward(carry, inp):
+            m_s_next, p_s_next, log_mu_s_next = carry
+            m_f_t, p_f_t, log_mu_t, t_t = inp
+
+            # (K_i, K_j) pair predictions of regime i's moments under model j
+            mp, pp, cc = jax.vmap(
+                lambda mdl_j: jax.vmap(
+                    lambda m_i, p_i: pair_predict(m_i, p_i, mdl_j, t_t)
+                )(m_f_t, p_f_t)
+            )(self.models)
+            mp = jnp.swapaxes(mp, 0, 1)  # -> (K_i, K_j, d)
+            pp = jnp.swapaxes(pp, 0, 1)
+            cc = jnp.swapaxes(cc, 0, 1)
+
+            # 1. discrete backward recursion (Kim's approximation)
+            log_mu_pred = jax.scipy.special.logsumexp(
+                log_mu_t[:, None] + self.log_trans, axis=0
+            )  # (K_j,)
+            lj = (
+                log_mu_t[:, None] + self.log_trans
+                + log_mu_s_next[None, :] - log_mu_pred[None, :]
+            )  # (K_i, K_j) smoothed joint log-probs (normalized by construction)
+            log_mu_s_t = jax.scipy.special.logsumexp(lj, axis=1)
+            w_cond = jnp.exp(lj - log_mu_s_t[:, None])  # P(r_{t+1}=j | r_t=i, y)
+
+            # 2. per-pair RTS smoothing
+            gain = jnp.linalg.solve(jnp.swapaxes(pp, -1, -2), jnp.swapaxes(cc, -1, -2))
+            gain = jnp.swapaxes(gain, -1, -2)  # cc @ pp^{-1}, batched (K_i, K_j)
+            m_pair = m_f_t[:, None] + jnp.einsum(
+                "ijab,ijb->ija", gain, m_s_next[None] - mp
+            )
+            p_pair = p_f_t[:, None] + jnp.einsum(
+                "ijab,ijbc,ijdc->ijad", gain, p_s_next[None] - pp, gain
+            )
+
+            # 3. moment-matched collapse over the NEXT regime
+            m_s_t = jnp.einsum("ij,ija->ia", w_cond, m_pair)
+            dev = m_pair - m_s_t[:, None]
+            p_s_t = jnp.einsum("ij,ijab->iab", w_cond, p_pair) + jnp.einsum(
+                "ij,ija,ijb->iab", w_cond, dev, dev
+            )
+            return (m_s_t, p_s_t, log_mu_s_t), (m_s_t, p_s_t, log_mu_s_t)
+
+        last = (m_f[-1], p_f[-1], log_mu[-1])
+        if y.shape[0] == 1:
+            m_s, p_s, lp_s = (leaf[None] for leaf in last)
+        else:
+            _, (m_rest, p_rest, lp_rest) = jax.lax.scan(
+                backward, last, (m_f[:-1], p_f[:-1], log_mu[:-1], times[:-1]),
+                reverse=True,
+            )
+            m_s = jnp.concatenate([m_rest, m_f[-1][None]], axis=0)
+            p_s = jnp.concatenate([p_rest, p_f[-1][None]], axis=0)
+            lp_s = jnp.concatenate([lp_rest, log_mu[-1][None]], axis=0)
+
+        mu = jnp.exp(lp_s)  # (T, K)
+        mean = jnp.einsum("tk,tka->ta", mu, m_s)
+        dev = m_s - mean[:, None]
+        var = jnp.einsum("tk,tkaa->ta", mu, p_s) + jnp.einsum(
+            "tk,tka,tka->ta", mu, dev, dev
+        )
+        return mean, var, lp_s, (m_s, p_s)

@@ -266,25 +266,34 @@ def backward_indices(
         # 12.7 s -> ~2 s per pass at N=1e5).
         k_sub = int(fallback_subset) if fallback_subset else min(j, max(128, j // 512))
         block_eff = max(int(block), min(n, (1 << 25) // max(k_sub, 1)))
-        order = jnp.argsort(accepted)  # failed slots first (False < True)
-        n_fail = jnp.sum(~accepted)
 
-        def pass_cond(state):
-            _, it = state
-            return it * k_sub < n_fail
+        def fixup(idx):
+            # ONE argsort orders failures first; only executed when some slot
+            # actually failed (the scalar cond keeps the per-step sort out of
+            # the common all-accepted path — measured ~15% of the backward
+            # step at N=1e5 on the v5e)
+            order = jnp.argsort(accepted)  # failed slots first (False < True)
+            n_fail = jnp.sum(~accepted)
 
-        def pass_body(state):
-            idx, it = state
-            sel = jax.lax.dynamic_slice_in_dim(order, it * k_sub, k_sub, 0)
-            exact = _streaming_categorical(
-                jax.random.fold_in(k_fb, it), model, vals_t, lw_t, t_t,
-                jnp.take(targets, sel, axis=0), ev, block_eff,
-            )
-            fix = ~jnp.take(accepted, sel)
-            idx = idx.at[sel].set(jnp.where(fix, exact, jnp.take(idx, sel)))
-            return idx, it + 1
+            def pass_cond(state):
+                _, it = state
+                return it * k_sub < n_fail
 
-        idx, _ = jax.lax.while_loop(pass_cond, pass_body, (idx, jnp.int32(0)))
+            def pass_body(state):
+                idx, it = state
+                sel = jax.lax.dynamic_slice_in_dim(order, it * k_sub, k_sub, 0)
+                exact = _streaming_categorical(
+                    jax.random.fold_in(k_fb, it), model, vals_t, lw_t, t_t,
+                    jnp.take(targets, sel, axis=0), ev, block_eff,
+                )
+                fix = ~jnp.take(accepted, sel)
+                idx = idx.at[sel].set(jnp.where(fix, exact, jnp.take(idx, sel)))
+                return idx, it + 1
+
+            idx, _ = jax.lax.while_loop(pass_cond, pass_body, (idx, jnp.int32(0)))
+            return idx
+
+        idx = jax.lax.cond(jnp.all(accepted), lambda i: i, fixup, idx)
         return (idx, violated) if return_violation else idx
 
     def fallback(args):

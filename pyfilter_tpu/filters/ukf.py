@@ -99,6 +99,21 @@ class UnscentedKalmanFilter:
         """One unscented measurement update; returns the step log-likelihood."""
         return self._update(m, p, y_t, t)
 
+    def predict_moments_cross(self, m, p, t, n_transitions: int):
+        """``n_transitions`` composed transitions plus the sigma-point
+        cross-covariance ``Cov(x_t, x_{t+n})``, chained through the Gaussian
+        identity ``C_total = C_1 P_1^{-1} C_2 ...`` (same composition as
+        :meth:`smooth`'s forward pass)."""
+        cross_total = None
+        for _ in range(n_transitions):
+            m_new, p_new, cross = self._predict(m, p, t)
+            cross_total = (
+                cross if cross_total is None
+                else cross_total @ jnp.linalg.solve(p, cross)
+            )
+            m, p, t = m_new, p_new, t + 1.0
+        return m, p, cross_total
+
     def _update(self, m, p, y_t, t):
         pts = self._sigma_points(m, p)  # (2d+1, d)
         g_pts = jnp.atleast_2d(jnp.asarray(self._obs_mean_pts(pts, t)))  # (2d+1, d_y)
@@ -172,10 +187,12 @@ class UnscentedKalmanFilter:
         )
 
     # -- smoothing ---------------------------------------------------------------
-    def smooth(self, y):
+    def smooth(self, y, initial_moments=None):
         """Unscented RTS smoother: the backward gain comes from the sigma-point
         cross-covariance ``Cov(x_t, x_{t+1})`` — no Jacobians anywhere.
         Returns ``(means, covs)`` of shapes ``(T, d)`` and ``(T, d, d)``.
+        ``initial_moments=(m0, P0)`` overrides the model prior (the
+        Gaussian-sum smoother's per-component hook).
         """
         y = jnp.asarray(y, jnp.float32)
         if y.ndim == 1:
@@ -198,7 +215,8 @@ class UnscentedKalmanFilter:
             m_f, p_f, _ = self._update(m, p, y_t, t)
             return (m_pred, p_pred, m_f, p_f, cross_total), t
 
-        rec0, t1 = forward_move(*self.initialize()[:2], jnp.asarray(0.0), y[0], 1)
+        m0, p0 = self.initialize_moments() if initial_moments is None else initial_moments
+        rec0, t1 = forward_move(m0, p0, jnp.asarray(0.0), y[0], 1)
 
         def fwd(carry, y_t):
             m, p, t = carry

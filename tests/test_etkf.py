@@ -207,3 +207,58 @@ def test_spmd_enkf_localized_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(res.filter_means), np.asarray(single.filter_means), atol=0.4
     )
+
+
+def test_etks_matches_exact_rts_on_linear_model():
+    """Ensemble transform Kalman smoother at large M converges on the exact
+    float64 RTS smoother (same contract as the stochastic EnKS,
+    tests/test_enkf.py) and improves on the filter marginals."""
+    oracle = NumpyKalman(
+        [[BETA]], [[1.0]], [[SIGMA**2]], [[OBS_STD**2]],
+        transition_offsets=[ALPHA],
+        initial_state_mean=[ALPHA],
+        initial_state_covariance=[[SIGMA**2]],
+    )
+    _, y = oracle.sample(50, rng=np.random.default_rng(9))
+    sm_mean, sm_cov = oracle.smooth(y)
+    yj = jnp.asarray(y[:, 0], jnp.float32)
+
+    # M stays ETKF-realistic: the transform is an (M, M) eigh per step, so
+    # thousands of members is the wrong regime (and minutes of CPU eigh)
+    filt = pf.EnsembleTransformKalmanFilter(ar_ssm(), 800)
+    smoothed = filt.smooth(jax.random.PRNGKey(3), yj)  # (T, M, 1)
+    m = np.asarray(smoothed).mean(axis=1)[:, 0]
+    v = np.asarray(smoothed).var(axis=1, ddof=1)[:, 0]
+    assert np.abs(m - sm_mean[:, 0]).mean() < 0.05
+    np.testing.assert_allclose(v, sm_cov[:, 0, 0], rtol=0.35, atol=0.01)
+
+    # the smoother must beat the filter against the exact smoothing means
+    f_means, _, _ = oracle.filter(y)
+    res = filt.batch_filter(jax.random.PRNGKey(3), yj)
+    err_f = np.abs(np.asarray(res.filter_means)[:, 0] - sm_mean[:, 0]).mean()
+    err_s = np.abs(m - sm_mean[:, 0]).mean()
+    assert err_s < err_f, (err_s, err_f)
+
+
+@pytest.mark.slow
+def test_letks_localized_smoother_tracks_at_small_ensemble():
+    """d ≫ M smoothing: the rho_xx-tapered backward gain keeps the LETKS
+    tracking (near the filter's noise floor or better) where the smoother
+    math at M=40 would otherwise feed spurious long-range correlations back
+    through the reverse pass."""
+    d, m_size, t_steps = 256, 40, 12
+    ssm = _ring_ssm(d)
+    x_path, y_path = ssm.sample_states(jax.random.PRNGKey(4), t_steps).get_paths()
+    x_np = np.asarray(x_path)
+    y = jnp.asarray(y_path, jnp.float32)
+    loc = _ring_localization(d, radius=4.0)
+    assert loc.rho_xx is not None and loc.rho_xx.shape == (d, d)
+
+    filt = pf.EnsembleTransformKalmanFilter(ssm, m_size, localization=loc, inflation=1.05)
+    res = filt.batch_filter(jax.random.PRNGKey(5), y)
+    smoothed = filt.smooth(jax.random.PRNGKey(5), y)
+    rmse_f = float(np.sqrt(np.mean((np.asarray(res.filter_means) - x_np) ** 2)))
+    m = np.asarray(smoothed).mean(axis=1)
+    rmse_s = float(np.sqrt(np.mean((m - x_np) ** 2)))
+    assert np.isfinite(rmse_s)
+    assert rmse_s < 1.1 * rmse_f + 1e-3, (rmse_s, rmse_f)

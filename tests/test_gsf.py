@@ -225,3 +225,34 @@ def test_gsf_ckf_base():
         np.testing.assert_allclose(
             float(res.log_likelihood), float(exact.log_likelihood), rtol=1e-3
         )
+
+
+def test_gsf_smoother_reduces_and_tracks():
+    """K=1 reduces exactly to the base RTS smoother; K=3 with a moment-matched
+    split prior lands on the same smoothing marginals up to the (weak) prior
+    mismatch; smoothed means beat filtered means against the exact smoother."""
+    ssm = linear_ssm()
+    _, y = ssm.sample_states(jax.random.PRNGKey(9), 40).get_paths()
+    me, pe = pf.ExtendedKalmanFilter(ssm).smooth(y)
+
+    m1, v1, comps1 = pf.GaussianSumFilter(ssm, n_components=1, spread=0.0).smooth(y)
+    np.testing.assert_allclose(np.asarray(m1)[:, 0], np.asarray(me)[:, 0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(v1)[:, 0], np.diagonal(np.asarray(pe), axis1=-2, axis2=-1)[:, 0],
+        rtol=1e-4, atol=1e-7,
+    )
+
+    gsf = pf.GaussianSumFilter(ssm, n_components=3, spread=0.5)
+    m3, v3, comps = gsf.smooth(y)
+    np.testing.assert_allclose(np.asarray(m3)[:, 0], np.asarray(me)[:, 0], atol=0.05)
+    # the component weights are the FINAL filtered weights
+    np.testing.assert_allclose(
+        np.asarray(comps[2]),
+        np.asarray(gsf.batch_filter(y).latest_state.log_weights),
+        atol=1e-6,
+    )
+    # smoothing beats filtering against the exact smoothed means
+    res = gsf.batch_filter(y)
+    err_f = np.abs(np.asarray(res.filter_means)[:, 0] - np.asarray(me)[:, 0]).mean()
+    err_s = np.abs(np.asarray(m3)[:, 0] - np.asarray(me)[:, 0]).mean()
+    assert err_s < err_f, (err_s, err_f)

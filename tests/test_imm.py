@@ -166,3 +166,42 @@ def test_imm_markov_switching_spec_and_traced_transition():
     assert np.isfinite(lls).all()
     # stickier transitions fit block-switching data better
     assert lls[2] > lls[0]
+
+
+def test_imm_smoother_identical_regimes_reduce_to_rts():
+    """With identical candidates the Kim smoother must reproduce the
+    single-model extended RTS smoother exactly (mixing, pair prediction and
+    collapse are all no-ops)."""
+    ssm = ar_ssm(0.4)
+    _, y = ssm.sample_states(jax.random.PRNGKey(10), 40).get_paths()
+    me, pe = pf.ExtendedKalmanFilter(ssm).smooth(y)
+    imm = pf.InteractingMultipleModel([ar_ssm(0.4), ar_ssm(0.4)], sticky(2))
+    mean, var, lp_s, _ = imm.smooth(y)
+    np.testing.assert_allclose(np.asarray(mean)[:, 0], np.asarray(me)[:, 0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(var)[:, 0],
+        np.diagonal(np.asarray(pe), axis1=-2, axis2=-1)[:, 0],
+        rtol=1e-3, atol=1e-6,
+    )
+
+
+def test_imm_smoother_sharpens_regime_classification():
+    """On block-switching volatility data the smoothed regime probabilities
+    must classify at least as well as the filtered ones (hindsight resolves
+    the lag right after each switch), and smoothed state estimates must not
+    be worse than filtered ones."""
+    regime, x, y = switching_data(7)
+    imm = pf.InteractingMultipleModel([ar_ssm(0.1), ar_ssm(1.0)], sticky(2))
+    res = imm.batch_filter(y)
+    mean, var, lp_s, _ = imm.smooth(y)
+
+    acc_f = float(np.mean(np.argmax(np.asarray(res.aux), axis=1) == regime))
+    acc_s = float(np.mean(np.argmax(np.asarray(lp_s), axis=1) == regime))
+    assert acc_s >= acc_f - 0.01, (acc_s, acc_f)
+    assert acc_s > 0.85, acc_s
+
+    rmse_f = float(np.sqrt(np.mean((np.asarray(res.filter_means)[:, 0] - x) ** 2)))
+    rmse_s = float(np.sqrt(np.mean((np.asarray(mean)[:, 0] - x) ** 2)))
+    assert rmse_s <= rmse_f + 1e-3, (rmse_s, rmse_f)
+    # smoothed regime probs stay normalized
+    np.testing.assert_allclose(np.exp(np.asarray(lp_s)).sum(axis=1), 1.0, rtol=1e-4)

@@ -128,10 +128,15 @@ def run_etkf(quick=False):
     T = 200
     out = {}
 
-    # tier 1: global ETKF at the EnKF row's config (d=64, d_y=32)
+    # tier 1: global ETKF at the EnKF row's model (d=64, d_y=32). The
+    # ensemble sizes are ETKF-realistic (M in the hundreds): the transform is
+    # an (M, M) eigendecomposition per step, so the EnKF row's M=1e4/1e5 are
+    # structurally the WRONG algorithm regime (measured: the M=1e4 eigh
+    # fails the remote compile outright) — the ETKF's selling point is
+    # exactness at small M, not huge-M throughput.
     model = _obs_matrix_ssm(64, 32)
     _, y = model.sample_states(jax.random.PRNGKey(0), T).get_paths()
-    for m in ([10_000] if quick else [10_000, 100_000]):
+    for m in ([100] if quick else [100, 1000]):
         filt = pf.EnsembleTransformKalmanFilter(model, ensemble_size=m)
         bf = jax.jit(filt.batch_filter)
 
