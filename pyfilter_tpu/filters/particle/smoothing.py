@@ -141,6 +141,35 @@ def transition_log_sup(model) -> jax.Array:
     return jnp.asarray(mlp - logdet, jnp.float32)
 
 
+def transition_log_sup_traced(model) -> jax.Array:
+    """In-trace version of :func:`transition_log_sup` — usable when the
+    model's parameters are TRACED (e.g. the current iterate inside
+    :func:`~pyfilter_tpu.inference.score.fit_mle_streaming`'s compiled window
+    step, where the host-side homoscedasticity probes cannot run).
+
+    The caller is responsible for having validated homoscedasticity ONCE at a
+    concrete parameter point (run :func:`transition_log_sup` at θ0 — the
+    structural property "scale independent of state/time" does not change
+    with parameter values for a fixed model family).
+    """
+    hidden = model.hidden
+    ev = int(hidden.event_ndim)
+    init = hidden.initial_distribution()
+    d = int(init.event_shape[0]) if ev == 1 else 1
+    probe = jnp.zeros((d,)) if ev == 1 else jnp.asarray(0.0)
+    _, scale = hidden.mean_scale(TimeseriesState(jnp.asarray(0.0), probe, ev))
+    mlp = _max_log_prob(hidden.increment_distribution)
+    s = jnp.asarray(scale, jnp.float32)
+    if s.ndim >= 2 and s.shape[-1] == s.shape[-2] == d:
+        logdet = jnp.linalg.slogdet(s)[1]
+    else:
+        per = jnp.log(jnp.abs(s))
+        logdet = d * per if per.ndim == 0 else jnp.sum(
+            jnp.broadcast_to(per, per.shape[:-1] + (d,)) if ev == 1 else per, axis=-1
+        )
+    return jnp.asarray(mlp - logdet, jnp.float32)
+
+
 def _streaming_categorical(key, model, vals_t, lw_t, t_t, targets, ev, block):
     """Exact backward-kernel categorical draw per target, Gumbel-max streamed
     over particle blocks: O(N·M) compute, O(N_traj · block) memory."""
@@ -395,6 +424,9 @@ def paris(
     log_density_sup=None,
     max_rounds: int = 16,
     block: int = 64,
+    h_obs_fn=None,
+    initial_state=None,
+    first_step: bool = True,
 ):
     """Online PaRIS smoothing of an additive functional — O(1) memory.
 
@@ -419,6 +451,18 @@ def paris(
     index — a functional additive over observation times only should gate on
     ``t`` (e.g. ``jnp.where(t % oes == 0, h, 0.0)``).
 
+    ``h_obs_fn(x_values, y_t, t) -> pytree``: optional OBSERVATION-time term
+    added once per correction (a function of the current cloud only, so it
+    joins the statistic after the backward inheritance — the natural slot
+    for ``∇_θ log g`` in online score estimation). NaN gating is the
+    caller's job (the observation is passed through as-is).
+
+    ``initial_state``/``first_step``: continue from a carried filter state
+    instead of a fresh initialization (``first_step=False`` makes the first
+    observation a regular ``observe_every_step``-transition move) — the
+    hooks :func:`~pyfilter_tpu.inference.score.fit_mle_streaming` uses to
+    window one endless stream.
+
     Returns ``(estimate, stats, result)``: the weighted smoothed-functional
     estimate (pytree), the final per-particle statistics, and the
     :class:`FilterResult` of the underlying pass.
@@ -432,7 +476,7 @@ def paris(
 
     y = jnp.asarray(y)
     k_init, k_first, k_back1, k_scan = jax.random.split(key, 4)
-    state0 = filt.initialize(k_init)
+    state0 = filt.initialize(k_init) if initial_state is None else initial_state
     stats0 = (
         h0_fn(state0.x.value)
         if h0_fn is not None
@@ -464,21 +508,27 @@ def paris(
         )
         return stats, jnp.any(jnp.stack(viols))
 
-    def move_and_update(k, y_t, state, stats, first_step=False):
+    def add_obs_term(stats, new, y_t):
+        if h_obs_fn is None:
+            return stats
+        inc = h_obs_fn(new.x.value, y_t, new.x.time_index)
+        return jax.tree_util.tree_map(jnp.add, stats, inc)
+
+    def move_and_update(k, y_t, state, stats, is_first=False):
         """One observation move: filter forward, then one backward update per
         TRANSITION — a single update at oes == 1, or one per sub-step chain
         link ``state -> sub_1 -> ... -> sub_{oes-1} -> correction`` (the
         sub-step clouds carry the post-resample weights the filter recorded
-        for them)."""
-        n_sub = 0 if first_step else oes - 1
+        for them) — then the optional observation term."""
+        n_sub = 0 if is_first else oes - 1
         k_f, k_b = jax.random.split(k)
         if n_sub == 0:
-            new = filt.filter(k_f, y_t, state, first_step=first_step)
+            new = filt.filter(k_f, y_t, state, first_step=is_first)
             stats, v = backward_update(
                 k_b, state.x.value, state.log_weights, state.x.time_index,
                 new.x.value, new.x.time_index, stats,
             )
-            return new, stats, v
+            return new, add_obs_term(stats, new, y_t), v
         new, inter = filt.filter(k_f, y_t, state, return_intermediaries=True)
         i_times, i_vals, i_lw, _ = inter  # leaves stacked (n_sub, ...)
         ks = jax.random.split(k_b, n_sub + 1)
@@ -496,9 +546,11 @@ def paris(
         stats, v = backward_update(
             ks[-1], vals_p, lw_p, t_p, new.x.value, new.x.time_index, stats
         )
-        return new, stats, viol | v
+        return new, add_obs_term(stats, new, y_t), viol | v
 
-    state1, stats1, viol1 = move_and_update(k_first, y[0], state0, stats0, first_step=True)
+    state1, stats1, viol1 = move_and_update(
+        k_first, y[0], state0, stats0, is_first=first_step
+    )
 
     def step(carry, inp):
         state, stats, viol = carry

@@ -20,7 +20,10 @@ from .sequential import (
     SMC2,
     SMC2FW,
     FixedWidthNESS,
+    NIGARUnknownObsVariance,
     NIGAutoregression,
+    NIGVectorAutoregression,
+    PoissonGammaCounts,
     StorvikFilter,
     StorvikResult,
 )
@@ -32,6 +35,7 @@ from .state import (
     SMC2State,
 )
 from .utils import QuasiMultivariateNormal, calc_mean_chol, construct_mvn
+from .score import OnlineScoreResult, StreamingMLEResult, fit_mle_streaming, online_score
 from .variational import MLEResult, SVIResult, fit_mle, fit_svi
 
 __all__ = [
@@ -46,8 +50,15 @@ __all__ = [
     "SMC2",
     "NESS",
     "StorvikFilter",
+    "online_score",
+    "fit_mle_streaming",
+    "OnlineScoreResult",
+    "StreamingMLEResult",
     "StorvikResult",
     "NIGAutoregression",
+    "NIGARUnknownObsVariance",
+    "NIGVectorAutoregression",
+    "PoissonGammaCounts",
     "FixedWidthNESS",
     "NESSMC2",
     "SMC2FW",

@@ -6,7 +6,14 @@ from .collectors import Collector, MeanCollector, ParameterPosterior, Standardiz
 from .ness import NESS, BaseOnlineAlgorithm, FixedWidthNESS
 from .nessmc2 import NESSMC2, SMC2FW
 from .smc2 import SMC2
-from .storvik import NIGAutoregression, StorvikFilter, StorvikResult
+from .storvik import (
+    NIGARUnknownObsVariance,
+    NIGAutoregression,
+    NIGVectorAutoregression,
+    PoissonGammaCounts,
+    StorvikFilter,
+    StorvikResult,
+)
 from .threshold import ConstantThreshold, DecayingThreshold, IntervalThreshold, Thresholder
 
 __all__ = [
@@ -17,6 +24,9 @@ __all__ = [
     "StorvikFilter",
     "StorvikResult",
     "NIGAutoregression",
+    "NIGARUnknownObsVariance",
+    "NIGVectorAutoregression",
+    "PoissonGammaCounts",
     "FixedWidthNESS",
     "SMC2",
     "NESSMC2",

@@ -129,14 +129,243 @@ class NIGAutoregression:
         )
 
 
+class NIGARUnknownObsVariance(NIGAutoregression):
+    r"""AR(1) block learning the transition triple AND the observation
+    variance: ``x_t = alpha + beta x_{t-1} + sigma eps``, ``y_t = a x_t +
+    s v`` with unknown ``(alpha, beta, sigma^2, s^2)`` — the most common
+    real-data need (the reference's notebooks all hand-tune the observation
+    noise; here it is learned online).
+
+    The observation variance is conditionally conjugate given the state
+    path: ``s^2 | x_{0:t}, y_{1:t} ~ IG(c_0 + n_y/2, d_0 + \sum (y - a
+    x)^2 / 2)`` (Carvalho, Johannes, Lopes & Polson 2010 particle learning),
+    independent of the transition NIG block. Sufficient statistics gain
+    ``(ssq_y, n_y)``; NaN observations update the transition statistics only.
+
+    ``theta = (alpha, beta, sigma, s)``.
+    """
+
+    def __init__(self, obs_coeff=1.0, m0=(0.0, 0.0), v0=10.0, a0=2.0, b0=1.0,
+                 c0: float = 2.0, d0: float = 0.1):
+        super().__init__(obs_coeff=obs_coeff, obs_scale=1.0, m0=m0, v0=v0, a0=a0, b0=b0)
+        self.c0 = float(c0)
+        self.d0 = float(d0)
+
+    def initial_stats(self, n_particles: int):
+        return super().initial_stats(n_particles) + (
+            jnp.zeros((n_particles,)),
+            jnp.zeros((n_particles,)),
+        )
+
+    def update_stats(self, stats, x_prev, x_new, y_t):
+        lam, eta, ssq, n = super().update_stats(stats[:4], x_prev, x_new, y_t)
+        ssq_y, n_y = stats[4], stats[5]
+        resid2 = jnp.square(jnp.squeeze(jnp.asarray(y_t)) - self.obs_coeff * x_new)
+        finite = jnp.isfinite(jnp.asarray(y_t)).all()
+        ssq_y = ssq_y + jnp.where(finite, resid2, 0.0)
+        n_y = n_y + jnp.where(finite, 1.0, 0.0)
+        return lam, eta, ssq, n, ssq_y, n_y
+
+    def _obs_posterior(self, stats):
+        ssq_y, n_y = stats[4], stats[5]
+        return self.c0 + 0.5 * n_y, jnp.maximum(self.d0 + 0.5 * ssq_y, 1e-8)
+
+    def sample_params(self, key, stats):
+        k_trans, k_obs = jax.random.split(key)
+        alpha, beta, sigma = super().sample_params(k_trans, stats[:4])
+        c, d = self._obs_posterior(stats)
+        g = jax.random.gamma(k_obs, c)
+        s2 = d / jnp.maximum(g, 1e-12)
+        return alpha, beta, sigma, jnp.sqrt(s2)
+
+    def posterior_mean(self, stats):
+        ea, eb, es2 = super().posterior_mean(stats[:4])
+        c, d = self._obs_posterior(stats)
+        return ea, eb, es2, d / jnp.maximum(c - 1.0, 1e-6)
+
+    def build_model(self, theta) -> LinearStateSpaceModel:
+        alpha, beta, sigma, s = theta
+        return LinearStateSpaceModel(
+            models.AR(alpha, beta, sigma), (self.obs_coeff, s)
+        )
+
+
+def _poisson_log_intensity_obs(x, lam):
+    from ...distributions import Poisson
+
+    return Poisson(lam * jnp.exp(x.value))
+
+
+class PoissonGammaCounts:
+    r"""Conjugate block for count observations over a KNOWN latent
+    log-intensity process: ``y_t ~ Poisson(lambda * exp(x_t))`` with
+    ``lambda ~ Gamma(a_0, b_0)``.
+
+    Given the state path the intensity scale is exactly conjugate:
+    ``lambda | x_{0:t}, y_{1:t} ~ Gamma(a_0 + \sum y_t, b_0 + \sum
+    exp(x_t))`` — the sufficient statistic is two scalars per particle.
+    Pairs with the count distributions the package ships
+    (:class:`~pyfilter_tpu.distributions.Poisson`); NaN observations update
+    nothing.
+
+    ``hidden`` is any process pytree (e.g. ``models.AR(0, 0.9, 0.3)``) —
+    its parameters are treated as known; compose with NESS/SMC2 jittering
+    for the non-conjugate residue (see the Storvik-within-NESS recipe in
+    the module docstring of :mod:`~pyfilter_tpu.inference.sequential.storvik`).
+    """
+
+    def __init__(self, hidden, a0: float = 2.0, b0: float = 1.0):
+        self.hidden = hidden
+        self.a0 = float(a0)
+        self.b0 = float(b0)
+
+    def initial_stats(self, n_particles: int):
+        return (jnp.zeros((n_particles,)), jnp.zeros((n_particles,)))
+
+    def update_stats(self, stats, x_prev, x_new, y_t):
+        sum_y, sum_g = stats
+        y = jnp.squeeze(jnp.asarray(y_t))
+        finite = jnp.isfinite(y)
+        return (
+            sum_y + jnp.where(finite, y, 0.0),
+            sum_g + jnp.where(finite, jnp.exp(x_new), 0.0),
+        )
+
+    def _posterior(self, stats):
+        sum_y, sum_g = stats
+        return self.a0 + sum_y, self.b0 + sum_g
+
+    def sample_params(self, key, stats):
+        a, b = self._posterior(stats)
+        return (jax.random.gamma(key, a) / b,)
+
+    def posterior_mean(self, stats):
+        a, b = self._posterior(stats)
+        return (a / b,)
+
+    def build_model(self, theta):
+        from ...timeseries import StateSpaceModel
+
+        (lam,) = theta
+        return StateSpaceModel(self.hidden, _poisson_log_intensity_obs, (lam,))
+
+
+class NIGVectorAutoregression:
+    r"""Normal-inverse-gamma block for a VECTOR AR(1) with per-row noise:
+    ``x_t = b + A x_{t-1} + diag(sigma) eps``, observed through a KNOWN
+    linear map ``y = B x + s v``.
+
+    Each state row ``i`` is a Bayesian linear regression on the shared
+    regressor ``z = [1, x_{t-1}]`` with its own NIG prior
+    (:math:`\sigma_i^2 \sim IG(a_0, b_0)`, coefficient row
+    :math:`\sim N(m_0^i, \sigma_i^2 V_0)`) — the rows share one ``(p, p)``
+    precision recursion (``p = d + 1``) because the regressor is common, so
+    the per-particle update is one rank-1 update plus d inner products.
+
+    ``theta = (A (N, d, d), b (N, d), sigma (N, d))``.
+    """
+
+    def __init__(self, dim: int, obs_coeff=None, obs_scale=0.1, v0: float = 10.0,
+                 a0: float = 2.0, b0: float = 0.5, initial_scale: float = 1.0):
+        self.dim = int(dim)
+        p = self.dim + 1
+        self.obs_coeff = (
+            jnp.eye(self.dim) if obs_coeff is None else jnp.asarray(obs_coeff, jnp.float32)
+        )
+        self.obs_scale = jnp.asarray(obs_scale, jnp.float32)
+        self.a0 = float(a0)
+        self.b0 = float(b0)
+        self.initial_scale = float(initial_scale)
+        self._lam0 = jnp.eye(p) / float(v0)  # shared row prior precision
+
+    def initial_stats(self, n_particles: int):
+        d, p = self.dim, self.dim + 1
+        return (
+            jnp.broadcast_to(self._lam0, (n_particles, p, p)),
+            jnp.zeros((n_particles, d, p)),  # prior mean 0: eta0 = 0
+            jnp.zeros((n_particles, d)),
+            jnp.zeros((n_particles,)),
+        )
+
+    def update_stats(self, stats, x_prev, x_new, y_t):
+        lam, eta, ssq, n = stats
+        z = jnp.concatenate([jnp.ones_like(x_prev[..., :1]), x_prev], axis=-1)  # (N, p)
+        lam = lam + jnp.einsum("...i,...j->...ij", z, z)
+        eta = eta + jnp.einsum("...d,...p->...dp", x_new, z)
+        return lam, eta, ssq + jnp.square(x_new), n + 1.0
+
+    def _posterior(self, stats):
+        lam, eta, ssq, n = stats
+        chol = jnp.linalg.cholesky(lam)
+        m = jax.scipy.linalg.cho_solve((chol, True), jnp.swapaxes(eta, -1, -2))
+        m = jnp.swapaxes(m, -1, -2)  # (N, d, p) posterior row means
+        a = self.a0 + 0.5 * n
+        b = self.b0 + 0.5 * (ssq - jnp.einsum("...dp,...dp->...d", eta, m))
+        return m, chol, a, jnp.maximum(b, 1e-8)
+
+    def sample_params(self, key, stats):
+        m, chol, a, b = self._posterior(stats)
+        k_sig, k_coef = jax.random.split(key)
+        g = jax.random.gamma(k_sig, jnp.broadcast_to(a[..., None], b.shape))
+        sigma2 = b / jnp.maximum(g, 1e-12)  # (N, d)
+        eps = jax.random.normal(k_coef, m.shape, m.dtype)  # (N, d, p)
+        # all d rows share the regressor precision: one multi-RHS solve
+        solved = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(chol, -1, -2), jnp.swapaxes(eps, -1, -2), lower=False
+        )  # (N, p, d)
+        coef = m + jnp.sqrt(sigma2)[..., None] * jnp.swapaxes(solved, -1, -2)
+        return coef[..., 1:], coef[..., 0], jnp.sqrt(sigma2)  # A, b, sigma
+
+    def posterior_mean(self, stats):
+        m, _, a, b = self._posterior(stats)
+        return m[..., 1:], m[..., 0], b / jnp.maximum(a - 1.0, 1e-6)[..., None]
+
+    def build_model(self, theta) -> LinearStateSpaceModel:
+        from ...distributions import Normal
+        from ...timeseries import LinearModel
+
+        a_mat, offset, sigma = theta
+        d = self.dim
+        scale0 = self.initial_scale
+
+        hidden = LinearModel(
+            (a_mat, offset, sigma),
+            Normal(jnp.zeros(d), jnp.ones(d)).to_event(1),
+            lambda *_: Normal(jnp.zeros(d), scale0 * jnp.ones(d)).to_event(1),
+            event_ndim=1,
+        )
+        return LinearStateSpaceModel(
+            hidden, (self.obs_coeff, self.obs_scale),
+            event_shape=(self.obs_coeff.shape[0],),
+        )
+
+
 class StorvikFilter:
     """Sufficient-statistic online parameter learner over a conjugate block.
 
     ``conjugate`` supplies the five hooks (``initial_stats``,
     ``sample_params``, ``update_stats``, ``posterior_mean``,
-    ``build_model``); :class:`NIGAutoregression` is the built-in
-    Normal-inverse-gamma AR(1) block. Resampling fires on the standard
-    relative-ESS gate (statistics travel with their particles).
+    ``build_model``). Built-in blocks: :class:`NIGAutoregression` (AR(1),
+    known observation noise), :class:`NIGARUnknownObsVariance` (AR(1) +
+    learned observation variance), :class:`PoissonGammaCounts` (count
+    observations over a known log-intensity process), and
+    :class:`NIGVectorAutoregression` (vector AR(1), per-row NIG).
+    Resampling fires on the standard relative-ESS gate (statistics travel
+    with their particles).
+
+    **Storvik-within-NESS recipe** (conjugate block + non-conjugate
+    residue): run :class:`~pyfilter_tpu.inference.NESS` over the
+    NON-conjugate parameters only, with a model builder that closes over a
+    ``StorvikFilter`` whose conjugate block handles the rest — i.e. jitter
+    the parameters that have no sufficient statistics and regenerate the
+    conjugate ones exactly. In practice: give NESS a builder registering
+    the non-conjugate priors, and inside the builder construct the model
+    from BOTH the context parameters and ``conjugate.sample_params`` draws
+    keyed per step. The package keeps these layers orthogonal rather than
+    hiding the composition behind one class: the jittered parameters ride
+    the inference context (kernels/jittering.py), the conjugate ones ride
+    the particle statistics here, and the two meet only in the model
+    builder — see tests/test_storvik.py for the pattern.
     """
 
     def __init__(
@@ -166,10 +395,10 @@ class StorvikFilter:
         model0 = conj.build_model(theta0)
         x0 = model0.hidden.initial_sample(k_init)
         vals = jnp.asarray(x0.value)
-        if vals.shape[:1] != (n,):  # scalar-parameter models broadcast here
-            vals = jnp.broadcast_to(vals, (n,) + vals.shape[1:])
-        lw = jnp.zeros((n,))
         ev = model0.hidden.event_ndim
+        if vals.ndim == ev:  # constant initial kernel: no particle axis yet
+            vals = jnp.broadcast_to(vals, (n,) + vals.shape)
+        lw = jnp.zeros((n,))
 
         def step(carry, inp):
             vals, lw, stats, ll, t = carry
@@ -212,7 +441,10 @@ class StorvikFilter:
 
             probs = normalize(w_tot)
             means = jax.tree_util.tree_map(
-                lambda leaf: jnp.sum(probs * leaf, axis=0), conj.posterior_mean(stats)
+                lambda leaf: jnp.sum(
+                    probs.reshape((n,) + (1,) * (leaf.ndim - 1)) * leaf, axis=0
+                ),
+                conj.posterior_mean(stats),
             )
             return (vals2, lw2, stats2, ll, x_new.time_index), (means, ess)
 
@@ -253,5 +485,48 @@ def _nig_unflatten(aux, children):
     return obj
 
 
+def _nig_obs_flatten(c):
+    return (
+        (c.obs_coeff, c.obs_scale, c.m0, c.v0, c._lam0, c._eta0),
+        (c.a0, c.b0, c._quad0, c.c0, c.d0),
+    )
+
+
+def _nig_obs_unflatten(aux, children):
+    obj = object.__new__(NIGARUnknownObsVariance)
+    obj.obs_coeff, obj.obs_scale, obj.m0, obj.v0, obj._lam0, obj._eta0 = children
+    obj.a0, obj.b0, obj._quad0, obj.c0, obj.d0 = aux
+    return obj
+
+
+def _pois_flatten(c):
+    return (c.hidden,), (c.a0, c.b0)
+
+
+def _pois_unflatten(aux, children):
+    obj = object.__new__(PoissonGammaCounts)
+    (obj.hidden,) = children
+    obj.a0, obj.b0 = aux
+    return obj
+
+
+def _var_flatten(c):
+    return (c.obs_coeff, c.obs_scale, c._lam0), (c.dim, c.a0, c.b0, c.initial_scale)
+
+
+def _var_unflatten(aux, children):
+    obj = object.__new__(NIGVectorAutoregression)
+    obj.obs_coeff, obj.obs_scale, obj._lam0 = children
+    obj.dim, obj.a0, obj.b0, obj.initial_scale = aux
+    return obj
+
+
 jax.tree_util.register_pytree_node(StorvikFilter, _storvik_flatten, _storvik_unflatten)
 jax.tree_util.register_pytree_node(NIGAutoregression, _nig_flatten, _nig_unflatten)
+jax.tree_util.register_pytree_node(
+    NIGARUnknownObsVariance, _nig_obs_flatten, _nig_obs_unflatten
+)
+jax.tree_util.register_pytree_node(PoissonGammaCounts, _pois_flatten, _pois_unflatten)
+jax.tree_util.register_pytree_node(
+    NIGVectorAutoregression, _var_flatten, _var_unflatten
+)
