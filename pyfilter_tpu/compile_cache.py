@@ -10,6 +10,28 @@ disk instead of recompiling.
 
 This is the same wiring ``bench.py`` and the test suite use internally —
 exposed here so library users don't have to know the three config knobs.
+
+**Classifying the AOT feature-mismatch warning.** On EVERY persistent-cache
+reload — same host included — XLA:CPU logs an ERROR-level wall of text from
+``cpu_aot_loader.cc`` ("Target machine feature +prefer-no-scatter is not
+supported on the host machine ... could lead to execution errors such as
+SIGILL"). Decision rule, validated in round 4's poisoning post-mortem:
+
+- *benign* (the overwhelmingly common case): the compile/host feature lists
+  differ ONLY in the ``+prefer-no-scatter``/``+prefer-no-gather``
+  pseudo-features — those are LLVM *tuning* hints keyed off the detected CPU
+  model, not ISA bits, and XLA never re-emits them into the host's
+  feature-detection list. Same-host reloads always produce this warning.
+- *poison*: float results CHANGE run-to-run (the round-4 symptom: one NaN
+  lane appearing with a foreign cache warm). The probe-based fingerprint
+  (:func:`xla_cpu_target_signature`) plus :func:`purge_foreign_entries`
+  prevent this class; if result-changing behavior reappears, something
+  bypassed :func:`enable_compile_cache` — fix the caller, do not filter the
+  log.
+
+The log line comes from native code before Python can intercept it; the only
+blanket silencer (``TF_CPP_MIN_LOG_LEVEL=3``) would also hide real native
+errors, so this module deliberately does NOT set it.
 """
 
 from __future__ import annotations

@@ -35,7 +35,7 @@ N ≥ 1e5. This module removes that wall with two scan-native algorithms:
 TPU notes: ALL rejection rounds are drawn at once — one ``randint``, one
 (R·J) gather, one batched density eval, an argmax for each target's first
 acceptance — because sequential full-size rounds wait on straggler targets
-(measured 36 s → ~1 s per smoothing pass at N=1e5 on the v5e). The uniform
+(measured wall-clocks live in PERF.md "Round-5 ledger"). The uniform
 proposal removes the per-step inverse-CDF sort of ``N + R·J`` keys that
 dominated the weighted-proposal variant's backward scan. The exact fallback
 streams over particle blocks with static trip counts, selecting failed
@@ -228,8 +228,9 @@ def backward_indices(
     one ``(R·J)`` gather, one batched density eval — and each target takes
     its FIRST accepted round (an argmax over the round axis). No sequential
     while-loop: straggler targets with low acceptance would otherwise hold
-    every slot hostage for tens of full-size rounds (measured 36 s →
-    sub-second per pass at N=1e5 on the v5e).
+    every slot hostage for tens of full-size rounds (an order-of-magnitude
+    wall-clock difference on the v5e; current measured numbers: PERF.md
+    "Round-5 ledger").
 
     Targets with no acceptance among the R rounds are finished EXACTLY by a
     streaming Gumbel-max categorical — when laneless, failed slots are

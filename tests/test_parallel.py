@@ -1110,3 +1110,33 @@ def test_spmd_ffbsi_matches_exact_spmd_smooth(key):
     np.testing.assert_allclose(
         np.asarray(rej).std(axis=1), np.asarray(exact).std(axis=1), rtol=0.35, atol=0.01
     )
+
+
+def test_spmd_ffbsi_backward_carries_no_all_gather(key):
+    """The rejection-FFBSi backward pass must never ship the cloud: the
+    compiled program's collectives are reductions/permutes of O(M) payloads
+    only — no all-gather anywhere (the exact Gumbel-max pass shares this
+    contract; here it covers the rejection path's candidate exchange too)."""
+    from pyfilter_tpu.parallel.spmd import _jitted_spmd_ffbsi
+
+    ssm = _model()
+    y = ssm.sample_states(jax.random.PRNGKey(0), 12).y
+    mesh = parallel.make_mesh()
+    n = 1024
+    *_, history = parallel.spmd_batch_filter(
+        ssm, n, key, y, mesh, record_history=True
+    )
+    vals, lws, times = history
+    from pyfilter_tpu.filters.particle.smoothing import transition_log_sup
+
+    log_sup = transition_log_sup(ssm)
+    f = _jitted_spmd_ffbsi(mesh, "particles", 128, 8)
+    compiled = f.lower(
+        ssm, jax.random.PRNGKey(3), vals, lws, times, jnp.asarray(log_sup)
+    ).compile()
+    pairs = _collectives_with_opnames(compiled.as_text())
+    gathers = [n_ for op, n_ in pairs if op == "all-gather"]
+    assert not gathers, f"cloud all-gather in the FFBSi backward pass: {gathers}"
+    # and it still runs (the lowering above is the same executable)
+    out = f(ssm, jax.random.PRNGKey(3), vals, lws, times, jnp.asarray(log_sup))
+    assert np.isfinite(np.asarray(out)).all()

@@ -236,7 +236,11 @@ def run_wastefree(quick=False):
     n_seeds = 3 if quick else 8
     out = {}
     for wf in (False, True):
-        runs = [one_fit(s, wf) for s in range(n_seeds)]
+        runs = []
+        for s in range(n_seeds):
+            r = one_fit(s, wf)
+            print(f"  run wf={wf} seed={s}: {json.dumps(r)}", flush=True)
+            runs.append(r)
         ev = np.array([r["log_evidence"] for r in runs])
         pg = np.array([r["post_gamma"] for r in runs])
         out["waste_free" if wf else "discard"] = {
