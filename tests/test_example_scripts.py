@@ -19,6 +19,7 @@ SCRIPTS = [
     "gaussian_filters_and_gradients.py",
     "batch_inference_zoo.py",
     "online_smoothing_ensembles.py",
+    "streaming_and_switching.py",
 ]
 
 
