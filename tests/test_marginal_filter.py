@@ -145,3 +145,28 @@ def test_imm_marginal_pmmh_recovers_transition_stickiness():
         f = f.initialize_model(ctx2)  # rebuild with the pinned lane values
     lls = np.asarray(f.batch_filter(jax.random.PRNGKey(22), y).log_likelihood)
     assert lls[1] > lls[0]
+
+
+def test_gsf_marginal_lane_likelihoods():
+    """kind='gsf': the Gaussian-sum marginal likelihood rides the same lane
+    vmap; on a linear model the moment-matched mixture prior keeps it within
+    a whisker of the exact (EKF) likelihood, per lane."""
+    _, y = build_ssm().sample_states(jax.random.PRNGKey(30), 60).get_paths()
+    with inf.make_context(key=jax.random.PRNGKey(31)) as ctx:
+        f_ekf = pf.GaussianMarginalFilter(build_model).set_batch_shape((6,))
+        f_gsf = pf.GaussianMarginalFilter(
+            build_model, kind="gsf", n_components=3, spread=0.5
+        ).set_batch_shape((6,))
+        ctx.set_batch_shape((6,))
+        f_ekf = f_ekf.initialize_model(ctx)
+        f_gsf = f_gsf.initialize_model(ctx)
+    r1 = f_ekf.batch_filter(jax.random.PRNGKey(32), y)
+    r2 = f_gsf.batch_filter(jax.random.PRNGKey(32), y)
+    np.testing.assert_allclose(
+        np.asarray(r1.log_likelihood), np.asarray(r2.log_likelihood), rtol=0.02, atol=0.5
+    )
+    # lane surgery on the vmapped GSF states works (PMMH's exchange path)
+    last = r2.latest_state
+    swapped = last.exchange(last.resample(jax.numpy.asarray([1, 0, 3, 2, 5, 4])),
+                            jax.numpy.asarray([True, False] * 3))
+    assert swapped.means.shape == last.means.shape
