@@ -135,12 +135,18 @@ class EnsembleTransformKalmanFilter:
         inflation: float = 1.0,
         localization: Optional[Localization] = None,
         batch_shape=(),
+        sqrt_method: str = "eigh",
+        ns_iters: int = 14,
     ):
+        if sqrt_method not in ("eigh", "newton"):
+            raise ValueError("sqrt_method must be 'eigh' or 'newton'")
         self.model = model
         self.ensemble_size = int(ensemble_size)
         self.inflation = float(inflation)
         self.localization = localization
         self.batch_shape = tuple(batch_shape)
+        self.sqrt_method = sqrt_method
+        self.ns_iters = int(ns_iters)
         hidden = model.hidden
         self._ev = int(hidden.event_ndim)
         init = hidden.initial_distribution()
@@ -177,21 +183,47 @@ class EnsembleTransformKalmanFilter:
         return ens, state.time_index
 
     # -- analysis ----------------------------------------------------------------
-    @staticmethod
-    def _transform(yr, innov_r, m_count):
+    def _transform(self, yr, innov_r, m_count):
         """Core ETKF solve in whitened observation space.
 
         ``yr``: ``(M, p)`` whitened obs anomalies; ``innov_r``: ``(p,)``
         whitened innovation. Returns ``(w_bar, w_mat)``: the mean weight
         vector and the symmetric square-root transform, both ``(M[, M])``.
+
+        ``sqrt_method="newton"`` replaces the eigendecomposition with the
+        coupled Newton-Schulz inverse-square-root iteration — pure (M, M)
+        matmuls, the MXU-native formulation (TPU `eigh` lowers to the
+        iterative QDWH algorithm and dominates the measured LETKF step,
+        PERF.md "Round-5 ledger"). ``A = (M-1) I + Yr Yr'`` is SPD with
+        eigenvalues >= M-1, and scaling by the Gershgorin row-sum bound puts
+        the spectrum in (0, 1], where the iteration converges globally
+        (quadratically once close); ``ns_iters`` trades accuracy for speed.
         """
         m1 = m_count - 1.0
         a_mat = m1 * jnp.eye(yr.shape[0], dtype=yr.dtype) + yr @ yr.T
-        evals, evecs = jnp.linalg.eigh(a_mat)
-        evals = jnp.maximum(evals, 1e-8)
-        pa = (evecs / evals) @ evecs.T  # A^{-1}
+        if self.sqrt_method == "eigh":
+            evals, evecs = jnp.linalg.eigh(a_mat)
+            evals = jnp.maximum(evals, 1e-8)
+            pa = (evecs / evals) @ evecs.T  # A^{-1}
+            w_bar = pa @ (yr @ innov_r)
+            w_mat = (evecs / jnp.sqrt(evals / m1)) @ evecs.T  # (m1 * A^{-1})^{1/2}
+            return w_bar, w_mat
+        # Newton-Schulz: Z -> (A/c)^{-1/2}, so A^{-1/2} = Z / sqrt(c)
+        eye = jnp.eye(a_mat.shape[0], dtype=a_mat.dtype)
+        c = jnp.max(jnp.sum(jnp.abs(a_mat), axis=1))  # Gershgorin: c >= lam_max
+        b = a_mat / c
+        z = eye
+
+        def body(_, carry):
+            b, z = carry
+            t = 0.5 * (3.0 * eye - z @ b)
+            return b @ t, t @ z
+
+        _, z = jax.lax.fori_loop(0, self.ns_iters, body, (b, z))
+        inv_sqrt = z / jnp.sqrt(c)  # A^{-1/2} (symmetric up to iteration error)
+        pa = inv_sqrt @ inv_sqrt.T  # A^{-1}
         w_bar = pa @ (yr @ innov_r)
-        w_mat = (evecs / jnp.sqrt(evals / m1)) @ evecs.T  # (m1 * A^{-1})^{1/2}
+        w_mat = jnp.sqrt(m1) * inv_sqrt
         return w_bar, w_mat
 
     def _analysis(self, ens, y_t, t):
@@ -270,7 +302,8 @@ class EnsembleTransformKalmanFilter:
 
             return lane_vmap_batch_filter(
                 lambda mdl: type(self)(
-                    mdl, self.ensemble_size, self.inflation, self.localization
+                    mdl, self.ensemble_size, self.inflation, self.localization,
+                    sqrt_method=self.sqrt_method, ns_iters=self.ns_iters,
                 ),
                 self.model, self.batch_shape, y, key=key,
             )

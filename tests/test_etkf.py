@@ -262,3 +262,50 @@ def test_letks_localized_smoother_tracks_at_small_ensemble():
     rmse_s = float(np.sqrt(np.mean((m - x_np) ** 2)))
     assert np.isfinite(rmse_s)
     assert rmse_s < 1.1 * rmse_f + 1e-3, (rmse_s, rmse_f)
+
+
+def test_newton_schulz_transform_matches_eigh():
+    """sqrt_method='newton' (pure-matmul inverse square root — the
+    MXU-native path; TPU eigh is the measured LETKF bottleneck) must match
+    the eigendecomposition transform to float tolerance, globally and
+    localized."""
+    oracle = NumpyKalman(
+        [[BETA]], [[1.0]], [[SIGMA**2]], [[OBS_STD**2]],
+        transition_offsets=[ALPHA],
+        initial_state_mean=[ALPHA],
+        initial_state_covariance=[[SIGMA**2]],
+    )
+    _, y = oracle.sample(40, rng=np.random.default_rng(13))
+    yj = jnp.asarray(y[:, 0], jnp.float32)
+
+    a = pf.EnsembleTransformKalmanFilter(ar_ssm(), 64).batch_filter(
+        jax.random.PRNGKey(6), yj
+    )
+    b = pf.EnsembleTransformKalmanFilter(
+        ar_ssm(), 64, sqrt_method="newton"
+    ).batch_filter(jax.random.PRNGKey(6), yj)
+    np.testing.assert_allclose(
+        float(b.log_likelihood), float(a.log_likelihood), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.filter_means), np.asarray(a.filter_means), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.filter_variances), np.asarray(a.filter_variances),
+        rtol=5e-3, atol=1e-5,
+    )
+
+    # localized: same agreement on a short d >> M run
+    d, m_size = 64, 20
+    ssm = _ring_ssm(d)
+    _, y2 = ssm.sample_states(jax.random.PRNGKey(7), 6).get_paths()
+    loc = _ring_localization(d, radius=4.0)
+    r1 = pf.EnsembleTransformKalmanFilter(
+        ssm, m_size, localization=loc, inflation=1.05
+    ).batch_filter(jax.random.PRNGKey(8), jnp.asarray(y2, jnp.float32))
+    r2 = pf.EnsembleTransformKalmanFilter(
+        ssm, m_size, localization=loc, inflation=1.05, sqrt_method="newton"
+    ).batch_filter(jax.random.PRNGKey(8), jnp.asarray(y2, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(r2.filter_means), np.asarray(r1.filter_means), rtol=1e-3, atol=5e-4
+    )
