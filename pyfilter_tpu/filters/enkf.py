@@ -263,13 +263,14 @@ def enrts_backward(fores, anas, m_count, rho_xx=None):
     forecast propagation (the pairing survives sub-stepping and the ETKF's
     deterministic transform alike).
 
-    The global branch computes the gain in ENSEMBLE space through the
+    The global branch solves in whichever space is SMALLER: at M <= d the
     push-through identity ``A_a A_f' (A_f A_f' + εI_d)^{-1} = A_a (A_f' A_f +
-    εI_M)^{-1} A_f'`` — an (M, M) solve instead of (d, d): at M < d the
+    εI_M)^{-1} A_f'`` gives an (M, M) ensemble-space solve — at M < d the
     state-space forecast covariance is rank-deficient (rank M-1) and its
     regularized (d, d) solve is numerically explosive (observed: NaN at
-    d=256, M=40), while the ensemble-space system is full-rank by
-    construction and O(M²d + M³) instead of O(d³).
+    d=256, M=40) — while at d < M the classic (d, d) state-space solve is
+    full-rank and avoids the O(M³) system (a 4000-member, d=1 smoother
+    measured 164 s in ensemble space vs seconds in state space).
 
     ``rho_xx`` (Gaspari-Cohn state-state taper) switches to the localized
     branch: both the cross-covariance AND the forecast covariance are
@@ -286,11 +287,16 @@ def enrts_backward(fores, anas, m_count, rho_xx=None):
         a = ana_t - ana_t.mean(axis=0)  # (M, d) analysis anomalies
         af = fore_next - fore_next.mean(axis=0)  # (M, d) forecast anomalies
         innov = smoothed_next - fore_next  # (M, d)
-        if rho_xx is None:
+        if rho_xx is None and af.shape[0] <= af.shape[1]:  # M <= d
             # ensemble-space gain: innov @ G' = innov @ A_f' K^{-1} A_a
             k_mat = af @ af.T + m_eff * 1e-6 * jnp.eye(af.shape[0])
             tmp = innov @ af.T  # (M, M)
             smoothed = ana_t + jnp.linalg.solve(k_mat, tmp.T).T @ a
+        elif rho_xx is None:  # d < M: full-rank state-space solve
+            c_xf = a.T @ af / m_eff
+            p_f = af.T @ af / m_eff + 1e-6 * jnp.eye(af.shape[1])
+            gain = jnp.linalg.solve(p_f.T, c_xf.T).T  # C P^{-1}
+            smoothed = ana_t + innov @ gain.T
         else:
             c_xf = rho_xx * (a.T @ af) / m_eff
             p_f = rho_xx * (af.T @ af) / m_eff + 1e-6 * jnp.eye(a.shape[1])

@@ -261,51 +261,30 @@ def backward_indices(
 
     n = vals_t.shape[0]
     r = int(max_rounds)
-    k_prop, k_acc, k_prop2, k_acc2, k_fb = jax.random.split(key, 5)
+    k_prop, k_acc, k_fb = jax.random.split(key, 3)
 
     if r > 0:
+        cand = jax.random.randint(k_prop, (r,) + j_shape, 0, n, dtype=jnp.int32)
+        flat = cand.reshape((r * j,) + j_shape[1:])
+        x_c = batched_gather(vals_t, flat, ev).reshape((r,) + targets.shape)
         lw_shift = lw_t - jnp.max(lw_t, axis=0, keepdims=True)  # log(w_i / max w)
-
-        def draw_rounds(k_p, k_a, r_n):
-            cand = jax.random.randint(k_p, (r_n,) + j_shape, 0, n, dtype=jnp.int32)
-            flat = cand.reshape((r_n * j,) + j_shape[1:])
-            x_c = batched_gather(vals_t, flat, ev).reshape((r_n,) + targets.shape)
-            lw_c = batched_gather(lw_shift, flat, 0).reshape((r_n,) + j_shape)
-            density = model.hidden.build_density(TimeseriesState(t_t, x_c, ev))
-            lp = density.log_prob(targets[None])  # (r_n, J, *batch)
-            # a density value above the bound means the acceptance probability
-            # saturates at 1 and the accepted law is no longer the target —
-            # detectable exactly here, at the candidate evaluations
-            viol = jnp.any(lp > log_sup + 1e-4)
-            log_u = jnp.log(jax.random.uniform(k_a, (r_n,) + j_shape, dtype=lp.dtype))
-            acc = log_u < lw_c + lp - log_sup
-            first = jnp.argmax(acc, axis=0)  # first accepting round per target
-            return jnp.take_along_axis(cand, first[None], axis=0)[0], jnp.any(acc, 0), viol
-
-        # TWO-STAGE lazy draw: each round is an iid rejection attempt, so
-        # "first acceptance among r1 rounds, else first among the next r2"
-        # is exactly sequential rejection sampling — same law as drawing all
-        # r rounds upfront. Right after a resample the weights are flat and
-        # acceptance is high, so the common step accepts EVERYTHING within
-        # the first few rounds and the scalar cond skips ~3/4 of the random
-        # gathers (the backward step's dominant cost at N >= 1e5).
-        r1 = min(4, r)
-        idx, accepted, violated = draw_rounds(k_prop, k_acc, r1)
-        r2 = r - r1
-        if r2 > 0:
-            def no_more(_):
-                return idx, accepted, jnp.asarray(False)
-
-            def more_rounds(_):
-                idx2, acc2, viol2 = draw_rounds(k_prop2, k_acc2, r2)
-                return (
-                    jnp.where(accepted, idx, idx2), accepted | acc2, viol2,
-                )
-
-            idx, accepted, viol2 = jax.lax.cond(
-                jnp.all(accepted), no_more, more_rounds, None
-            )
-            violated = violated | viol2
+        lw_c = batched_gather(lw_shift, flat, 0).reshape((r,) + j_shape)
+        density = model.hidden.build_density(TimeseriesState(t_t, x_c, ev))
+        lp = density.log_prob(targets[None])  # (R, J, *batch)
+        # a density value above the bound means the acceptance probability
+        # saturates at 1 and the accepted law is no longer the target —
+        # detectable exactly here, at the candidate evaluations
+        violated = jnp.any(lp > log_sup + 1e-4)
+        log_u = jnp.log(jax.random.uniform(k_acc, (r,) + j_shape, dtype=lp.dtype))
+        acc = log_u < lw_c + lp - log_sup
+        first = jnp.argmax(acc, axis=0)  # first accepting round per target
+        idx = jnp.take_along_axis(cand, first[None], axis=0)[0]
+        accepted = jnp.any(acc, axis=0)
+        # NOTE a two-stage lazy draw (4 rounds, then 12 under a cond on
+        # jnp.all(accepted)) was built and measured NEUTRAL at N=1e5
+        # (12.0 s vs 11.7 s per pass): with J in the thousands the
+        # probability that EVERY target accepts within a few rounds is
+        # essentially zero, so the second stage always fired. Reverted.
     else:  # degenerate cap: everything goes through the exact fallback
         idx = jnp.zeros(j_shape, jnp.int32)
         accepted = jnp.zeros(j_shape, bool)

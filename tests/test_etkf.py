@@ -58,17 +58,20 @@ def test_etkf_converges_to_exact_kalman():
     means, covs, ll = oracle.filter(y)
     yj = jnp.asarray(y[:, 0], jnp.float32)
 
-    m_size = 3000
+    # M stays in the hundreds: the (M, M) eigh scales ~M^3 and the M=3000
+    # version of this test cost 266 s of the fast tier for no extra law
+    # coverage (MC tolerances below scale with 1/sqrt(M))
+    m_size = 800
     res = pf.EnsembleTransformKalmanFilter(ar_ssm(), m_size).batch_filter(
         jax.random.PRNGKey(0), yj
     )
-    assert abs(float(res.log_likelihood) - ll) / abs(ll) < 0.03
+    assert abs(float(res.log_likelihood) - ll) / abs(ll) < 0.05
     err_mean = np.abs(np.asarray(res.filter_means)[:, 0] - means[:, 0]).mean()
     err_var = np.abs(
         np.asarray(res.filter_variances)[:, 0] - covs[:, 0, 0]
     ).mean()
-    assert err_mean < 0.03, err_mean
-    assert err_var < 0.01, err_var
+    assert err_mean < 0.06, err_mean
+    assert err_var < 0.02, err_var
 
     # deterministic-update advantage: at small M the ETKF's variance
     # estimate beats the stochastic EnKF's on the same budget and data

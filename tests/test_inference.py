@@ -929,6 +929,7 @@ def test_pmmh_remainder_chunk_reuses_compile():
     assert mcmc_utils._pmmh_chain_scan._cache_size() == 1
 
 
+@pytest.mark.slow
 def test_pmmh_second_order_gradient_proposal():
     """``use_second_order=True`` (NotImplementedError in the reference,
     gradient.py:59-60): the Hessian-preconditioned MVN kernel must ride the

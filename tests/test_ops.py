@@ -16,8 +16,13 @@ def _model():
     return examples.stochastic_volatility_model(0.1, 1.0, 0.05, 0.0, 0.0, 1.0, dt=0.2)
 
 
-@pytest.mark.parametrize("n", [257, 1000, 4096, 9001])
-@pytest.mark.parametrize("event", [(), (2,), (3, 2)])
+@pytest.mark.parametrize(
+    "n",
+    [257, 1000, pytest.param(4096, marks=pytest.mark.slow), 9001],
+)
+@pytest.mark.parametrize(
+    "event", [(), (2,), pytest.param((3, 2), marks=pytest.mark.slow)]
+)
 def test_systematic_expand_matches_counts_resampler(key, n, event):
     """The Pallas expansion must reproduce counts-inversion + gather
     bit-for-bit (same counts arithmetic, exact one-hot selection)."""

@@ -301,7 +301,9 @@ def test_sharded_smc2_chunk_scan_hlo_collectives():
             assert "/cond/branch" in name, name
 
 
-@pytest.mark.parametrize("halo", [1, 2])
+@pytest.mark.parametrize(
+    "halo", [1, pytest.param(2, marks=pytest.mark.slow)]
+)
 def test_halo_systematic_matches_allgather(key, halo):
     """The scaling-tier resampler (halo ppermute exchange, O(halo*N/P)
     payload) must be bit-identical to the all-gather strategy whenever the
