@@ -135,9 +135,16 @@ class EnsembleTransformKalmanFilter:
         inflation: float = 1.0,
         localization: Optional[Localization] = None,
         batch_shape=(),
-        sqrt_method: str = "eigh",
+        sqrt_method: Optional[str] = None,
         ns_iters: int = 14,
     ):
+        if sqrt_method is None:
+            # auto: the LETKF's d-way batch of small (M, M) transforms is
+            # where QDWH-eigh drowns on TPU — the Newton-Schulz matmul
+            # iteration measured 123x faster at d=1024/M=50 with 3e-5
+            # relative likelihood agreement (PERF.md "Round-5 ledger");
+            # the global path keeps the exact eigendecomposition.
+            sqrt_method = "newton" if localization is not None else "eigh"
         if sqrt_method not in ("eigh", "newton"):
             raise ValueError("sqrt_method must be 'eigh' or 'newton'")
         self.model = model

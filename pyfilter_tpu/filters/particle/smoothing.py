@@ -352,6 +352,7 @@ def ffbsi_smooth(
     block: int = 64,
     n_trajectories: int | None = None,
     check_bound: bool = True,
+    fallback_subset: int | None = None,
 ):
     """Rejection-FFBSi trajectory sampling over a recorded filter history —
     same law as the exact FFBS (``ParticleFilter._smooth_ffbs``), O(N)
@@ -394,7 +395,7 @@ def ffbsi_smooth(
         vals_t, lw_t, t_t, k = inp
         idx, v = backward_indices(
             k, model, vals_t, lw_t, t_t, traj_next, log_sup, max_rounds, block,
-            return_violation=True,
+            fallback_subset=fallback_subset, return_violation=True,
         )
         traj_t = batched_gather(vals_t, idx, ev)
         return (traj_t, viol | v), traj_t
