@@ -303,12 +303,19 @@ def backward_indices(
         block_eff = max(int(block), min(n, (1 << 25) // max(k_sub, 1)))
 
         def fixup(idx):
-            # ONE argsort orders failures first; only executed when some slot
-            # actually failed (the scalar cond keeps the per-step sort out of
-            # the common all-accepted path — measured ~15% of the backward
-            # step at N=1e5 on the v5e)
-            order = jnp.argsort(accepted)  # failed slots first (False < True)
+            # compact the failed slots to the front WITHOUT a sort: each
+            # failed element scatters its index into its cumsum rank
+            # (accepted elements aim out of bounds and are dropped). The
+            # slots past n_fail stay 0 — a valid index whose re-selection
+            # is guarded by the `fix` mask below. Only executed when some
+            # slot actually failed (scalar cond).
             n_fail = jnp.sum(~accepted)
+            slots = jnp.where(~accepted, jnp.cumsum(~accepted) - 1, j)
+            order = (
+                jnp.zeros(j, jnp.int32)
+                .at[slots]
+                .set(jnp.arange(j, dtype=jnp.int32), mode="drop")
+            )
 
             def pass_cond(state):
                 _, it = state
