@@ -262,12 +262,12 @@ def backward_indices(
     n = vals_t.shape[0]
     r = int(max_rounds)
     k_prop, k_acc, k_fb = jax.random.split(key, 3)
+    lw_shift = lw_t - jnp.max(lw_t, axis=0, keepdims=True)  # log(w_i / max w)
 
     if r > 0:
         cand = jax.random.randint(k_prop, (r,) + j_shape, 0, n, dtype=jnp.int32)
         flat = cand.reshape((r * j,) + j_shape[1:])
         x_c = batched_gather(vals_t, flat, ev).reshape((r,) + targets.shape)
-        lw_shift = lw_t - jnp.max(lw_t, axis=0, keepdims=True)  # log(w_i / max w)
         lw_c = batched_gather(lw_shift, flat, 0).reshape((r,) + j_shape)
         density = model.hidden.build_density(TimeseriesState(t_t, x_c, ev))
         lp = density.log_prob(targets[None])  # (R, J, *batch)
@@ -302,20 +302,23 @@ def backward_indices(
         k_sub = int(fallback_subset) if fallback_subset else min(j, max(128, j // 512))
         block_eff = max(int(block), min(n, (1 << 25) // max(k_sub, 1)))
 
-        def fixup(idx):
-            # compact the failed slots to the front WITHOUT a sort: each
-            # failed element scatters its index into its cumsum rank
-            # (accepted elements aim out of bounds and are dropped). The
-            # slots past n_fail stay 0 — a valid index whose re-selection
-            # is guarded by the `fix` mask below. Only executed when some
-            # slot actually failed (scalar cond).
-            n_fail = jnp.sum(~accepted)
-            slots = jnp.where(~accepted, jnp.cumsum(~accepted) - 1, j)
+        def compact_failed(acc, size):
+            """First ``size`` failed-slot indices (sentinel ``j`` past the
+            end) without a sort: each failed element scatters its index into
+            its cumsum rank; accepted elements aim out of bounds and drop."""
+            slots = jnp.where(~acc, jnp.cumsum(~acc) - 1, j)
             order = (
-                jnp.zeros(j, jnp.int32)
+                jnp.full(j, j, jnp.int32)
                 .at[slots]
                 .set(jnp.arange(j, dtype=jnp.int32), mode="drop")
             )
+            return order[:size] if size < j else order
+
+        def _fixup_exact(idx, acc):
+            """Exact streaming passes for every still-failed slot (stage B;
+            also the whole fallback when ``max_rounds == 0``)."""
+            n_fail = jnp.sum(~acc)
+            order = compact_failed(acc, j)
 
             def pass_cond(state):
                 _, it = state
@@ -323,19 +326,34 @@ def backward_indices(
 
             def pass_body(state):
                 idx, it = state
-                sel = jax.lax.dynamic_slice_in_dim(order, it * k_sub, k_sub, 0)
+                sel_b = jax.lax.dynamic_slice_in_dim(order, it * k_sub, k_sub, 0)
+                sel_g = jnp.minimum(sel_b, j - 1)
                 exact = _streaming_categorical(
                     jax.random.fold_in(k_fb, it), model, vals_t, lw_t, t_t,
-                    jnp.take(targets, sel, axis=0), ev, block_eff,
+                    jnp.take(targets, sel_g, axis=0), ev, block_eff,
                 )
-                fix = ~jnp.take(accepted, sel)
-                idx = idx.at[sel].set(jnp.where(fix, exact, jnp.take(idx, sel)))
+                fix = ~jnp.take(acc, sel_g)
+                idx = idx.at[sel_b].set(
+                    jnp.where(fix, exact, jnp.take(idx, sel_g)), mode="drop"
+                )
                 return idx, it + 1
 
             idx, _ = jax.lax.while_loop(pass_cond, pass_body, (idx, jnp.int32(0)))
             return idx
 
-        idx = jax.lax.cond(jnp.all(accepted), lambda i: i, fixup, idx)
+        # NOTE a "stage A" subset-rejection layer (64 extra rounds over a
+        # compaction of the failed slots, before any streaming-exact pass)
+        # was built and measured NEUTRAL on-chip at both the default
+        # (11.65 vs 11.71 s/pass at N=M=1e5) and the fallback-heavy
+        # max_rounds=8 configuration (14.68 vs 15.0 s) — the backward
+        # step's cost is structural in the candidate gather machinery, not
+        # in the fallback's size. Reverted for simplicity.
+        idx = jax.lax.cond(
+            jnp.all(accepted),
+            lambda args: args[0],
+            lambda args: _fixup_exact(*args),
+            (idx, accepted),
+        )
         return (idx, violated) if return_violation else idx
 
     def fallback(args):
