@@ -140,3 +140,63 @@ def test_enkf_jit_and_grad():
     g_low = float(jax.jit(jax.grad(ll))(0.4))
     g_high = float(jax.jit(jax.grad(ll))(0.95))
     assert g_low > 0.0 > g_high, (g_low, g_high)
+
+
+def test_enkf_lane_batching_matches_per_lane_loop():
+    """batch_shape=(K,): lane-batched model leaves (different beta per lane)
+    run K independent ensembles under one vmap, each reproducing the
+    single-lane run with the same per-lane key split."""
+    import jax as _jax
+
+    betas = np.asarray([0.5, 0.7, 0.9], np.float32)
+    _, y = linear_ssm().sample_states(jax.random.PRNGKey(20), 40).get_paths()
+    laned_model = ts.LinearStateSpaceModel(
+        ts.models.AR(0.0, jnp.asarray(betas), 0.3), (1.0, 0.2)
+    )
+    key = jax.random.PRNGKey(21)
+    laned = pf.EnsembleKalmanFilter(laned_model, 400, batch_shape=(3,)).batch_filter(key, y)
+    assert laned.log_likelihood.shape == (3,)
+    assert laned.filter_means.shape[:2] == (40, 3)
+
+    keys = _jax.random.split(key, 3)
+    for i, b in enumerate(betas):
+        single_model = ts.LinearStateSpaceModel(
+            ts.models.AR(0.0, jnp.asarray(float(b)), 0.3), (1.0, 0.2)
+        )
+        single = pf.EnsembleKalmanFilter(single_model, 400).batch_filter(keys[i], y)
+        np.testing.assert_allclose(
+            float(laned.log_likelihood[i]), float(single.log_likelihood), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(laned.filter_means)[:, i, 0],
+            np.asarray(single.filter_means)[:, 0], rtol=1e-3, atol=1e-4,
+        )
+    # lane surgery on the vmapped ensemble states
+    last = laned.latest_state
+    perm = last.resample(jnp.asarray([2, 0, 1]))
+    np.testing.assert_allclose(
+        np.asarray(perm.log_likelihood), np.asarray(last.log_likelihood)[[2, 0, 1]]
+    )
+
+
+def test_etkf_lane_batching_matches_per_lane_loop():
+    import jax as _jax
+
+    betas = np.asarray([0.5, 0.9], np.float32)
+    _, y = linear_ssm().sample_states(jax.random.PRNGKey(22), 30).get_paths()
+    laned_model = ts.LinearStateSpaceModel(
+        ts.models.AR(0.0, jnp.asarray(betas), 0.3), (1.0, 0.2)
+    )
+    key = jax.random.PRNGKey(23)
+    laned = pf.EnsembleTransformKalmanFilter(
+        laned_model, 200, batch_shape=(2,)
+    ).batch_filter(key, y)
+    keys = _jax.random.split(key, 2)
+    for i, b in enumerate(betas):
+        single_model = ts.LinearStateSpaceModel(
+            ts.models.AR(0.0, jnp.asarray(float(b)), 0.3), (1.0, 0.2)
+        )
+        single = pf.EnsembleTransformKalmanFilter(single_model, 200).batch_filter(keys[i], y)
+        np.testing.assert_allclose(
+            float(laned.log_likelihood[i]), float(single.log_likelihood), rtol=2e-5
+        )
