@@ -395,6 +395,11 @@ def ffbsi_smooth(
     instead the whole returned trajectory array is poisoned with NaN
     (disable via ``check_bound=False``; no host callback exists on the axon
     TPU backend, so NaN is the loud in-trace signal).
+
+    TPU perf tip: the pass is RNG-heavy (``R·J`` candidate draws per
+    backward step), so the PRNG implementation of ``key`` matters — an rbg
+    key (``jax.random.key(seed, impl="rbg")``) measured 1.76x faster than
+    threefry at N=M=1e5 on the v5e (PERF.md "Round-5 ledger").
     """
     ev = model.hidden.event_ndim
     values = history.values

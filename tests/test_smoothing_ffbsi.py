@@ -312,3 +312,15 @@ def test_ffbsi_bound_violation_is_loud():
         jax.random.PRNGKey(32), res, method="ffbsi", log_density_sup=good
     )
     assert np.isfinite(np.asarray(sm_good)).all()
+
+
+def test_ffbsi_rbg_key(data_and_oracle):
+    """An rbg-implementation key (the measured-faster PRNG for this
+    RNG-bound pass — PERF.md) produces the same smoothing law."""
+    y, sm_mean, sm_var = data_and_oracle
+    filt = pf.SISR(ar_ssm(), 1500, record_states=True)
+    res = filt.batch_filter(jax.random.PRNGKey(50), y)
+    sm = filt.smooth(jax.random.key(51, impl="rbg"), res, method="ffbsi")
+    m = np.asarray(sm).mean(axis=1)
+    mc_tol = 4.5 * np.sqrt(sm_var / 1500).max() + 0.025
+    np.testing.assert_allclose(m[1:], sm_mean, atol=mc_tol)
