@@ -503,6 +503,10 @@ def paris(
     Returns ``(estimate, stats, result)``: the weighted smoothed-functional
     estimate (pytree), the final per-particle statistics, and the
     :class:`FilterResult` of the underlying pass.
+
+    TPU perf tip: like :func:`ffbsi_smooth`, the backward draws are
+    RNG-heavy — an rbg key (``jax.random.key(seed, impl="rbg")``) measured
+    ~1.8x faster than threefry on the v5e (PERF.md "Round-5 ledger").
     """
     model = filt.model
     oes = int(model.observe_every_step)
