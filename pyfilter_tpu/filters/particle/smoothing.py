@@ -267,8 +267,20 @@ def backward_indices(
     if r > 0:
         cand = jax.random.randint(k_prop, (r,) + j_shape, 0, n, dtype=jnp.int32)
         flat = cand.reshape((r * j,) + j_shape[1:])
-        x_c = batched_gather(vals_t, flat, ev).reshape((r,) + targets.shape)
-        lw_c = batched_gather(lw_shift, flat, 0).reshape((r,) + j_shape)
+        if len(j_shape) == 1 and ev <= 1:
+            # ONE packed gather instead of separate value and weight gathers:
+            # random gathers are the backward step's dominant traffic, and
+            # fetching the (value..., lw) row contiguously halves the gather
+            # count (measured ~1.7x on the standalone gather pair at
+            # R·J=1.6e6 from a 1e5 cloud on the v5e)
+            vals2d = vals_t if ev == 1 else vals_t[:, None]
+            packed = jnp.concatenate([vals2d, lw_shift[:, None]], axis=-1)
+            g = jnp.take(packed, flat, axis=0).reshape((r, j, -1))
+            x_c = g[..., :-1] if ev == 1 else g[..., 0]
+            lw_c = g[..., -1]
+        else:
+            x_c = batched_gather(vals_t, flat, ev).reshape((r,) + targets.shape)
+            lw_c = batched_gather(lw_shift, flat, 0).reshape((r,) + j_shape)
         density = model.hidden.build_density(TimeseriesState(t_t, x_c, ev))
         lp = density.log_prob(targets[None])  # (R, J, *batch)
         # a density value above the bound means the acceptance probability
