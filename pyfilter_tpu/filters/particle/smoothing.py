@@ -279,6 +279,12 @@ def backward_indices(
             x_c = g[..., :-1] if ev == 1 else g[..., 0]
             lw_c = g[..., -1]
         else:
+            # NOTE the same packing was built and measured for the
+            # lane-batched path (take_along_axis over (N, L) with a packed
+            # trailing axis) and came out SLOWER on the v5e (569 vs 443 ms on
+            # the standalone pair at N=J=2e4, L=50): lane-strided rows make
+            # the packed gather wider, not fewer-transaction. Reverted —
+            # packing only pays on the laneless contiguous-row path above.
             x_c = batched_gather(vals_t, flat, ev).reshape((r,) + targets.shape)
             lw_c = batched_gather(lw_shift, flat, 0).reshape((r,) + j_shape)
         density = model.hidden.build_density(TimeseriesState(t_t, x_c, ev))
