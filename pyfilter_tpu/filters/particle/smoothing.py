@@ -416,7 +416,7 @@ def ffbsi_smooth(
 
     TPU perf tip: the pass is RNG-heavy (``R·J`` candidate draws per
     backward step), so the PRNG implementation of ``key`` matters — an rbg
-    key (``jax.random.key(seed, impl="rbg")``) measured 1.76x faster than
+    key (``jax.random.key(seed, impl="rbg")``) measured 2.7x faster than
     threefry at N=M=1e5 on the v5e (PERF.md "Round-5 ledger").
     """
     ev = model.hidden.event_ndim
@@ -524,7 +524,7 @@ def paris(
 
     TPU perf tip: like :func:`ffbsi_smooth`, the backward draws are
     RNG-heavy — an rbg key (``jax.random.key(seed, impl="rbg")``) measured
-    ~1.8x faster than threefry on the v5e (PERF.md "Round-5 ledger").
+    ~2x faster than threefry on the v5e (PERF.md "Round-5 ledger").
     """
     model = filt.model
     oes = int(model.observe_every_step)
