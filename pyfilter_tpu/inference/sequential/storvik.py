@@ -53,6 +53,45 @@ class StorvikResult(NamedTuple):
     ess: jax.Array
 
 
+def _chol2x2(lam):
+    """Closed-form Cholesky of a batched ``(..., 2, 2)`` SPD matrix, as the
+    triple ``(l11, l21, l22)``.
+
+    ``jnp.linalg.cholesky`` / ``cho_solve`` lower to general linalg
+    custom-calls on TPU that dominate the whole Storvik pass at particle
+    scale (xprof: two custom-calls were 22 s of a 25 s N=1e5/T=400 pass —
+    PERF.md "Round-5 ledger"); the closed-form factor and solves below are
+    pure elementwise VPU math over the particle axis.
+    """
+    a = lam[..., 0, 0]
+    b = lam[..., 1, 0]
+    c = lam[..., 1, 1]
+    l11 = jnp.sqrt(a)
+    l21 = b / l11
+    l22 = jnp.sqrt(jnp.maximum(c - l21 * l21, 1e-30))
+    return l11, l21, l22
+
+
+def _cho_solve2x2(chol, rhs):
+    """Solve ``L L' m = rhs`` for batched 2-vectors ``rhs`` given
+    :func:`_chol2x2`'s factor triple."""
+    l11, l21, l22 = chol
+    z1 = rhs[..., 0] / l11
+    z2 = (rhs[..., 1] - l21 * z1) / l22
+    m2 = z2 / l22
+    m1 = (z1 - l21 * m2) / l11
+    return jnp.stack([m1, m2], axis=-1)
+
+
+def _solve_upper2x2(chol, rhs):
+    """Solve ``L' u = rhs`` (upper-triangular back-substitution) for batched
+    2-vectors given :func:`_chol2x2`'s factor triple."""
+    l11, l21, l22 = chol
+    u2 = rhs[..., 1] / l22
+    u1 = (rhs[..., 0] - l21 * u2) / l11
+    return jnp.stack([u1, u2], axis=-1)
+
+
 class NIGAutoregression:
     r"""Normal-inverse-gamma conjugate block for an AR(1) hidden process with
     unknown ``(alpha, beta, sigma^2)`` and a KNOWN linear-Gaussian
@@ -97,8 +136,8 @@ class NIGAutoregression:
 
     def _posterior(self, stats):
         lam, eta, ssq, n = stats
-        chol = jnp.linalg.cholesky(lam)
-        m = jax.scipy.linalg.cho_solve((chol, True), eta[..., None])[..., 0]  # (N, 2)
+        chol = _chol2x2(lam)
+        m = _cho_solve2x2(chol, eta)  # (N, 2)
         a = self.a0 + 0.5 * n
         b = self.b0 + 0.5 * (self._quad0 + ssq - jnp.einsum("...i,...i->...", eta, m))
         return m, chol, a, jnp.maximum(b, 1e-8)
@@ -111,9 +150,7 @@ class NIGAutoregression:
         sigma2 = b / jnp.maximum(g, 1e-12)
         eps = jax.random.normal(k_coef, m.shape, m.dtype)
         # (alpha, beta) = m + sigma * L^{-T} eps  with  Λ = L L'
-        coef = m + jnp.sqrt(sigma2)[..., None] * jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(chol, -1, -2), eps[..., None], lower=False
-        )[..., 0]
+        coef = m + jnp.sqrt(sigma2)[..., None] * _solve_upper2x2(chol, eps)
         return coef[..., 0], coef[..., 1], jnp.sqrt(sigma2)
 
     def posterior_mean(self, stats):
