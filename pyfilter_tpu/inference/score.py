@@ -25,6 +25,7 @@ per gradient) to its online limit.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -120,6 +121,12 @@ def online_score(
     flows through DENSITY re-evaluations, never through resampling).
     ``log_density_sup``: rejection bound forwarded to the backward kernel
     (required for heteroscedastic transitions; see ``transition_log_sup``).
+
+    TPU perf tip: like the PaRIS/FFBSi kernels underneath, the pass is
+    RNG-heavy — an rbg key (``jax.random.key(seed, impl="rbg")``) measured
+    2.2x faster than threefry at N=1e5 on the v5e (PERF.md "Round-5
+    ledger"). Repeated calls with the SAME ``build_model`` function object
+    reuse the compiled executable (parameter-value changes never recompile).
     """
     k_ctx, k_run = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
     ctx = context if context is not None else InferenceContext(key=k_ctx)
@@ -129,19 +136,37 @@ def online_score(
         raise ValueError("online_score evaluates one parameter point: batch shape ()")
 
     filt = filter_factory(build_model).initialize_model(ctx)
-    model = filt.model
-    ev = model.hidden.event_ndim
-    oes = int(model.observe_every_step)
     if log_density_sup is None:
-        log_density_sup = transition_log_sup(model)
+        log_density_sup = transition_log_sup(filt.model)
 
+    est, ll, stats = _online_score_core(
+        build_model, n_tilde, max_rounds, filt, ctx, k_run,
+        jnp.asarray(y), jnp.asarray(log_density_sup),
+    )
+    return OnlineScoreResult(est, ll, stats, ctx)
+
+
+@functools.partial(jax.jit, static_argnames=("build_model", "n_tilde", "max_rounds"))
+def _online_score_core(build_model, n_tilde, max_rounds, filt, ctx, key, y, log_sup):
+    """The jitted body of :func:`online_score`.
+
+    Module-level jit keyed on the (hashable) model builder: WITHOUT this,
+    every call re-traced the whole PaRIS scan eagerly — xprof attributed
+    essentially the entire 21 s N=1e5/T=200 pass to host-side
+    ``trace_to_jaxpr``/dispatch, with the device near-idle (PERF.md
+    "Round-5 ledger"). Repeated calls with the same builder (an SGD loop,
+    a scorer in an outer sampler) now reuse the compiled executable; the
+    filter and context ride in as pytrees, so changed PARAMETERS never
+    recompile (the architecture's no-recompile invariant).
+    """
     theta = ctx.stack_parameters(constrained=False)
+    ev = filt.model.hidden.event_ndim
     h_fn, h_obs_fn = _score_functionals(ctx, build_model, theta, ev)
     est, stats, res = paris(
-        filt, k_run, y, h_fn, h_obs_fn=h_obs_fn, n_tilde=n_tilde,
-        log_density_sup=log_density_sup, max_rounds=max_rounds,
+        filt, key, y, h_fn, h_obs_fn=h_obs_fn, n_tilde=n_tilde,
+        log_density_sup=log_sup, max_rounds=max_rounds,
     )
-    return OnlineScoreResult(est, res.log_likelihood, stats, ctx)
+    return est, res.log_likelihood, stats
 
 
 class StreamingMLEResult(NamedTuple):
@@ -220,8 +245,6 @@ def fit_mle_streaming(
     theta0 = ctx.stack_parameters(constrained=False)  # (1, D)
     opt = optax.adam(learning_rate)
     opt_state0 = opt.init(theta0)
-
-    import functools
 
     @functools.partial(jax.jit, static_argnames=("first",))
     def window_step(theta, opt_state, state, k, y_w, first):
