@@ -266,22 +266,43 @@ def fit_mle_streaming(
         theta = theta + updates
         return theta, opt_state, res.latest_state, res.log_likelihood
 
-    # first window initializes the cloud; later windows continue it
-    theta, opt_state, state = theta0, opt_state0, None
-    path, lls = [], []
-    for w in range(n_win):
-        k_loop, k_w = jax.random.split(k_loop)
-        if state is None:
-            ctx_w = ctx.unstack_parameters(theta, constrained=False)
-            filt_w = base_filt.initialize_model(ctx_w)
-            k_w, k_init = jax.random.split(k_w)
-            state = filt_w.initialize(k_init)
-        theta, opt_state, state, ll = window_step(
-            theta, opt_state, state, k_w, y_win[w], w == 0
-        )
-        path.append(theta[0])
-        lls.append(ll)
-
-    return StreamingMLEResult(
-        theta, jnp.stack(path), jnp.stack(lls), ctx
+    # first window initializes the cloud; the REST run as ONE compiled scan.
+    # Measured near-neutral on the v5e (8.89 -> 8.56 s at T=1e4/window=25 —
+    # async dispatch already pipelined the Python loop's launches), kept for
+    # the single-dispatch form: no 400 host round-trips on a slow host, and
+    # the whole fit is one executable after the first window
+    k_loop, k_w = jax.random.split(k_loop)
+    ctx_w = ctx.unstack_parameters(theta0, constrained=False)
+    filt_w = base_filt.initialize_model(ctx_w)
+    k_w, k_init = jax.random.split(k_w)
+    state0 = filt_w.initialize(k_init)
+    theta, opt_state, state, ll0 = window_step(
+        theta0, opt_state0, state0, k_w, y_win[0], True
     )
+
+    @jax.jit
+    def run_rest(theta, opt_state, state, k, y_rest):
+        def body(carry, y_w):
+            theta, opt_state, state, k = carry
+            k, k_w = jax.random.split(k)
+            theta, opt_state, state, ll = window_step(
+                theta, opt_state, state, k_w, y_w, False
+            )
+            return (theta, opt_state, state, k), (theta[0], ll)
+
+        (theta, opt_state, state, _), (path, lls) = jax.lax.scan(
+            body, (theta, opt_state, state, k), y_rest
+        )
+        return theta, path, lls
+
+    path0, lls0 = theta[0][None], jnp.asarray(ll0)[None]
+    if n_win > 1:
+        theta, path_rest, lls_rest = run_rest(
+            theta, opt_state, state, k_loop, y_win[1:]
+        )
+        path = jnp.concatenate([path0, path_rest])
+        lls = jnp.concatenate([lls0, lls_rest])
+    else:
+        path, lls = path0, lls0
+
+    return StreamingMLEResult(theta, path, lls, ctx)
