@@ -411,11 +411,33 @@ class StorvikFilter:
         n_particles: int,
         resampler=systematic,
         ess_threshold: float = 0.9,
+        fused_resample: bool | None = None,
     ):
         self.conjugate = conjugate
         self.n_particles = int(n_particles)
         self.resampler = resampler
         self.ess_threshold = float(ess_threshold)
+        self.fused_resample = fused_resample
+
+    def _use_fused_resample(self) -> bool:
+        """Trace-time gate mirroring ``ParticleFilter._use_fused_resample``:
+        the resample fire (indices + a gather of the state AND every
+        sufficient-statistic leaf) goes through the fused Pallas expansion
+        kernel (ops/expand.py) on TPU at particle scale. Bit-identical
+        ancestor law (same scalar ``u`` from the same key; the kernel is
+        bit-exact-tested against the search-based systematic). The fire was
+        the dominant Storvik cost once the 2x2 linalg was closed-formed —
+        xprof put 2.08 s of the 3.87 s N=1e5/T=400 pass in the resample
+        conditional, and the fused route took the whole pass to 0.554 s
+        (the cond-guarded multi-gather had also blocked XLA fusion across
+        the step body; PERF.md "Round-5 ledger")."""
+        if self.fused_resample is not None:
+            return bool(self.fused_resample)
+        return (
+            jax.default_backend() == "tpu"
+            and self.n_particles >= 16384
+            and self.resampler is systematic
+        )
 
     def fit(self, key, y) -> StorvikResult:
         """Run the full pass as one compiled ``lax.scan``."""
@@ -425,6 +447,7 @@ class StorvikFilter:
     def _run(self, key, y):
         conj = self.conjugate
         n = self.n_particles
+        use_fused = self._use_fused_resample()
         k_init, k_theta0, k_scan = jax.random.split(key, 3)
 
         stats = conj.initial_stats(n)
@@ -461,6 +484,13 @@ class StorvikFilter:
 
             def do_resample(op):
                 vals_n, stats_n, w_n = op
+                if use_fused:
+                    from ...ops.expand import systematic_expand
+
+                    flat, treedef = jax.tree_util.tree_flatten((vals_n, stats_n))
+                    out, _ = systematic_expand(k_res, w_n, tuple(flat))
+                    vals_r, stats_r = jax.tree_util.tree_unflatten(treedef, list(out))
+                    return vals_r, stats_r, jnp.zeros_like(w_n)
                 idx = self.resampler(k_res, w_n)
                 take = lambda leaf: jnp.take(leaf, idx, axis=0)
                 return (
@@ -498,13 +528,15 @@ def _jitted_storvik(filt, key, y):
 
 
 def _storvik_flatten(f):
-    return (f.conjugate,), (f.n_particles, f.resampler, f.ess_threshold)
+    return (f.conjugate,), (
+        f.n_particles, f.resampler, f.ess_threshold, f.fused_resample,
+    )
 
 
 def _storvik_unflatten(aux, children):
     obj = object.__new__(StorvikFilter)
     obj.conjugate = children[0]
-    obj.n_particles, obj.resampler, obj.ess_threshold = aux
+    obj.n_particles, obj.resampler, obj.ess_threshold, obj.fused_resample = aux
     return obj
 
 

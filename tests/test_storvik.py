@@ -202,3 +202,28 @@ def test_storvik_unknown_obs_matches_pmmh():
     assert abs(b_m - post["beta"]) < 3.5 * post_std["beta"], (b_m, post)
     assert abs(np.sqrt(s2_m) - post["sigma"]) < 3.5 * post_std["sigma"], (s2_m, post)
     assert abs(np.sqrt(sy2_m) - post["s_obs"]) < 3.5 * post_std["s_obs"], (sy2_m, post)
+
+
+def test_fused_resample_bit_matches_take_path():
+    """The fused Pallas expansion resample (``fused_resample=True``,
+    interpret-mode off-TPU) must reproduce the search-based
+    systematic + gather path BIT-EXACTLY: same scalar ``u`` from the same
+    key, bit-equal ancestor assignment, so the whole online pass —
+    likelihood, running posterior means, final cloud — is bit-identical."""
+    y = make_data(80)
+    conj = inf.NIGAutoregression(
+        obs_coeff=1.0, obs_scale=OBS_STD, m0=(0.0, 0.0), v0=4.0, a0=2.0, b0=0.5
+    )
+    # ess_threshold > 1 forces the resample branch every step
+    base = inf.StorvikFilter(conj, 512, ess_threshold=1.1, fused_resample=False).fit(
+        jax.random.PRNGKey(7), y
+    )
+    fused = inf.StorvikFilter(conj, 512, ess_threshold=1.1, fused_resample=True).fit(
+        jax.random.PRNGKey(7), y
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.log_likelihood), np.asarray(fused.log_likelihood)
+    )
+    for a, b in zip(base.param_means, fused.param_means):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(base.values), np.asarray(fused.values))
