@@ -84,13 +84,29 @@ class RaoBlackwellizedPF:
         particles: int,
         resampling_method=systematic_counts,
         ess_threshold: float = 0.9,
+        fused_resample: bool | None = None,
     ):
         self.nonlinear = nonlinear
         self.linear = linear
         self.n_particles = int(particles)
         self.resampler = resampling_method
         self.ess_threshold = float(ess_threshold)
+        self.fused_resample = fused_resample
         self._d_l = int(jnp.shape(jnp.atleast_1d(jnp.asarray(linear.init_mean)))[0])
+
+    def _use_fused_resample(self) -> bool:
+        """Same trace-time gate as ``StorvikFilter``/``ParticleFilter``: at
+        particle scale the cond-guarded index+multi-gather (values, means,
+        covariances) is the step's dominant cost AND blocks XLA fusion
+        around it — the fused expansion kernel resamples every leaf in one
+        streaming pass with a bit-identical ancestor law."""
+        if self.fused_resample is not None:
+            return bool(self.fused_resample)
+        return (
+            jax.default_backend() == "tpu"
+            and self.n_particles >= 16384
+            and self.resampler is systematic_counts
+        )
 
     # -- init ---------------------------------------------------------------
     def initialize(self, key) -> RBPFState:
@@ -141,11 +157,21 @@ class RaoBlackwellizedPF:
         ess = get_ess(normalized, normalized=True)
 
         def resample(_):
-            idx = self.resampler(k_res, normalized, normalized=True)
+            if self._use_fused_resample():
+                from ..ops.expand import systematic_expand
+
+                (vals_r, m_r, p_r), _ = systematic_expand(
+                    k_res, normalized, (state.n.value, state.m, state.p),
+                    normalized=True,
+                )
+            else:
+                idx = self.resampler(k_res, normalized, normalized=True)
+                vals_r = batched_gather(state.n.value, idx, self.nonlinear.event_ndim)
+                m_r, p_r = state.m[idx], state.p[idx]
             return (
-                batched_gather(state.n.value, idx, self.nonlinear.event_ndim),
-                state.m[idx],
-                state.p[idx],
+                vals_r,
+                m_r,
+                p_r,
                 jnp.zeros_like(state.log_weights),
                 jnp.full_like(normalized, 1.0 / self.n_particles),
             )

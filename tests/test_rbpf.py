@@ -152,3 +152,27 @@ def test_rbpf_nan_skip():
     assert np.isfinite(float(res.log_likelihood))
     assert np.asarray(res.step_log_likelihoods)[10:14].sum() == 0.0
     assert np.isfinite(np.asarray(res.filter_means)).all()
+
+
+def test_rbpf_fused_resample_bit_matches_gather_path():
+    """``fused_resample=True`` (interpret-mode expansion kernel off-TPU)
+    must reproduce the counts-inversion + gather path BIT-EXACTLY — same
+    scalar ``u``, bit-equal ancestors for values, conditional means AND
+    covariances, so the whole pass is bit-identical."""
+    ssm, _, _ = _joint_2d_ssm()
+    _, y = ssm.sample_states(jax.random.PRNGKey(9), 50).get_paths()
+    nonlinear = models.AR(AN, BN, SN)
+    lin = linear_substructure(lambda n: jnp.atleast_1d(n.value))
+    # ess_threshold > 1 forces the resample branch every step
+    base = pf.RaoBlackwellizedPF(
+        nonlinear, lin, 256, ess_threshold=1.1, fused_resample=False
+    ).batch_filter(jax.random.PRNGKey(10), y)
+    fused = pf.RaoBlackwellizedPF(
+        nonlinear, lin, 256, ess_threshold=1.1, fused_resample=True
+    ).batch_filter(jax.random.PRNGKey(10), y)
+    np.testing.assert_array_equal(
+        np.asarray(base.log_likelihood), np.asarray(fused.log_likelihood)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.filter_means), np.asarray(fused.filter_means)
+    )
