@@ -6,6 +6,13 @@ from .base import ParticleFilter
 from .gpf import GPF
 from .sisr import SISR
 from .smoothing import ffbsi_smooth, paris, transition_log_sup
+from .variance import (
+    VarianceEstimate,
+    eve_indices,
+    filter_mean_variance,
+    lag_ancestor_indices,
+    log_likelihood_variance,
+)
 
 __all__ = [
     "ParticleFilter",
@@ -16,4 +23,9 @@ __all__ = [
     "ffbsi_smooth",
     "paris",
     "transition_log_sup",
+    "VarianceEstimate",
+    "eve_indices",
+    "lag_ancestor_indices",
+    "log_likelihood_variance",
+    "filter_mean_variance",
 ]
