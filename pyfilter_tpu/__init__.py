@@ -23,6 +23,7 @@ from .filters import (
     GaussianSumFilter,
     InteractingMultipleModel,
     MarkovSwitchingModel,
+    BlockParticleFilter,
     EnsembleKalmanFilter,
     EnsembleTransformKalmanFilter,
     Localization,
@@ -48,6 +49,7 @@ __all__ = [
     "GaussianSumFilter",
     "InteractingMultipleModel",
     "MarkovSwitchingModel",
+    "BlockParticleFilter",
     "EnsembleKalmanFilter",
     "EnsembleTransformKalmanFilter",
     "Localization",

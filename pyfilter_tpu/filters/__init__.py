@@ -2,6 +2,7 @@
 
 from . import particle
 from .base import BaseFilter
+from .block import BlockParticleFilter, BlockPFState
 from .diagnostics import crps, predictive_pit
 from .ekf import EKFState, ExtendedKalmanFilter
 from .enkf import EnKFState, EnsembleKalmanFilter
@@ -23,6 +24,8 @@ Correction = ParticleFilterCorrection
 
 __all__ = [
     "BaseFilter",
+    "BlockParticleFilter",
+    "BlockPFState",
     "predictive_pit",
     "crps",
     "KalmanFilter",
