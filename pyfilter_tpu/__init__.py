@@ -16,6 +16,7 @@ from .filters import (
     APF,
     GPF,
     SISR,
+    SQMC,
     ExtendedKalmanFilter,
     FilterResult,
     UnscentedKalmanFilter,
@@ -66,6 +67,7 @@ __all__ = [
     "SISR",
     "APF",
     "GPF",
+    "SQMC",
     "FilterResult",
     "inference",
     "interop",

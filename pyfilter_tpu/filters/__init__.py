@@ -11,7 +11,7 @@ from .gsf import GaussianSumFilter, GSFState
 from .imm import IMMState, InteractingMultipleModel, MarkovSwitchingModel
 from .kalman import KalmanFilter, KalmanState
 from .marginal import GaussianMarginalFilter
-from .particle import APF, GPF, SISR, ParticleFilter
+from .particle import APF, GPF, SISR, SQMC, ParticleFilter
 from .rbpf import LinearSubstructure, RaoBlackwellizedPF
 from .result import FilterHistory, FilterResult
 from .ukf import CubatureKalmanFilter, UnscentedKalmanFilter
@@ -51,6 +51,7 @@ __all__ = [
     "SISR",
     "APF",
     "GPF",
+    "SQMC",
     "FilterResult",
     "FilterHistory",
     "ParticleFilterCorrection",

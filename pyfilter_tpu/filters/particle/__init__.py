@@ -5,6 +5,7 @@ from .apf import APF
 from .base import ParticleFilter
 from .gpf import GPF
 from .sisr import SISR
+from .sqmc import SQMC, SQMCState
 from .smoothing import ffbsi_smooth, paris, transition_log_sup
 from .variance import (
     VarianceEstimate,
@@ -19,6 +20,8 @@ __all__ = [
     "SISR",
     "APF",
     "GPF",
+    "SQMC",
+    "SQMCState",
     "proposals",
     "ffbsi_smooth",
     "paris",
