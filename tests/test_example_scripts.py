@@ -20,6 +20,7 @@ SCRIPTS = [
     "batch_inference_zoo.py",
     "online_smoothing_ensembles.py",
     "streaming_and_switching.py",
+    "qmc_blocks_and_variance.py",
 ]
 
 
