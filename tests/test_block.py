@@ -150,6 +150,44 @@ def test_validation_errors():
         BlockParticleFilter(scalar, 10, block_size=1)
 
 
+def test_sharded_step_is_block_local():
+    """Shard the d axis over the 8-device mesh (block boundaries aligned to
+    shard boundaries): the compiled step must carry NO all-gather or
+    all-to-all — the per-block resample+gather partitions locally; the only
+    collectives are the model's own roll() halo (collective-permute) and
+    scalar all-reduces for the log-likelihood/normalization terms."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    d, n = 16, 256
+    ssm = ring_ssm(d, mix=0.2)
+    filt = BlockParticleFilter(ssm, n, block_size=2)
+
+    mesh = Mesh(np.array(jax.devices()), ("d",))
+    state = filt.initialize(jax.random.PRNGKey(0))
+    state = state._replace(
+        values=jax.device_put(state.values, NamedSharding(mesh, P(None, "d")))
+    )
+    y_t = jax.device_put(
+        jnp.full((d,), 0.3, jnp.float32), NamedSharding(mesh, P("d"))
+    )
+
+    step = jax.jit(lambda k, y, s: filt.filter(k, y, s))
+    txt = step.lower(jax.random.PRNGKey(1), y_t, state).compile().as_text()
+    assert txt.count("all-gather") == 0, "state-sized gather leaked into the step"
+    assert txt.count("all-to-all") == 0
+
+    out = step(jax.random.PRNGKey(1), y_t, state)
+    # output stays sharded and matches the unsharded step
+    assert "d" in str(out.values.sharding.spec)
+    ref = jax.jit(lambda k, y, s: filt.filter(k, y, s))(
+        jax.random.PRNGKey(1), jnp.full((d,), 0.3, jnp.float32),
+        filt.initialize(jax.random.PRNGKey(0)),
+    )
+    np.testing.assert_allclose(
+        float(out.log_likelihood), float(ref.log_likelihood), rtol=1e-4
+    )
+
+
 def test_lane_batching_runs():
     d = 4
     ssm = ring_ssm(d, mix=0.0)
