@@ -70,17 +70,20 @@ def test_lag_ancestors_cover_all_equals_eve():
 
 @pytest.fixture(scope="module")
 def replicate_run():
-    """One lane-batched run: R=768 independent N=256 bootstrap filters,
+    """One lane-batched run: R=384 independent N=128 bootstrap filters,
     multinomial resampling at every step (the estimators' exact-theory
-    regime)."""
+    regime). Sizes are tuned to the fast tier: multinomial-per-step costs
+    O(N^2 R) Gumbel draws per step on CPU (categorical materializes the
+    (N, R, N) noise), so N=256/R=768 measured 47 s where this runs in
+    ~10 s with MC bands that still separate right from wrong constants."""
     y = simulate(20, seed=7)
     filt = SISR(
         ar_ssm(),
-        256,
+        128,
         resampling_method=resampling.multinomial,
         ess_threshold=1.1,  # ESS <= N < 1.1 N: resample every step
         record_states=True,
-        batch_shape=(768,),
+        batch_shape=(384,),
         fused_resample=False,
     )
     res = filt.batch_filter(jax.random.PRNGKey(3), y)
@@ -108,11 +111,12 @@ def test_filter_mean_variance_matches_replicates(replicate_run):
     est = filter_mean_variance(res)
     # compare at a few time points: mean estimator vs across-lane variance of
     # the recorded filter means
-    # history index t+1 <-> filter_means index t (initial cloud at index 0)
+    # history index t+1 <-> filter_means index t (initial cloud at index 0);
+    # the lower band absorbs the late-t coalescence bias at N=128 (T/N=0.16)
     for t in (4, 12, 19):
         mean_est = float(jnp.mean(est.variance[t + 1]))
         emp = float(jnp.var(res.filter_means[t]))
-        assert 0.45 * emp < mean_est < 2.0 * emp, (t, mean_est, emp)
+        assert 0.4 * emp < mean_est < 2.0 * emp, (t, mean_est, emp)
 
 
 def test_degeneracy_diagnostic_and_lag(replicate_run):
