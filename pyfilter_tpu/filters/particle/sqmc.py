@@ -15,12 +15,18 @@ to parameter-space initialization/proposals (inference/qmc.py,
 context.py:377-408) — the filtering loop itself stays Monte Carlo. Here the
 same Sobol engine drives the whole filter.
 
-Scope (v1, the canonical SQMC setting): bootstrap proposal; the hidden
-process must be an :class:`~pyfilter_tpu.timeseries.process.AffineProcess`
-with an elementwise (broadcast, not matrix) scale and an increment
-distribution exposing ``icdf`` — Gaussian or any of the icdf-able
-distribution families; the initial distribution likewise. Models outside
-that contract raise at construction.
+Scope: bootstrap proposal (the canonical SQMC setting) or
+``proposal="linear_gaussian"`` — guided SQMC sampling the final sub-step
+from the exact conditional posterior (the optimal
+LinearGaussianObservations proposal) with the closed-form predictive as
+the weight; on peaky observations this stacks another three orders of
+magnitude of variance reduction on top of the QMC gain (1249x measured at
+obs std 0.15, tests/test_sqmc.py). The hidden process must be an
+:class:`~pyfilter_tpu.timeseries.process.AffineProcess` with an
+elementwise (broadcast, not matrix) scale and an increment distribution
+exposing ``icdf`` — Gaussian or any of the icdf-able distribution
+families (Gaussian specifically for the guided proposal); the initial
+distribution likewise. Models outside that contract raise at construction.
 
 TPU notes: the per-step work is two sorts (Hilbert keys + point set), one
 ``searchsorted(method="sort")``, one gather, and elementwise icdf math — no
@@ -88,6 +94,7 @@ class SQMC:
         bits: Optional[int] = None,
         scramble_seed: int = 0,
         record_states: bool = False,
+        proposal: str = "bootstrap",
     ):
         hidden = model.hidden
         if not isinstance(hidden, AffineProcess):
@@ -99,6 +106,42 @@ class SQMC:
                 "SQMC needs icdf-able increment and initial distributions "
                 "(inverse-Rosenblatt propagation)"
             )
+        if proposal not in ("bootstrap", "linear_gaussian"):
+            raise ValueError("proposal must be 'bootstrap' or 'linear_gaussian'")
+        if proposal == "linear_gaussian":
+            # guided SQMC (Gerber-Chopin §4): sample the final sub-step from
+            # the exact conditional posterior (the LinearGaussianObservations
+            # optimal proposal, proposals/linear.py) via its componentwise
+            # icdf; the incremental weight is then the closed-form predictive
+            # p(y_t | x_{t-1}) — requires Gaussian increments, an elementwise
+            # observation map (scalar or per-component a), and Gaussian
+            # observation noise (the LinearStateSpaceModel (a, b, s) layout)
+            from ...distributions import Normal
+
+            elementwise_normal = isinstance(inc, Normal) or (
+                isinstance(inc, Independent) and isinstance(inc.base_dist, Normal)
+            )
+            if not elementwise_normal:
+                raise ValueError(
+                    "proposal='linear_gaussian' needs elementwise Normal increments"
+                )
+            if not hasattr(model, "parameters") or len(model.parameters) != 3:
+                raise ValueError(
+                    "proposal='linear_gaussian' needs the LinearStateSpaceModel "
+                    "(a, b, s) observation layout"
+                )
+            if jnp.ndim(model.parameters[0]) >= 2:
+                raise ValueError(
+                    "proposal='linear_gaussian' supports scalar/per-component "
+                    "observation maps (matrix A couples components — use "
+                    "bootstrap, or the non-QMC APF with the optimal proposal)"
+                )
+        self.proposal = proposal
+        if proposal == "linear_gaussian":
+            inc_base = inc.base_dist if isinstance(inc, Independent) else inc
+            self._inc_var = jnp.asarray(inc_base.variance)
+        else:
+            self._inc_var = None
         self.model = model
         self.n_particles = int(particles)
         self.bits = bits
@@ -135,6 +178,46 @@ class SQMC:
             return jnp.sum(jnp.where(nan, 0.0, lp), axis=-1)
         lp = density.log_prob(y_safe)
         return jnp.where(jnp.all(nan), 0.0, lp)
+
+    def _guided_step(self, x: TimeseriesState, y_t, us: jax.Array):
+        """Final sub-step from the exact conditional posterior
+        ``p(x_t | x_{t-1}, y_t)`` (componentwise precision form —
+        proposals/utils.py:42's scalar branch), sampled by icdf; the
+        incremental weight is the closed-form predictive
+        ``N(y; b + a·loc, a² h_var + o_var)``. NaN observation components
+        fall back to prior propagation with zero weight (exact partial
+        marginalization)."""
+        from jax.scipy.special import ndtri
+
+        n = self.n_particles
+        hidden = self.model.hidden
+        loc, scale = hidden.mean_scale(x)
+        h_var = jnp.square(scale) * self._inc_var           # (N, *event)
+        a, b, s_obs = self.model.parameters
+        a = jnp.asarray(a)
+        o_var = jnp.square(jnp.asarray(s_obs))
+
+        y_t = jnp.asarray(y_t, jnp.float32)
+        nan = jnp.isnan(y_t)
+        yd = jnp.where(nan, 0.0, y_t - b)
+        eff_o_prec = jnp.where(nan, 0.0, 1.0 / o_var)       # missing -> prior
+
+        post_var = 1.0 / (1.0 / h_var + jnp.square(a) * eff_o_prec)
+        post_mean = post_var * (loc / h_var + a * eff_o_prec * yd)
+
+        z = ndtri(us.reshape((n,) + self._noise_shape))
+        x_new = post_mean + jnp.sqrt(post_var) * z
+        x = x.propagate_from(values=x_new, time_increment=1.0)
+
+        pred_var = o_var + jnp.square(a) * h_var
+        lp = (
+            -0.5 * jnp.square(y_t - (b + a * loc)) / pred_var
+            - 0.5 * jnp.log(2.0 * jnp.pi * pred_var)
+        )
+        lp = jnp.where(nan, 0.0, lp)
+        if self._ev:
+            lp = jnp.sum(lp, axis=-1)
+        return x, lp
 
     def _shift(self, key, u) -> jax.Array:
         s = jax.random.uniform(key, (u.shape[-1],), u.dtype)
@@ -182,7 +265,9 @@ class SQMC:
             jnp.take(state.values, ancestors, axis=0),
             self._ev,
         )
-        for s in range(n_transitions):
+        guided = self.proposal == "linear_gaussian"
+        prior_steps = n_transitions - 1 if guided else n_transitions
+        for s in range(prior_steps):
             loc, scale = hidden.mean_scale(x)
             us = u[:, 1 + s * self._d_noise : 1 + (s + 1) * self._d_noise]
             w = hidden.increment_distribution.icdf(
@@ -190,7 +275,11 @@ class SQMC:
             )
             x = x.propagate_from(values=loc + scale * w, time_increment=1.0)
 
-        lw = self._obs_log_weight(x, y_t)
+        if guided:
+            us = u[:, 1 + prior_steps * self._d_noise :]
+            x, lw = self._guided_step(x, y_t, us)
+        else:
+            lw = self._obs_log_weight(x, y_t)
         inc = jax.scipy.special.logsumexp(lw, axis=0) - math.log(n)
         new = SQMCState(
             jnp.asarray(x.value, jnp.float32),
