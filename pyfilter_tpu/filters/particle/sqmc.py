@@ -44,10 +44,11 @@ import jax
 import jax.numpy as jnp
 
 from ...distributions import Independent
-from ...inference.qmc import EngineContainer
 from ...ops.hilbert import hilbert_argsort
 from ...timeseries import AffineProcess, TimeseriesState
 from ...utils import normalize
+from .._lane import lane_concat, lane_exchange, lane_resample
+from ..base import BaseFilter
 from ..result import FilterHistory, FilterResult
 
 
@@ -56,6 +57,17 @@ class SQMCState(NamedTuple):
     log_weights: jax.Array   # (N,)
     time_index: jax.Array
     log_likelihood: jax.Array
+
+    # -- lane surgery (leaves lane-leading under lane-vmapped passes) ----------
+    def exchange(self, other: "SQMCState", mask) -> "SQMCState":
+        return lane_exchange(self, other, mask)
+
+    def resample(self, indices, entire_history: bool = True) -> "SQMCState":
+        return lane_resample(self, indices)
+
+    @staticmethod
+    def lane_concat(states) -> "SQMCState":
+        return lane_concat(SQMCState, states)
 
     def get_mean(self):
         w = normalize(self.log_weights)
@@ -77,15 +89,65 @@ def _flat_dim(dist) -> int:
     return n
 
 
-class SQMC:
-    """Sequential quasi-Monte Carlo bootstrap filter.
+#: scrambled-Sobol base sets keyed by (n, dim, seed) — module-level so SQMC
+#: instances carry only hashable config (they are pytrees with the model as
+#: the single child, like every BaseFilter: the PMMH fused chain scan passes
+#: the filter through jit) and so `initialize_model` rebuilds inside a trace
+#: without re-running the host-side Sobol engine.
+_POINT_SETS: dict = {}
+
+
+def _sobol_base(n: int, dim: int, seed: int):
+    """Host-side scrambled Sobol, cached as NUMPY (never jnp: a jnp array
+    materialized inside a jit trace is a tracer, and caching one leaks it
+    out of the trace — the cached constant must be host data that each trace
+    lifts afresh). Applies the EngineContainer degeneracy squeeze
+    (inference/qmc.py:48-49)."""
+    cache_key = (n, dim, seed)
+    if cache_key not in _POINT_SETS:
+        import warnings
+
+        import numpy as np
+        from scipy.stats import qmc
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            probs = qmc.Sobol(dim, scramble=True, seed=seed).random(n)
+        eps = float(np.finfo(np.float32).eps)
+        _POINT_SETS[cache_key] = np.asarray(
+            0.5 + (1.0 - eps) * (probs - 0.5), np.float32
+        )
+    return _POINT_SETS[cache_key]
+
+
+class SQMC(BaseFilter):
+    """Sequential quasi-Monte Carlo filter (bootstrap or guided).
 
     ``bits`` controls the Hilbert grid resolution (default: largest fitting
     the 64-bit sort key, capped at 16); ``scramble_seed`` fixes the Sobol
     scrambling (the per-call jax ``key`` still randomizes via fresh
     Cranley-Patterson shifts, so repeated calls give independent RQMC
     replicates either way).
+
+    Accepts a model OR a model builder and supports ``batch_shape`` lanes
+    (one ``jax.vmap`` per pass, each lane an independent RQMC randomization)
+    — so it slots into :class:`~...batch.mcmc.pmmh.PMMH` as the likelihood
+    estimator: pseudo-marginal MH whose noise is the SQMC variance, orders
+    of magnitude under the bootstrap filter's at equal cost (PERF.md
+    "Round-5 ledger II"; tests/test_sqmc.py::test_pmmh_with_sqmc).
     """
+
+    _config_fields = (
+        "record_states",
+        "record_intermediary",
+        "nan_strategy",
+        "batch_shape",
+        "model_builder",
+        "n_particles",
+        "bits",
+        "scramble_seed",
+        "proposal",
+    )
 
     def __init__(
         self,
@@ -95,7 +157,21 @@ class SQMC:
         scramble_seed: int = 0,
         record_states: bool = False,
         proposal: str = "bootstrap",
+        batch_shape=(),
     ):
+        if proposal not in ("bootstrap", "linear_gaussian"):
+            raise ValueError("proposal must be 'bootstrap' or 'linear_gaussian'")
+        super().__init__(
+            model, record_states=record_states, batch_shape=batch_shape
+        )
+        self.n_particles = int(particles)
+        self.bits = bits
+        self.scramble_seed = int(scramble_seed)
+        self.proposal = proposal
+        if self.model is not None:
+            self._validate(self.model)
+
+    def _validate(self, model):
         hidden = model.hidden
         if not isinstance(hidden, AffineProcess):
             raise ValueError("SQMC needs an AffineProcess hidden process")
@@ -106,9 +182,7 @@ class SQMC:
                 "SQMC needs icdf-able increment and initial distributions "
                 "(inverse-Rosenblatt propagation)"
             )
-        if proposal not in ("bootstrap", "linear_gaussian"):
-            raise ValueError("proposal must be 'bootstrap' or 'linear_gaussian'")
-        if proposal == "linear_gaussian":
+        if self.proposal == "linear_gaussian":
             # guided SQMC (Gerber-Chopin §4): sample the final sub-step from
             # the exact conditional posterior (the LinearGaussianObservations
             # optimal proposal, proposals/linear.py) via its componentwise
@@ -136,33 +210,49 @@ class SQMC:
                     "observation maps (matrix A couples components — use "
                     "bootstrap, or the non-QMC APF with the optimal proposal)"
                 )
-        self.proposal = proposal
-        if proposal == "linear_gaussian":
-            inc_base = inc.base_dist if isinstance(inc, Independent) else inc
-            self._inc_var = jnp.asarray(inc_base.variance)
-        else:
-            self._inc_var = None
-        self.model = model
-        self.n_particles = int(particles)
-        self.bits = bits
-        self.record_states = bool(record_states)
-        self._ev = int(hidden.event_ndim)
-        self._d_noise = _flat_dim(inc)
-        self._d_init = _flat_dim(init)
-        self._noise_shape = tuple(inc.batch_shape) + tuple(inc.event_shape)
-        self._init_shape = tuple(init.batch_shape) + tuple(init.event_shape)
-        oes = int(model.observe_every_step)
-        self._dim_step = 1 + oes * self._d_noise
-        # one scrambled base set for the steps, one for the initial draw
-        eng = EngineContainer(self._dim_step, randomize=False, seed=scramble_seed)
-        self._base = jnp.asarray(eng.sample((self.n_particles,)), jnp.float32)
-        if self._base.ndim == 1:  # dim squeeze guard (never hit: dim_step >= 2)
-            self._base = self._base[:, None]
-        eng0 = EngineContainer(self._d_init, randomize=False, seed=scramble_seed + 1)
-        u0 = eng0.sample((self.n_particles,))
-        self._base_init = jnp.asarray(u0, jnp.float32).reshape(
-            self.n_particles, self._d_init
-        )
+
+    def initialize_model(self, context) -> "SQMC":
+        new = super().initialize_model(context)
+        new._validate(new.model)
+        return new
+
+    # -- model-derived shape metadata (static: int() on abstract shapes) -------
+    @property
+    def _ev(self) -> int:
+        return int(self.model.hidden.event_ndim)
+
+    @property
+    def _noise_shape(self) -> tuple:
+        inc = self.model.hidden.increment_distribution
+        return tuple(inc.batch_shape) + tuple(inc.event_shape)
+
+    @property
+    def _init_shape(self) -> tuple:
+        init = self.model.hidden.initial_distribution()
+        return tuple(init.batch_shape) + tuple(init.event_shape)
+
+    @property
+    def _d_noise(self) -> int:
+        return _flat_dim(self.model.hidden.increment_distribution)
+
+    @property
+    def _dim_step(self) -> int:
+        return 1 + int(self.model.observe_every_step) * self._d_noise
+
+    @property
+    def _base(self) -> jnp.ndarray:
+        return _sobol_base(self.n_particles, self._dim_step, self.scramble_seed)
+
+    @property
+    def _base_init(self) -> jnp.ndarray:
+        d_init = _flat_dim(self.model.hidden.initial_distribution())
+        return _sobol_base(self.n_particles, d_init, self.scramble_seed + 1)
+
+    @property
+    def _inc_var(self):
+        inc = self.model.hidden.increment_distribution
+        inc_base = inc.base_dist if isinstance(inc, Independent) else inc
+        return jnp.asarray(inc_base.variance)
 
     # -- pieces ---------------------------------------------------------------
     def _obs_log_weight(self, x: TimeseriesState, y_t) -> jax.Array:
@@ -289,13 +379,42 @@ class SQMC:
         )
         return new, ancestors
 
-    def batch_filter(self, key, y) -> FilterResult:
+    def batch_filter(self, key, y, initial_state=None, use_jit=True, unroll=1) -> FilterResult:
         """Whole-sequence SQMC pass as one ``lax.scan``.
 
         With ``record_states=True`` the result carries a standard
         :class:`FilterHistory` (initial cloud first, the package convention),
         so the FFBS/FFBSi smoothers and the genealogy variance estimators
-        apply unchanged."""
+        apply unchanged. With ``batch_shape=(K,)`` the pass vmaps K
+        independent lanes (independent RQMC randomizations; lane-batched
+        model parameter leaves ride the vmap) — the PMMH/marginal form."""
+        if initial_state is not None:
+            raise ValueError("SQMC does not accept an initial_state")
+        if self.batch_shape:
+            from .._lane import lane_axes, swap_result_lanes
+
+            if len(self.batch_shape) > 1:
+                raise ValueError("SQMC lane batching supports one lane axis")
+            k_lanes = int(self.batch_shape[0])
+            axes = lane_axes(self.model, k_lanes)
+            keys = jax.random.split(key, k_lanes)
+            res = jax.vmap(
+                lambda mdl, kk: self.replace(model=mdl, batch_shape=()).batch_filter(kk, y),
+                in_axes=(axes, 0),
+            )(self.model, keys)
+            res = swap_result_lanes(res)
+            states = res.states
+            if states is not None:
+                # vmap leaves histories lane-leading; package convention is
+                # time-major, particles, lanes
+                states = FilterHistory(
+                    states.time_indexes[0],
+                    jnp.moveaxis(states.values, 0, 2),
+                    jnp.moveaxis(states.log_weights, 0, 2),
+                    jnp.moveaxis(states.prev_indices, 0, 2),
+                )
+                res = res._replace(states=states)
+            return res
         y = jnp.asarray(y, jnp.float32)
         k_init, k0, k_scan = jax.random.split(key, 3)
         state0 = self.initialize(k_init)

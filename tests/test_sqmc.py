@@ -205,6 +205,47 @@ def test_sqmc_history_feeds_smoothing_and_variance(ar_data):
     assert np.isfinite(float(v.variance[-1])) and float(v.variance[-1]) >= 0
 
 
+def test_pmmh_with_sqmc_likelihood():
+    """SQMC as the PMMH likelihood estimator (valid pseudo-marginal: the
+    RQMC likelihood estimate is unbiased, Gerber-Chopin Thm 2): builder
+    construction, per-chain lanes, traced model rebuilds inside the fused
+    chain scan, FilterResult lane exchange. With the near-noiseless guided
+    SQMC at only N=128 the random-walk chain both recovers the parameters
+    and keeps a healthy acceptance rate."""
+    from pyfilter_tpu import inference as inf
+    from pyfilter_tpu.timeseries import models as tsm
+
+    def true_model():
+        return ts.LinearStateSpaceModel(
+            tsm.OrnsteinUhlenbeck(0.5, 1.0, 0.1), (1.0, 0.05)
+        )
+
+    def build_model(ctx):
+        k = ctx.named_parameter("kappa", dist.Exponential(1.0))
+        g = ctx.named_parameter("gamma", dist.Normal(0.0, 1.0))
+        s = ctx.named_parameter("sigma", dist.LogNormal(-2.0, 1.0))
+        return ts.LinearStateSpaceModel(
+            tsm.OrnsteinUhlenbeck(k, g, s), (1.0, 0.05)
+        )
+
+    _, y = true_model().sample_states(jax.random.PRNGKey(5), 100).get_paths()
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.SQMC(build_model, 128, proposal="linear_gaussian")
+        alg = inf.PMMH(
+            filt, num_samples=120, num_chains=4,
+            proposal=inf.RandomWalk(scale=5e-2),
+            context=ctx, key=jax.random.PRNGKey(2),
+        )
+        res = alg.fit(y, logging=inf.logging.DefaultLogger())
+    ch = res.as_arrays()
+    assert ch["gamma"][80:].mean() > 0.5          # moved from the 0.0 start
+    assert ch["sigma"][80:].mean() < 0.2
+    # near-noiseless marginal: RW acceptance stays high at tiny N (measured
+    # ~0.49; a noisy pseudo-marginal at N=128 would stick)
+    move_rate = np.mean(ch["gamma"][1:] != ch["gamma"][:-1])
+    assert move_rate > 0.2
+
+
 def test_sqmc_rejects_unsupported_models():
     # MVN increment with matrix scale has no componentwise icdf
     lq = jnp.asarray(np.linalg.cholesky([[0.3, 0.1], [0.1, 0.2]]), jnp.float32)
