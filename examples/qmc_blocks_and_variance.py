@@ -167,6 +167,53 @@ def part_3_variance_tuning(args, out):
     ))
 
 
+def part_4_sqmc_pmmh(args, out):
+    print("\n=== 4. PMMH with a guided-SQMC likelihood: near-noiseless marginal ===")
+    from pyfilter_tpu import inference as inf
+
+    t_len = 60 if args.quick else 100
+    n_samples = 80 if args.quick else 200
+
+    def true_model():
+        return ts.LinearStateSpaceModel(
+            models.OrnsteinUhlenbeck(0.5, 1.0, 0.1), (1.0, 0.05)
+        )
+
+    def build_model(ctx):
+        k = ctx.named_parameter("kappa", dist.Exponential(1.0))
+        g = ctx.named_parameter("gamma", dist.Normal(0.0, 1.0))
+        s = ctx.named_parameter("sigma", dist.LogNormal(-2.0, 1.0))
+        return ts.LinearStateSpaceModel(
+            models.OrnsteinUhlenbeck(k, g, s), (1.0, 0.05)
+        )
+
+    _, y = true_model().sample_states(jax.random.PRNGKey(5), t_len).get_paths()
+    t0 = time.perf_counter()
+    with inf.make_context(key=jax.random.PRNGKey(1)) as ctx:
+        filt = pf.SQMC(build_model, 128, proposal="linear_gaussian")
+        alg = inf.PMMH(
+            filt, num_samples=n_samples, num_chains=4,
+            proposal=inf.RandomWalk(scale=5e-2),
+            context=ctx, key=jax.random.PRNGKey(2),
+        )
+        res = alg.fit(y, logging=inf.logging.DefaultLogger())
+    wall = time.perf_counter() - t0
+    ch = res.as_arrays()
+    half = n_samples // 2
+    move = np.mean(ch["gamma"][1:] != ch["gamma"][:-1])
+    print(f"  {n_samples} samples x 4 chains at N=128 particles ({wall:.1f} s)")
+    print(f"  gamma: {ch['gamma'][half:].mean():.2f} (true 1.0)   "
+          f"sigma: {ch['sigma'][half:].mean():.3f} (true 0.10)")
+    print(f"  chain move rate {move:.2f} — a noisy pseudo-marginal at N=128 would stick")
+
+    _save_plot(out, "sqmc_pmmh_chains.png", lambda ax: (
+        [ax.plot(ch["gamma"][:, c], alpha=0.6) for c in range(ch["gamma"].shape[1])],
+        ax.axhline(1.0, ls="--", c="gray"),
+        ax.set_xlabel("sample"), ax.set_ylabel("gamma"),
+        ax.set_title("PMMH chains on a guided-SQMC likelihood (N=128)"),
+    ))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -177,6 +224,7 @@ def main():
     part_1_sqmc(args, args.out)
     part_2_blockpf(args, args.out)
     part_3_variance_tuning(args, args.out)
+    part_4_sqmc_pmmh(args, args.out)
     print("\ndone.")
 
 
